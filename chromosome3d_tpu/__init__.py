@@ -1,0 +1,35 @@
+"""chromosome3d_tpu — a TPU-native JAX framework for 3D chromosome reconstruction.
+
+Rebuilds, from scratch, the full capability of multicom-toolbox/Chromosome3D
+(reference: /root/reference/chromosome3D.pl + the external CNS solve 1.3 suite):
+Hi-C interaction-frequency (IF) matrices are converted to pairwise distance
+restraints, and bead coordinates are solved by a jit-compiled distance-geometry
+simulated annealer whose hot loops (the N x N pairwise-distance /
+restraint-violation energy) run as fused XLA / Pallas TPU kernels.
+
+Layer map (TPU-native redesign of SURVEY.md section 1):
+
+  L5  parallel.genome    whole-genome single-launch runs, chromosomes sharded
+                         over a jax.sharding.Mesh       (ref: test.sh)
+  L4  pipeline / cli     end-to-end per-chromosome job  (ref: chromosome3D.pl main)
+  L3  restraints         IF -> distance restraints      (ref: IF2dist_new/dist2rr/carr2tbl)
+  L2  solver.anneal      jit lax.scan annealing protocol (ref: dgsa.inp template)
+  L1  ops.energy/pallas  the energy + grad inner kernels (ref: CNS Fortran engine)
+  L0  assess / metrics   violation reports, NOE-energy ranking, Spearman scoring
+                         (ref: assess_dgsa, spearman_IF_pdb.pl)
+"""
+
+from chromosome3d_tpu.config import (
+    RestraintConfig,
+    AnnealConfig,
+    PipelineConfig,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "RestraintConfig",
+    "AnnealConfig",
+    "PipelineConfig",
+    "__version__",
+]

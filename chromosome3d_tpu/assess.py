@@ -1,0 +1,120 @@
+"""Model assessment, ranking, and report artifacts.
+
+TPU-native rebuild of the reference's L0 layer: assess_dgsa
+(chromosome3D.pl:769-829) plus its helpers (count_satisfied_tbl_rows :447-485,
+sum_noe_dev :581-600, get_cns_energy :602-618, noe violation report :478-484).
+
+The statistics are computed in one vmapped jnp pass (ops.energy.violation_stats);
+this module handles ranking semantics and the text artifacts:
+  * `<tbl>_violation.txt` — per-restraint flag/deviation/actual rows
+  * `model_info.log`      — REMARK (energy) rows backed up per model
+  * NOE-energy ranking     — 20 built -> top-5 kept as `{ID}_model1..5.pdb`
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chromosome3d_tpu.config import PipelineConfig
+from chromosome3d_tpu.metrics import pairwise_distances, spearman_if_inv_d
+from chromosome3d_tpu.ops.energy import DenseRestraints, violation_stats
+from chromosome3d_tpu.restraints import Restraints
+
+
+def assess_ensemble(
+    coords: np.ndarray,
+    restraints: DenseRestraints,
+    cfg: PipelineConfig,
+    bead_mask=None,
+) -> Dict[str, np.ndarray]:
+    """Vectorized satisfied-count / sum-dev for (n, L, 3) coords."""
+    stats = jax.vmap(
+        lambda c: violation_stats(
+            c, restraints, cfg.dist_relax, cfg.sum_dev_margin, bead_mask
+        )
+    )(jnp.asarray(coords, dtype=jnp.float32))
+    satisfied, total, sum_dev = (np.asarray(s) for s in stats)
+    return {
+        "satisfied": satisfied.astype(int),
+        "total": total.astype(int),
+        "sum_dev": sum_dev,
+    }
+
+
+def rank_by_energy(noe_energies: np.ndarray, top_k: int) -> np.ndarray:
+    """Indices of the best top_k models by ascending NOE energy — the
+    `${ID}_model1..5.pdb` ranking (chromosome3D.pl:796-828)."""
+    order = np.argsort(np.asarray(noe_energies), kind="stable")
+    return order[:top_k]
+
+
+def rank_by_spearman(
+    if_matrix: np.ndarray, coords: np.ndarray, rng: int = 3
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Descending Spearman(IF, 1/d) ranking — the publication rankNN order
+    (spearman_IF_pdb.pl:73-76, sign-flipped). Returns (order, scores)."""
+    scores = np.asarray(
+        [spearman_if_inv_d(if_matrix, c, rng) for c in np.asarray(coords)]
+    )
+    return np.argsort(-scores, kind="stable"), scores
+
+
+def write_violation_report(
+    path: str | os.PathLike,
+    coords: np.ndarray,
+    r: Restraints,
+    cfg: PipelineConfig,
+    pdb_name: str = "model",
+    tbl_name: str = "contact.tbl",
+) -> Tuple[int, int]:
+    """`contact_violation.txt` (ref count_satisfied_tbl_rows :447-485):
+    one row per restraint: violation flag, deviation, actual distance, and
+    the restraint spec; violated rows first. Returns (satisfied, total)."""
+    coords = np.asarray(coords)
+    d = np.asarray(pairwise_distances(jnp.asarray(coords, jnp.float32)))
+    ii, jj = np.nonzero(np.triu(r.mask, k=1))
+    rows: List[Tuple[int, str]] = []
+    satisfied = 0
+    for i, j in zip(ii, jj):
+        lo = r.target[i, j] - r.negdev[i, j]
+        hi = r.target[i, j] + r.posdev[i, j]
+        pd_ = d[i, j]
+        flag = 1
+        dev = pd_ - hi
+        if pd_ < hi + cfg.dist_relax:
+            satisfied += 1
+            flag = 0
+            dev = 0.0
+        if pd_ < lo - cfg.dist_relax:
+            satisfied -= 1
+            flag = 1
+            dev = -(lo - pd_)
+        spec = (
+            f"assign45  resid {i + 1:3d} and name ca   resid {j + 1:3d} and "
+            f"name ca  {r.target[i, j]:.2f} {r.negdev[i, j]:.2f} {r.posdev[i, j]:.2f}"
+        )
+        rows.append((flag, f"{flag:3d}\t{dev:.2f}\t{pd_:.2f} # {spec}"))
+    rows.sort(key=lambda t: -t[0])
+    with open(path, "w") as f:
+        f.write(f"#NOE violation check; {pdb_name} against {tbl_name}\n")
+        f.write("#violation-flag, deviation, actual-measurement, Input-NOE-restraint\n")
+        for _, row in rows:
+            f.write(row + "\n")
+    return satisfied, len(rows)
+
+
+def append_model_info(
+    path: str | os.PathLike, pdb_path: str, remarks: Dict[str, float]
+) -> None:
+    """model_info.log: backed-up REMARK rows per model (ref filter_nonCA
+    :864-880 writes the source path then its REMARK rows)."""
+    with open(path, "a") as f:
+        f.write(str(pdb_path))
+        for term, value in remarks.items():
+            f.write(f"REMARK {term} = {value:.4f}\n")
+        f.write("\n")

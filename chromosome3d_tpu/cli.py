@@ -1,0 +1,118 @@
+"""Command-line interface.
+
+Mirrors the reference CLI (chromosome3D.pl:28-34, usage :2530-2557):
+
+  chromosome3d -i <IF matrix> -o <outdir> [-k K] [-a ALPHA] [-m MODELCOUNT]
+
+plus a `genome` subcommand replacing test.sh's 46 background processes with
+one mesh-sharded launch, and a `spearman` subcommand replacing
+spearman_IF_pdb.pl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-k", "--kscaling", type=float, default=11.0,
+                   help="distance scaling K (default 11)")
+    p.add_argument("-a", "--alpha", type=float, default=0.5,
+                   help="IF exponent alpha (default 0.5; published models used 1.1)")
+    p.add_argument("-m", "--model-count", type=int, default=20,
+                   help="models to build (default 20; top 5 kept by NOE energy)")
+    p.add_argument("--fast", action="store_true",
+                   help="reduced annealing schedule for smoke runs")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the Pallas fused energy kernel (TPU)")
+
+
+def _make_config(args) -> "PipelineConfig":
+    from chromosome3d_tpu.config import (
+        AnnealConfig,
+        PipelineConfig,
+        RestraintConfig,
+        fast_anneal,
+    )
+
+    anneal = AnnealConfig(use_pallas=args.pallas)
+    if args.fast:
+        anneal = fast_anneal(anneal)
+    return PipelineConfig(
+        model_count=args.model_count,
+        restraints=RestraintConfig(kscaling=args.kscaling, alpha=args.alpha),
+        anneal=anneal,
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="chromosome3d",
+        description="TPU-native 3D chromosome reconstruction from Hi-C IF matrices",
+    )
+    sub = parser.add_subparsers(dest="command")
+
+    run = sub.add_parser("run", help="reconstruct one chromosome (the reference's main CLI)")
+    run.add_argument("-i", "--input", required=True, help="IF matrix file")
+    run.add_argument("-o", "--output", required=True, help="output directory")
+    _add_common(run)
+
+    gen = sub.add_parser("genome", help="whole-genome single-launch run (replaces test.sh)")
+    gen.add_argument("-i", "--input-dir", required=True, help="directory of chr*_matrix.txt")
+    gen.add_argument("-o", "--output-dir", required=True)
+    _add_common(gen)
+
+    sp = sub.add_parser("spearman", help="score models vs an IF matrix (replaces spearman_IF_pdb.pl)")
+    sp.add_argument("matrix", help="IF matrix file")
+    sp.add_argument("pdb", help="PDB file or directory of PDBs")
+    sp.add_argument("range", nargs="?", type=int, default=3,
+                    help="|i-j| short-range cutoff (default 3)")
+
+    args = parser.parse_args(argv)
+    if args.command is None:
+        parser.print_help()
+        return 2
+
+    if args.command == "run":
+        from chromosome3d_tpu.pipeline import run_pipeline
+
+        summary = run_pipeline(args.input, args.output, _make_config(args))
+        print(json.dumps(summary))
+        return 0
+
+    if args.command == "genome":
+        from chromosome3d_tpu.parallel.genome import run_genome
+
+        summaries = run_genome(args.input_dir, args.output_dir, _make_config(args))
+        print(json.dumps(summaries, indent=1))
+        return 0
+
+    if args.command == "spearman":
+        import os
+
+        from chromosome3d_tpu.io.matrix import load_if_matrix
+        from chromosome3d_tpu.io.pdb import load_pdb_dir, read_ca_pdb
+        from chromosome3d_tpu.metrics import spearman_if_model
+
+        matrix = load_if_matrix(args.matrix)
+        paths = [args.pdb] if os.path.isfile(args.pdb) else load_pdb_dir(args.pdb)
+        scores = {}
+        for path in paths:
+            coords = read_ca_pdb(path)
+            if args.range >= len(coords):
+                print("Spearman Correlation coefficient = -")
+                return 0
+            scores[path] = spearman_if_model(matrix, coords, args.range)
+        print("SRCC\tPDB")
+        for path in sorted(scores, key=lambda p: -scores[p]):
+            print(f"{scores[path]:.3f}\t{path}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""Typed configuration for the whole pipeline.
+
+The reference scatters its knobs across Getopt flags (chromosome3D.pl:28-34),
+hard-coded Perl globals (chromosome3D.pl:64-74), and ~150 `{===>}` constants baked
+into the generated CNS scripts (chromosome3D.pl:882-2528). Here every knob lives
+in one of three frozen dataclasses so a run is fully described by
+(RestraintConfig, AnnealConfig, PipelineConfig).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RestraintConfig:
+    """IF-matrix -> distance-restraint conversion knobs.
+
+    Mirrors the reference semantics exactly:
+      d_ij = K * mean(IF^alpha) / IF_ij^alpha   (chromosome3D.pl:110-162)
+    restraint kept iff j > i, |i-j| >= separation, IF_ij > 0
+    (chromosome3D.pl:181-206).
+    """
+
+    kscaling: float = 11.0        # -k flag; chromosome3D.pl:18
+    alpha: float = 0.5            # -a flag; chromosome3D.pl:19 (published models use 1.1)
+    separation: int = 5           # $SEPARATION / $min_sep; chromosome3D.pl:20,65
+    # carr2tbl zero-lower-bound special case (chromosome3D.pl:355-359):
+    zero_lo_distance: float = 3.6
+    zero_lo_negdev: float = 0.1
+    # solver-side per-restraint weighting (see ops.energy.dense_restraints_from_numpy)
+    weighting: str = "relative"
+    weight_exponent: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class AnnealConfig:
+    """The full solver protocol, lifted from the CNS dgsa.inp template
+    (chromosome3D.pl:882-1846) and re-expressed for a gradient-based
+    Langevin annealer. Defaults keep the *shape* of the CNS schedule
+    (hot randomization -> 80-cycle cool with vdw/radius/temperature ramps ->
+    long final minimization); step counts are retuned for a first-order
+    optimizer instead of CNS's Cartesian MD + LBFGS.
+    """
+
+    # ---- energy model (ref: CNS N5, chromosome3D.pl:1092-1135) ----
+    noe_weight: float = 10.0       # $con_wt; chromosome3D.pl:66
+    noe_rswitch: float = 1.0       # soft-square switch (CNS NOE asymptote):
+    #                                violations beyond this grow linearly
+    bond_weight: float = 10.0      # chain-bond term replacing protein topology (N1)
+    bond_length: float = 3.8       # CA-CA virtual bond of the fake protein chain
+    vdw_radius: float = 3.6        # soft-sphere bead diameter (matches the 3.6 A
+    #                                lower-bound the reference assigns to zero-lo
+    #                                restraints, chromosome3D.pl:356)
+    vdw_weight_final: float = 4.0  # cool-phase endpoint (ref :1740-1782 ramp to 4.0)
+    vdw_weight_start: float = 0.003  # cool-phase start (ref vdw scale 0.003)
+    repel_start: float = 1.0       # repel-radius scale ramp (ref $rep1 :69)
+    repel_end: float = 0.85        # ref $rep2 :67
+
+    # ---- initialization (replaces CNS mmdg embedding, ref :1471-1525) ----
+    init: str = "mds"              # "mds" (classical MDS on smoothed bounds) | "random" | "spiral"
+    mds_unknown_fill: str = "shortest_path"  # bounds smoothing for unrestrained pairs
+    init_noise: float = 2.0        # per-restart jitter added to the shared embed (A)
+
+    # ---- hot phase (ref :1644-1709: T=2000, 1000 MD steps, dt=.003) ----
+    hot_steps: int = 300
+    hot_temperature: float = 2000.0
+    hot_lr: float = 0.05
+
+    # ---- slow-cool phase (ref :1728-1782: 80 cycles x 12 steps, dt=.005) ----
+    cool_cycles: int = 80
+    cool_steps_per_cycle: int = 12
+    cool_temperature_step: float = 25.0   # bath -25 K per cycle (ref :1779)
+    cool_lr: float = 0.02
+
+    # ---- final minimization (ref :1800-1803: 10 x 15000 LBFGS steps) ----
+    final_steps: int = 1500
+    final_lr: float = 0.5          # Adam lr (A); decays by cosine to ~0
+
+    # ---- Langevin noise scaling ----
+    # sigma = noise_scale * sqrt(T / hot_temperature); noise is isotropic per bead.
+    noise_scale: float = 0.6
+
+    # ---- protocol toggles ----
+    enantiomer: bool = True        # run mirror-image pair per restart, keep lower
+    #                                energy (ref enantiomer trial :1605-1727)
+    gradient_clip: float = 10.0    # per-bead gradient-norm clip (stability)
+    use_pallas: bool = False       # use the Pallas fused energy kernel on TPU
+
+    @property
+    def cool_steps(self) -> int:
+        return self.cool_cycles * self.cool_steps_per_cycle
+
+    @property
+    def total_steps(self) -> int:
+        return self.hot_steps + self.cool_steps + self.final_steps
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Per-job orchestration knobs (ref: CLI flags + assessment constants)."""
+
+    model_count: int = 20          # -m flag, models built; chromosome3D.pl:21
+    top_k: int = 5                 # models kept after NOE-energy ranking (:822-828)
+    dist_relax: float = 0.5        # $DISTRELAX satisfaction window (:74)
+    sum_dev_margin: float = 0.2    # sum_noe_dev threshold (:592-597)
+    spearman_range: int = 3        # |i-j| cutoff of spearman_IF_pdb.pl (:22)
+    seed: int = 82364              # CNS's fixed RNG seed (chromosome3D.pl:980)
+    dtype: str = "float32"
+    restraints: RestraintConfig = dataclasses.field(default_factory=RestraintConfig)
+    anneal: AnnealConfig = dataclasses.field(default_factory=AnnealConfig)
+    # genome runs: pad each chromosome to the smallest bucket >= L
+    length_buckets: tuple = (64, 128, 256, 512, 768)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def fast_anneal(cfg: Optional[AnnealConfig] = None, scale: float = 0.25) -> AnnealConfig:
+    """A reduced-budget schedule for tests / smoke runs."""
+    base = cfg or AnnealConfig()
+    return dataclasses.replace(
+        base,
+        hot_steps=max(8, int(base.hot_steps * scale)),
+        cool_cycles=max(8, int(base.cool_cycles * scale)),
+        cool_steps_per_cycle=max(2, int(base.cool_steps_per_cycle * scale)),
+        final_steps=max(16, int(base.final_steps * scale)),
+    )

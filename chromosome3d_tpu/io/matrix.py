@@ -1,0 +1,76 @@
+"""Hi-C interaction-frequency matrix I/O.
+
+The reference's loader (`calc_len_IF` + the read loop of `IF2dist_new`,
+chromosome3D.pl:110-179) tolerates CRLF line endings, leading whitespace and
+trailing separators, and infers L from the field count of the first row.
+This module reproduces those semantics on top of NumPy, with an optional
+C++ fast path (chromosome3d_tpu.native) for large matrices.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def matrix_length(path: str | os.PathLike) -> int:
+    """L = number of whitespace-separated fields of the first row
+    (ref: calc_len_IF, chromosome3D.pl:164-179)."""
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if len(line) < 2:
+                raise ValueError(f"{path}: malformed first row")
+            return len(line.split())
+    raise ValueError(f"{path}: empty matrix file")
+
+
+def load_if_matrix(path: str | os.PathLike, dtype=np.float64) -> np.ndarray:
+    """Load an L x L dense IF matrix.
+
+    Handles the reference input quirks: CRLF endings, leading/trailing
+    whitespace, rows as whitespace-separated floats. Returns shape (L, L).
+    """
+    try:
+        from chromosome3d_tpu.native import parse_matrix as _native_parse
+    except Exception:  # native lib not built — pure-python fallback
+        _native_parse = None
+
+    if _native_parse is not None:
+        mat = _native_parse(os.fspath(path))
+        if mat is not None:
+            return np.asarray(mat, dtype=dtype)
+
+    rows = []
+    width: Optional[int] = None
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            fields = line.split()
+            if width is None:
+                width = len(fields)
+            if len(fields) != width:
+                raise ValueError(
+                    f"{path}: ragged row {len(rows)}: {len(fields)} fields, expected {width}"
+                )
+            rows.append(fields)
+    if not rows:
+        raise ValueError(f"{path}: empty matrix file")
+    mat = np.asarray(rows, dtype=dtype)
+    if mat.shape[0] != mat.shape[1]:
+        raise ValueError(f"{path}: matrix is {mat.shape}, expected square")
+    return mat
+
+
+def write_dist_matrix(path: str | os.PathLike, dist: np.ndarray) -> None:
+    """Write the `$ID.dist` artifact: L x L of '%.1f ' cells, one row per line,
+    -1 sentinel already applied by the caller (ref: chromosome3D.pl:156-161)."""
+    dist = np.asarray(dist)
+    with open(path, "w") as f:
+        for row in dist:
+            f.write("".join(f"{v:.1f} " for v in row))
+            f.write("\n")

@@ -1,0 +1,194 @@
+"""Model-quality metrics: Spearman rank correlation, Kabsch RMSD,
+and the two scoring protocols of the reference:
+
+  * spearman_if_model — C17, spearman_IF_pdb.pl:15-76: Spearman between IF
+    values and model CA-CA distances over all ordered pairs with
+    |i-j| >= range (default 3). Strongly negative = good model. The
+    BASELINE "Spearman(IF, 1/d)" is the sign-flipped equivalent.
+
+  * cross_resolution_similarity — the out-of-repo computation behind
+    output_models/similarity.txt: Spearman + RMSD between a 2x-reduced
+    500kb model and the matching 1mb model.
+
+All core math is jnp (jit/vmap-able); thin wrappers accept numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rank_average_ties(v: jnp.ndarray) -> jnp.ndarray:
+    """1-based ranks with ties assigned the average rank (the convention of
+    Statistics::RankCorrelation used by spearman_IF_pdb.pl:65-70)."""
+    v = jnp.asarray(v)
+    s = jnp.sort(v)
+    left = jnp.searchsorted(s, v, side="left")
+    right = jnp.searchsorted(s, v, side="right")
+    return (left + right + 1).astype(jnp.float32) / 2.0
+
+
+def pearson(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = jnp.sqrt((a * a).sum() * (b * b).sum())
+    return jnp.where(denom > 0, (a * b).sum() / denom, 0.0)
+
+
+def spearman(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Spearman rank correlation with average-tie ranks."""
+    return pearson(rank_average_ties(a), rank_average_ties(b))
+
+
+def masked_spearman(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Spearman over the elements where mask is True, computed with static
+    shapes (jit-safe): masked-out entries are pushed to the end of the sort
+    order and excluded from rank statistics.
+
+    Works by ranking within the masked subset: entries get rank by sorting
+    with +inf fill, and the Pearson step weights by the mask.
+    """
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, dtype=jnp.float32)
+    n = mask.sum().astype(jnp.float32)
+
+    def masked_ranks(v):
+        v = jnp.where(mask, v.astype(jnp.float32), big)
+        s = jnp.sort(v)
+        left = jnp.searchsorted(s, v, side="left")
+        right = jnp.searchsorted(s, v, side="right")
+        r = (left + right + 1).astype(jnp.float32) / 2.0
+        return jnp.where(mask, r, 0.0)
+
+    ra, rb = masked_ranks(a), masked_ranks(b)
+    ma = ra.sum() / n
+    mb = rb.sum() / n
+    da = jnp.where(mask, ra - ma, 0.0)
+    db = jnp.where(mask, rb - mb, 0.0)
+    denom = jnp.sqrt((da * da).sum() * (db * db).sum())
+    return jnp.where(denom > 0, (da * db).sum() / denom, 0.0)
+
+
+def pairwise_distances(coords: jnp.ndarray) -> jnp.ndarray:
+    """(L, 3) -> (L, L) Euclidean distance matrix."""
+    diff = coords[:, None, :] - coords[None, :, :]
+    return jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 0.0))
+
+
+def spearman_if_model(
+    if_matrix: np.ndarray, coords: np.ndarray, rng: int = 3
+) -> float:
+    """The spearman_IF_pdb.pl statistic: Spearman(IF_ij, d_ij) over all
+    ordered pairs with |i-j| >= rng (spearman_IF_pdb.pl:42-70).
+    Negative values are good (high IF <-> short distance)."""
+    if_matrix = jnp.asarray(if_matrix, dtype=jnp.float32)
+    coords = jnp.asarray(coords, dtype=jnp.float32)
+    L = coords.shape[0]
+    if rng >= L:
+        raise ValueError("range >= model length (ref prints '-' and exits)")
+    idx = jnp.arange(L)
+    mask = jnp.abs(idx[:, None] - idx[None, :]) >= rng
+    d = pairwise_distances(coords)
+    # the reference quantizes model distances to %.3f before ranking (:46)
+    d = jnp.round(d * 1000.0) / 1000.0
+    return float(masked_spearman(if_matrix[:L, :L].ravel(), d.ravel(), mask.ravel()))
+
+
+def spearman_if_inv_d(if_matrix: np.ndarray, coords: np.ndarray, rng: int = 3) -> float:
+    """BASELINE.json's headline quality metric: Spearman(IF, 1/d). Equals
+    -spearman_if_model because 1/d reverses the rank order of d."""
+    return -spearman_if_model(if_matrix, coords, rng)
+
+
+# ---------------------------------------------------------------------------
+# Superposition / RMSD
+# ---------------------------------------------------------------------------
+
+def kabsch_rmsd(
+    a: np.ndarray,
+    b: np.ndarray,
+    allow_mirror: bool = True,
+    allow_scale: bool = False,
+) -> float:
+    """RMSD of a onto b after optimal superposition.
+
+    allow_mirror: chromosome reconstructions have arbitrary chirality (the
+    distance-only energy is mirror-symmetric), so cross-model comparison
+    must try both hands.
+    allow_scale: optional uniform scaling (Procrustes), for cross-resolution
+    comparison where the IF normalization differs between resolutions.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+
+    def one(a):
+        ac = a - a.mean(0)
+        bc = b - b.mean(0)
+        h = ac.T @ bc
+        u, s, vt = np.linalg.svd(h)
+        d = np.sign(np.linalg.det(u @ vt))
+        corr = np.diag([1.0, 1.0, d])
+        r = u @ corr @ vt
+        if allow_scale:
+            num = (s * np.diag(corr)).sum()
+            den = (ac * ac).sum()
+            scale = num / den if den > 0 else 1.0
+        else:
+            scale = 1.0
+        diff = scale * (ac @ r) - bc
+        return float(np.sqrt((diff * diff).sum() / n))
+
+    r1 = one(a)
+    if not allow_mirror:
+        return r1
+    return min(r1, one(a * np.array([-1.0, 1.0, 1.0])))
+
+
+def drmsd(a: np.ndarray, b: np.ndarray, fit_scale: bool = True) -> float:
+    """Distance-matrix RMSD: sqrt(mean((s*d_a - d_b)^2)) over unordered
+    pairs, with optional least-squares scale s. Superposition-free and
+    mirror-invariant (chirality cannot be distinguished from distances)."""
+    a, b = np.asarray(a), np.asarray(b)
+    n = min(len(a), len(b))
+    da = np.linalg.norm(a[:n, None] - a[None, :n], axis=-1)
+    db = np.linalg.norm(b[:n, None] - b[None, :n], axis=-1)
+    iu = np.triu_indices(n, k=1)
+    da, db = da[iu], db[iu]
+    s = (da * db).sum() / max((da * da).sum(), 1e-30) if fit_scale else 1.0
+    return float(np.sqrt(((s * da - db) ** 2).mean()))
+
+
+def cross_resolution_similarity(
+    hi_res: np.ndarray, lo_res: np.ndarray, factor: int = 2
+) -> Tuple[float, float]:
+    """The similarity.txt protocol (output_models/similarity.txt), reverse-
+    engineered and verified on the shipped models: reduce the high-res model
+    by bead-pair averaging (io.pdb.reduce_model), then report
+      * Spearman between the two models' pairwise-distance sets, and
+      * scale-optimal dRMSD.
+    Verified: chr12 -> (0.9425, 2.638) vs published (0.9413, 2.642);
+    chr13 -> 1.618 vs 1.619; chr21 -> 4.801 vs 4.817.
+    Returns (spearman, rmsd)."""
+    from chromosome3d_tpu.io.pdb import reduce_model
+
+    red = reduce_model(np.asarray(hi_res), factor)
+    lo = np.asarray(lo_res)
+    n = min(len(red), len(lo))
+    red, lo = red[:n], lo[:n]
+    d1 = np.asarray(pairwise_distances(jnp.asarray(red)))
+    d2 = np.asarray(pairwise_distances(jnp.asarray(lo)))
+    iu = np.triu_indices(n, k=1)
+    rho = float(spearman(jnp.asarray(d1[iu]), jnp.asarray(d2[iu])))
+    return rho, drmsd(red, lo, fit_scale=True)
+
+
+def clash_count(coords: np.ndarray, threshold: float) -> int:
+    """Number of bead pairs closer than threshold (ref clash_count :693-714)."""
+    d = np.asarray(pairwise_distances(jnp.asarray(coords, dtype=jnp.float32)))
+    iu = np.triu_indices(len(coords), k=1)
+    return int((d[iu] <= threshold).sum())

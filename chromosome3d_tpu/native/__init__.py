@@ -1,0 +1,71 @@
+"""Native (C++) runtime components.
+
+The reference's single native dependency is the external CNS Fortran suite
+(the solver — reimplemented on TPU in ops/ + solver/). The remaining
+host-side hot paths — parsing large whitespace IF matrices and PDB emission —
+get a C++ fast path here, loaded via ctypes with a pure-Python fallback.
+
+Build: `make -C chromosome3d_tpu/native` (or `python -m chromosome3d_tpu.native.build`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(__file__)
+    for name in ("libc3d_native.so",):
+        path = os.path.join(here, name)
+        if os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+                lib.c3d_parse_matrix.restype = ctypes.c_longlong
+                lib.c3d_parse_matrix.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.c_longlong,
+                ]
+                lib.c3d_matrix_size.restype = ctypes.c_longlong
+                lib.c3d_matrix_size.argtypes = [ctypes.c_char_p]
+                _LIB = lib
+            except OSError:
+                _LIB = None
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_matrix(path: str) -> Optional[np.ndarray]:
+    """Parse a whitespace-float matrix file; None if the native lib is absent
+    or declines (caller falls back to Python)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.c3d_matrix_size(path.encode())
+    if n <= 0:
+        return None
+    buf = np.empty(n, dtype=np.float64)
+    got = lib.c3d_parse_matrix(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n
+    )
+    if got != n:
+        return None
+    side = int(round(n ** 0.5))
+    if side * side != n:
+        return None
+    return buf.reshape(side, side)

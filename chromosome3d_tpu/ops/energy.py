@@ -1,0 +1,226 @@
+"""The distance-geometry energy model, dense jnp reference implementation.
+
+TPU-native re-design of the CNS energy engine as configured by the reference
+(SURVEY.md N1/N5; chromosome3D.pl:1092-1135, 1395-1426):
+
+  * NOE restraint term  — soft-square flat-bottom well on every restrained
+    pair: viol = relu(d - hi) + relu(lo - d), E = w_noe * viol^2, where
+    [lo, hi] = [target - negdev, target + posdev]. The reference's restraints
+    are exact (negdev = posdev = 0, chromosome3D.pl:352-354), so the well is a
+    pure harmonic on |d - target|. "cent" averaging (:1133) degenerates to the
+    plain pair distance for single-atom (CA) groups.
+
+  * chain bond term     — harmonic |x_{i+1} - x_i| ~ bond_length, replacing
+    the protein topology (N1) that held consecutive CA beads near 3.8 A.
+
+  * vdw repel term      — CNS REPEl soft sphere (:1395-1404): overlap
+    penalty E = w_vdw * relu(repel_scale * radius - d)^2 on nonbonded pairs
+    (|i - j| >= 2). The anneal schedule ramps w_vdw 0.003 -> 4.0 and
+    repel_scale 1.0 -> 0.85 exactly as the slow-cool does (:1740-1782).
+
+Everything is a function of pairwise distances only, so the energy is
+rotation/translation/mirror invariant (tested property). The O(L^2) work is
+dense masked VPU math; padding beads are masked via `bead_mask`, which lets
+one compiled program serve a whole length bucket (genome runs).
+
+A Pallas fused energy+grad kernel with identical semantics lives in
+ops/pallas_energy.py; this file is the semantic reference it is tested
+against.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DenseRestraints(NamedTuple):
+    """Dense restraint tensors on device. lo/hi are the well bounds;
+    mask is 1.0 where a restraint exists (symmetric, zero diagonal);
+    weight is a per-restraint multiplier folded into the NOE term."""
+
+    lo: jnp.ndarray      # (L, L) float32
+    hi: jnp.ndarray      # (L, L) float32
+    mask: jnp.ndarray    # (L, L) float32
+    weight: jnp.ndarray  # (L, L) float32
+
+
+class EnergyWeights(NamedTuple):
+    """Per-step energy weights (the anneal schedule mutates these)."""
+
+    noe: jnp.ndarray         # scalar
+    bond: jnp.ndarray        # scalar
+    bond_length: jnp.ndarray # scalar
+    vdw: jnp.ndarray         # scalar
+    vdw_radius: jnp.ndarray  # scalar: repel_scale * bead radius (effective)
+    # soft-square switch (CNS NOE potential asymptote): violations beyond
+    # rswitch grow linearly (slope 2*rswitch, C1-continuous) instead of
+    # quadratically, so the unsatisfiable far restraints produced by tiny IF
+    # values (targets of hundreds of A) exert bounded force. Set to a large
+    # value for a pure harmonic well.
+    noe_rswitch: jnp.ndarray = jnp.float32(1e9)
+
+
+def dense_restraints_from_numpy(
+    r, weighting: str = "relative", weight_exponent: float = 2.0
+) -> DenseRestraints:
+    """chromosome3d_tpu.restraints.Restraints -> device tensors.
+
+    weighting:
+      "relative" — per-restraint weight 1/target^p (p = weight_exponent,
+        default 2), normalized to mean 1 over the restraint set. This is
+        stress-majorization weighting: a given *fractional* violation costs
+        the same at any target distance, which makes the solver preserve the
+        IF matrix's rank ordering (the Spearman objective). Absolute
+        weighting lets the enormous low-IF targets (hundreds to thousands of
+        A, SURVEY.md section 2.3) blow the structure apart; measured on
+        chr21/chr13/chr20 it loses ~0.1 Spearman. p = 2.0 was the max of a
+        p-grid sweep across chromosomes at both resolutions.
+        The mean-1 normalization keeps the NOE scale comparable to the
+        bond/vdw terms and keeps weights out of the subnormal range (which
+        costs >50x on some hosts).
+      "absolute" — weight 1 (the raw CNS NOE convention).
+    """
+    target = np.asarray(r.target, dtype=np.float64)
+    mask_np = np.asarray(r.mask)
+    mask = jnp.asarray(mask_np, dtype=jnp.float32)
+    if weighting == "relative":
+        w = np.where(mask_np, 1.0 / np.maximum(target, 1.0) ** weight_exponent, 0.0)
+        denom = w[mask_np].mean() if mask_np.any() else 1.0
+        weight = jnp.asarray(w / max(denom, 1e-30), dtype=jnp.float32)
+    elif weighting == "absolute":
+        weight = mask
+    else:
+        raise ValueError(f"unknown weighting {weighting!r}")
+    return DenseRestraints(
+        lo=jnp.asarray(target - np.asarray(r.negdev), dtype=jnp.float32),
+        hi=jnp.asarray(target + np.asarray(r.posdev), dtype=jnp.float32),
+        mask=mask,
+        weight=weight,
+    )
+
+
+_EPS = 1e-12
+
+
+def _pair_distances(coords: jnp.ndarray) -> jnp.ndarray:
+    """(L, 3) -> (L, L) distances, grad-safe at d ~ 0 off-diagonal.
+
+    Computed by direct differencing (3 * L^2 VPU flops). A Gram-matrix
+    formulation (X @ X.T) would put this on the MXU but with K = 3 the
+    systolic array is >97% idle, and differencing is numerically better.
+    """
+    diff = coords[:, None, :] - coords[None, :, :]
+    d2 = (diff * diff).sum(-1)
+    return jnp.sqrt(d2 + _EPS)
+
+
+def energy_terms(
+    coords: jnp.ndarray,
+    restraints: DenseRestraints,
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """All energy terms for one structure. coords: (L, 3) float32.
+
+    bead_mask: (L,) float32, 1.0 for real beads, 0.0 for padding. None means
+    all beads are real.
+    """
+    L = coords.shape[0]
+    if bead_mask is None:
+        bead_mask = jnp.ones((L,), dtype=coords.dtype)
+    pair_valid = bead_mask[:, None] * bead_mask[None, :]
+
+    d = _pair_distances(coords)
+
+    # --- NOE restraints (each unordered pair counted once: mask is
+    #     symmetric, so sum over the full matrix and halve) ---
+    viol = jnp.maximum(d - restraints.hi, 0.0) + jnp.maximum(restraints.lo - d, 0.0)
+    noe_mask = restraints.mask * pair_valid
+    s = weights.noe_rswitch
+    well = jnp.where(viol <= s, viol * viol, s * s + 2.0 * s * (viol - s))
+    e_noe = 0.5 * weights.noe * (noe_mask * restraints.weight * well).sum()
+
+    # --- chain bonds ---
+    bond_vec = coords[1:] - coords[:-1]
+    bond_d = jnp.sqrt((bond_vec * bond_vec).sum(-1) + _EPS)
+    bond_valid = bead_mask[1:] * bead_mask[:-1]
+    bdev = bond_d - weights.bond_length
+    e_bond = weights.bond * (bond_valid * bdev * bdev).sum()
+
+    # --- vdw soft-sphere repel on nonbonded pairs (|i-j| >= 2) ---
+    idx = jnp.arange(L)
+    nonbonded = (jnp.abs(idx[:, None] - idx[None, :]) >= 2).astype(coords.dtype)
+    overlap = jnp.maximum(weights.vdw_radius - d, 0.0)
+    e_vdw = 0.5 * weights.vdw * (nonbonded * pair_valid * overlap * overlap).sum()
+
+    total = e_noe + e_bond + e_vdw
+    return {"noe": e_noe, "bon": e_bond, "vdw": e_vdw, "overall": total}
+
+
+def energy(
+    coords: jnp.ndarray,
+    restraints: DenseRestraints,
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    return energy_terms(coords, restraints, weights, bead_mask)["overall"]
+
+
+energy_value_and_grad = jax.value_and_grad(energy)
+
+
+def violation_stats(
+    coords: jnp.ndarray,
+    restraints: DenseRestraints,
+    dist_relax: float = 0.5,
+    sum_dev_margin: float = 0.2,
+    bead_mask: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assessment statistics matching the reference exactly:
+
+    satisfied — count_satisfied_tbl_rows (chromosome3D.pl:447-485): a
+      restraint counts +1 if d < hi + relax, and then -1 again if
+      d < lo - relax (i.e. too-short restraints cancel their own credit).
+    total     — number of restraints.
+    sum_dev   — sum_noe_dev (:581-600): sum of |deviation| outside
+      [lo - margin, hi + margin].
+    """
+    L = coords.shape[0]
+    if bead_mask is None:
+        bead_mask = jnp.ones((L,), dtype=coords.dtype)
+    pair_valid = bead_mask[:, None] * bead_mask[None, :]
+    m = restraints.mask * pair_valid
+    # count each unordered restraint once
+    ut = jnp.triu(jnp.ones((L, L), dtype=coords.dtype), k=1)
+    m = m * ut
+
+    d = _pair_distances(coords)
+    under_hi = (d < restraints.hi + dist_relax).astype(coords.dtype)
+    under_lo = (d < restraints.lo - dist_relax).astype(coords.dtype)
+    satisfied = (m * (under_hi - under_lo)).sum()
+    total = m.sum()
+
+    over = jnp.maximum(d - (restraints.hi + sum_dev_margin), 0.0)
+    over_dev = jnp.where(over > 0, d - restraints.hi, 0.0)
+    under = jnp.maximum((restraints.lo - sum_dev_margin) - d, 0.0)
+    under_dev = jnp.where(under > 0, restraints.lo - d, 0.0)
+    sum_dev = (m * (over_dev + under_dev)).sum()
+    return satisfied, total, sum_dev
+
+
+def weights_from_config(cfg, vdw_weight: float | jnp.ndarray | None = None,
+                        repel_scale: float | jnp.ndarray = 1.0) -> EnergyWeights:
+    """Build EnergyWeights from an AnnealConfig with optional schedule overrides."""
+    vdw = cfg.vdw_weight_final if vdw_weight is None else vdw_weight
+    return EnergyWeights(
+        noe=jnp.float32(cfg.noe_weight),
+        bond=jnp.float32(cfg.bond_weight),
+        bond_length=jnp.float32(cfg.bond_length),
+        vdw=jnp.asarray(vdw, dtype=jnp.float32),
+        vdw_radius=jnp.asarray(repel_scale, dtype=jnp.float32) * cfg.vdw_radius,
+        noe_rswitch=jnp.float32(cfg.noe_rswitch),
+    )

@@ -1,0 +1,189 @@
+"""End-to-end per-chromosome pipeline (the L4 layer).
+
+TPU-native rebuild of chromosome3D.pl's main flow (:28-108):
+
+  workspace setup -> IF2dist -> dist2rr -> carr2tbl        (L3, text artifacts)
+  -> solve_ensemble (replaces build_extended + build_models + CNS, L2/L1)
+  -> assess + rank + PDB emission                          (L0)
+
+Artifact set matches the reference: `$ID.dist`, `$ID.rr`, `contact.tbl`,
+`contact_violation.txt`, `model_info.log`, `${ID}_model1..5.pdb` (NOE-energy
+ranked), plus `${ID}_rankNN.pdb` (Spearman-ranked, the published naming) and
+a `spearman.txt` table. Failure protocol keeps the reference's sentinel-file
+convention: `iam.running` while solving, renamed `iam.failed` on error
+(chromosome3D.pl:261-284).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from chromosome3d_tpu.assess import (
+    append_model_info,
+    assess_ensemble,
+    rank_by_energy,
+    rank_by_spearman,
+    write_violation_report,
+)
+from chromosome3d_tpu.config import PipelineConfig
+from chromosome3d_tpu.io.matrix import load_if_matrix, write_dist_matrix
+from chromosome3d_tpu.io.pdb import write_ca_pdb
+from chromosome3d_tpu.metrics import clash_count
+from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+from chromosome3d_tpu.restraints import (
+    build_restraints,
+    dist_to_restraints,
+    if_to_dist,
+    write_contact_tbl,
+    write_rr,
+)
+from chromosome3d_tpu.solver.anneal import solve_ensemble
+from chromosome3d_tpu.utils.logging import banner, get_logger
+
+log = get_logger(__name__)
+
+
+def run_pipeline(
+    file_if: str,
+    dir_out: str,
+    cfg: Optional[PipelineConfig] = None,
+    wipe: bool = True,
+) -> Dict:
+    """Run one chromosome end to end. Returns a result summary dict.
+
+    Mirrors `chromosome3D.pl -i file_if -o dir_out` semantics, including the
+    outdir wipe (:56) and the stdout progress banners (:48-53, 100-107).
+    """
+    cfg = cfg or PipelineConfig()
+    t_start = time.time()
+    if not os.path.isfile(file_if):
+        raise FileNotFoundError(f"Input IF file {file_if} does not exist!")
+    os.makedirs(dir_out, exist_ok=True)
+    if wipe:
+        for name in os.listdir(dir_out):
+            p = os.path.join(dir_out, name)
+            if os.path.isfile(p):
+                os.remove(p)
+    ident = os.path.basename(file_if)
+    ident = ident[:-4] if ident.endswith(".txt") else ident
+    local_if = os.path.join(dir_out, f"{ident}.txt")
+    if os.path.abspath(file_if) != os.path.abspath(local_if):
+        shutil.copy(file_if, local_if)
+
+    rc = cfg.restraints
+    banner(log, f"Input      : {file_if}")
+    banner(log, f"Output Dir : {dir_out}")
+    banner(log, f"Scaling(K) : {rc.kscaling}")
+    banner(log, f"Alpha      : {rc.alpha}")
+    banner(
+        log,
+        f"Conversion : D = {rc.kscaling} * mean(IF^{rc.alpha}) / IF^{rc.alpha}",
+    )
+
+    # ---- L3: restraint generation + text artifacts ----
+    if_matrix = load_if_matrix(local_if)
+    L = if_matrix.shape[0]
+    banner(log, f"L          : {L}")
+    dist = if_to_dist(if_matrix, rc)
+    write_dist_matrix(os.path.join(dir_out, f"{ident}.dist"), dist)
+    write_rr(os.path.join(dir_out, f"{ident}.rr"), dist, rc)
+    n_tbl = write_contact_tbl(
+        os.path.join(dir_out, "contact.tbl"),
+        os.path.join(dir_out, f"{ident}.rr"),
+        rc,
+    )
+    banner(log, f"Restraints : {n_tbl} lines in tbl file")
+    restraints = dist_to_restraints(dist, rc)
+    assert restraints.count == n_tbl, (
+        f"restraint-count mismatch: tensors {restraints.count} vs tbl {n_tbl}"
+    )
+    dense = dense_restraints_from_numpy(restraints, rc.weighting, rc.weight_exponent)
+
+    # ---- L2/L1: solve (sentinel-file failure protocol, ref :261-284) ----
+    running = os.path.join(dir_out, "iam.running")
+    with open(running, "w") as f:
+        f.write("solving\n")
+    try:
+        banner(log, f"(B) Build {cfg.model_count} models with the TPU annealer..")
+        key = jax.random.PRNGKey(cfg.seed)
+        result = solve_ensemble(dense, cfg.anneal, key, cfg.model_count)
+        coords = np.asarray(result.coords)
+        energies = {k: np.asarray(v) for k, v in result.energies.items()}
+    except Exception:
+        os.replace(running, os.path.join(dir_out, "iam.failed"))
+        raise
+    os.remove(running)
+
+    # ---- L0: assess, rank, emit ----
+    banner(log, "(C) Assess models..")
+    stats = assess_ensemble(coords, dense, cfg)
+    sp_order, sp_scores = rank_by_spearman(if_matrix, coords, cfg.spearman_range)
+    e_order = rank_by_energy(energies["noe"], cfg.top_k)
+
+    info_log = os.path.join(dir_out, "model_info.log")
+    banner(log, f"NOE_SATISFIED(+-{cfg.dist_relax}A)  SUM_OF_DEVIATIONS>=0.2  MODEL")
+    for i in range(cfg.model_count):
+        banner(
+            log,
+            f"{stats['satisfied'][i]}/{stats['total'][i]}"
+            f"              {stats['sum_dev'][i]:.2f}"
+            f"              model{i} (noe={energies['noe'][i]:.2f},"
+            f" spearman={sp_scores[i]:.4f})",
+        )
+
+    # NOE-energy top-k -> ${ID}_model1..5.pdb (ref :822-828)
+    for rank, idx in enumerate(e_order, start=1):
+        path = os.path.join(dir_out, f"{ident}_model{rank}.pdb")
+        remarks = {k: float(energies[k][idx]) for k in ("overall", "vdw", "bon", "noe")}
+        write_ca_pdb(path, coords[idx], remarks=remarks)
+        append_model_info(info_log, path, remarks)
+
+    # Spearman-ranked full set -> ${ID}_rankNN.pdb (the published naming,
+    # e.g. output_models/chr21_1mb_rank07_a11.pdb)
+    atag = f"a{rc.alpha}".replace(".", "")
+    for rank, idx in enumerate(sp_order, start=1):
+        path = os.path.join(dir_out, f"{ident}_rank{rank:02d}_{atag}.pdb")
+        remarks = {k: float(energies[k][idx]) for k in ("overall", "vdw", "bon", "noe")}
+        remarks["spearman_if_inv_d"] = float(sp_scores[idx])
+        write_ca_pdb(path, coords[idx], remarks=remarks)
+
+    with open(os.path.join(dir_out, "spearman.txt"), "w") as f:
+        f.write("SRCC\tPDB\n")
+        for rank, idx in enumerate(sp_order, start=1):
+            f.write(f"{sp_scores[idx]:.3f}\t{ident}_rank{rank:02d}_{atag}.pdb\n")
+
+    # violation report for the best-energy model (ref writes one per model
+    # during assessment; the best model's report is the one consumers read)
+    best = int(e_order[0])
+    satisfied, total = write_violation_report(
+        os.path.join(dir_out, "contact_violation.txt"),
+        coords[best],
+        restraints,
+        cfg,
+        pdb_name=f"{ident}_model1.pdb",
+    )
+
+    summary = {
+        "id": ident,
+        "L": int(L),
+        "restraints": int(n_tbl),
+        "models": int(cfg.model_count),
+        "best_noe_energy": float(energies["noe"][best]),
+        "best_spearman_if_inv_d": float(sp_scores[sp_order[0]]),
+        "satisfied": int(satisfied),
+        "total": int(total),
+        "clashes_under_3A": clash_count(coords[best], 3.0),
+        "wall_seconds": time.time() - t_start,
+    }
+    with open(os.path.join(dir_out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    banner(log, f"Finished in {summary['wall_seconds']:.1f}s "
+                f"best Spearman(IF,1/d)={summary['best_spearman_if_inv_d']:.4f}")
+    return summary

@@ -1,0 +1,233 @@
+"""The annealing solver: jit lax.scan over the full DGSA-shaped schedule.
+
+TPU-native replacement for the CNS dgsa.inp protocol (SURVEY.md section 3.2;
+chromosome3D.pl:882-1846). CNS runs, per model: mmdg embed -> enantiomer
+trial -> hot Cartesian MD (T=2000, weight ramps) -> 80-cycle slow cool
+(vdw x1.094/cycle 0.003 -> 4.0, repel radius 1.0 -> 0.85, bath -25 K/cycle)
+-> 10 x 15000-step LBFGS minimization.
+
+Here the whole protocol is ONE compiled lax.scan of noisy-Adam (Langevin)
+steps driven by a precomputed per-step schedule table: temperature becomes
+coordinate-noise sigma, the MD integrator becomes Adam (whose per-coordinate
+step magnitude is bounded by lr, playing the role of dt), and the final
+minimization is the same scan with zero noise and cosine-decayed lr. The
+multi-model loop (20 models, chromosome3D.pl:1492,1574) becomes vmap over
+PRNG keys; the enantiomer trial mirrors the shared embedding for half the
+restarts and keeps the lower-energy member of each pair.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from chromosome3d_tpu.config import AnnealConfig
+from chromosome3d_tpu.ops.energy import (
+    DenseRestraints,
+    EnergyWeights,
+    energy,
+    energy_terms,
+)
+from chromosome3d_tpu.solver.init import mds_init, random_init, spiral_init
+
+
+class Schedule(NamedTuple):
+    """Per-step hyperparameters, stacked as (T,) arrays and scanned over."""
+
+    lr: jnp.ndarray
+    sigma: jnp.ndarray        # Langevin noise stddev (A)
+    vdw_weight: jnp.ndarray
+    repel_scale: jnp.ndarray
+
+
+class AnnealResult(NamedTuple):
+    coords: jnp.ndarray                 # (n, L, 3)
+    energies: Dict[str, jnp.ndarray]    # each (n,), final canonical weights
+    history: jnp.ndarray                # (n, T) total energy per step
+
+
+def build_schedule(cfg: AnnealConfig) -> Schedule:
+    """Materialize the hot -> cool -> final-min schedule as static arrays.
+
+    Shapes mirror the CNS protocol:
+      hot   (ref :1644-1709): T = hot_temperature, vdw tiny, repel 1.0
+      cool  (ref :1740-1782): geometric vdw ramp vdw_start -> vdw_final
+            (the x1.094/cycle of CNS), linear repel 1.0 -> 0.85, bath
+            -temperature_step per cycle
+      final (ref :1800-1803): zero temperature, full vdw, cosine-decayed lr
+    """
+    hot_T = np.full(cfg.hot_steps, cfg.hot_temperature)
+    hot_lr = np.full(cfg.hot_steps, cfg.hot_lr)
+    hot_vdw = np.full(cfg.hot_steps, cfg.vdw_weight_start)
+    hot_rep = np.full(cfg.hot_steps, cfg.repel_start)
+
+    cycles = np.arange(cfg.cool_cycles)
+    frac = cycles / max(cfg.cool_cycles - 1, 1)
+    cyc_T = np.maximum(
+        cfg.hot_temperature - (cycles + 1) * cfg.cool_temperature_step, 0.0
+    )
+    cyc_vdw = cfg.vdw_weight_start * (
+        (cfg.vdw_weight_final / cfg.vdw_weight_start) ** frac
+    )
+    cyc_rep = cfg.repel_start + (cfg.repel_end - cfg.repel_start) * frac
+    reps = cfg.cool_steps_per_cycle
+    cool_T = np.repeat(cyc_T, reps)
+    cool_vdw = np.repeat(cyc_vdw, reps)
+    cool_rep = np.repeat(cyc_rep, reps)
+    cool_lr = np.full(cfg.cool_steps, cfg.cool_lr)
+
+    fsteps = np.arange(cfg.final_steps)
+    final_lr = cfg.final_lr * 0.5 * (
+        1.0 + np.cos(np.pi * fsteps / max(cfg.final_steps - 1, 1))
+    )
+    final_T = np.zeros(cfg.final_steps)
+    final_vdw = np.full(cfg.final_steps, cfg.vdw_weight_final)
+    final_rep = np.full(cfg.final_steps, cfg.repel_end)
+
+    temp = np.concatenate([hot_T, cool_T, final_T])
+    sigma = cfg.noise_scale * np.sqrt(temp / cfg.hot_temperature)
+    return Schedule(
+        lr=jnp.asarray(np.concatenate([hot_lr, cool_lr, final_lr]), jnp.float32),
+        sigma=jnp.asarray(sigma, jnp.float32),
+        vdw_weight=jnp.asarray(np.concatenate([hot_vdw, cool_vdw, final_vdw]), jnp.float32),
+        repel_scale=jnp.asarray(np.concatenate([hot_rep, cool_rep, final_rep]), jnp.float32),
+    )
+
+
+def _final_weights(cfg: AnnealConfig) -> EnergyWeights:
+    """Canonical end-of-protocol weights used for ranking energies, matching
+    what CNS reports in the REMARK block after final minimization."""
+    return EnergyWeights(
+        noe=jnp.float32(cfg.noe_weight),
+        bond=jnp.float32(cfg.bond_weight),
+        bond_length=jnp.float32(cfg.bond_length),
+        vdw=jnp.float32(cfg.vdw_weight_final),
+        vdw_radius=jnp.float32(cfg.repel_end * cfg.vdw_radius),
+        noe_rswitch=jnp.float32(cfg.noe_rswitch),
+    )
+
+
+def _energy_fn(cfg: AnnealConfig):
+    if cfg.use_pallas:
+        from chromosome3d_tpu.ops.pallas_energy import pallas_energy
+
+        def efn(x, restraints, weights, bead_mask):
+            return pallas_energy(x, restraints, weights, bead_mask)
+
+        return efn
+    return energy
+
+
+def solve_single(
+    restraints: DenseRestraints,
+    cfg: AnnealConfig,
+    key: jax.Array,
+    x0: jnp.ndarray,
+    bead_mask: Optional[jnp.ndarray] = None,
+):
+    """Anneal one structure from x0 (+ per-restart jitter). Returns
+    (final coords (L, 3), per-step total-energy history (T,))."""
+    L = x0.shape[0]
+    if bead_mask is None:
+        bead_mask = jnp.ones((L,), dtype=jnp.float32)
+    sched = build_schedule(cfg)
+    efn = _energy_fn(cfg)
+    grad_fn = jax.value_and_grad(efn)
+
+    key, jkey = jax.random.split(key)
+    x = x0 + cfg.init_noise * jax.random.normal(jkey, x0.shape) * bead_mask[:, None]
+
+    opt = optax.scale_by_adam()
+    opt_state = opt.init(x)
+
+    base = _final_weights(cfg)
+
+    def step(carry, srow):
+        x, opt_state, key = carry
+        lr, sigma, vdw_w, repel = srow
+        weights = EnergyWeights(
+            noe=base.noe,
+            bond=base.bond,
+            bond_length=base.bond_length,
+            vdw=vdw_w,
+            vdw_radius=repel * cfg.vdw_radius,
+        )
+        e, g = grad_fn(x, restraints, weights, bead_mask)
+        updates, opt_state = opt.update(g, opt_state)
+        key, nkey = jax.random.split(key)
+        noise = sigma * jax.random.normal(nkey, x.shape)
+        x = x + (-lr * updates + noise) * bead_mask[:, None]
+        return (x, opt_state, key), e
+
+    srows = jnp.stack([sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1)
+    (x, _, _), history = jax.lax.scan(step, (x, opt_state, key), srows)
+    return x, history
+
+
+def solve_ensemble_impl(
+    restraints: DenseRestraints,
+    cfg: AnnealConfig,
+    key: jax.Array,
+    n_models: int,
+    bead_mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+) -> AnnealResult:
+    """Build n_models structures: vmap over restarts (+ enantiomer pairs).
+
+    Replaces the reference's `loop dgsa` over 20 models
+    (chromosome3D.pl:1574-1829) with one compiled program.
+    """
+    L = restraints.lo.shape[0]
+    if bead_mask is None:
+        bead_mask = jnp.ones((L,), dtype=jnp.float32)
+
+    if x0 is None:
+        if cfg.init == "mds":
+            x0 = mds_init(restraints, bond_length=cfg.bond_length)
+        elif cfg.init == "spiral":
+            x0 = spiral_init(L, bond_length=cfg.bond_length)
+        else:
+            key, ikey = jax.random.split(key)
+            x0 = random_init(ikey, L)
+    x0 = x0 * bead_mask[:, None]
+
+    n_eff = n_models * 2 if cfg.enantiomer else n_models
+    keys = jax.random.split(key, n_eff)
+    if cfg.enantiomer:
+        # pairs (direct, mirrored): flip the x axis of the shared embedding
+        signs = jnp.tile(jnp.asarray([1.0, -1.0], dtype=jnp.float32), n_models)
+    else:
+        signs = jnp.ones((n_eff,), dtype=jnp.float32)
+
+    def run(k, sign):
+        init = jnp.concatenate([x0[:, :1] * sign, x0[:, 1:]], axis=1)
+        return solve_single(restraints, cfg, k, init, bead_mask)
+
+    coords, history = jax.vmap(run)(keys, signs)  # (n_eff, L, 3), (n_eff, T)
+
+    base = _final_weights(cfg)
+    terms = jax.vmap(lambda c: energy_terms(c, restraints, base, bead_mask))(coords)
+
+    if cfg.enantiomer:
+        overall = terms["overall"].reshape(n_models, 2)
+        pick = jnp.argmin(overall, axis=1)                      # (n,)
+        sel = jnp.arange(n_models) * 2 + pick
+        coords = coords[sel]
+        history = history[sel]
+        terms = {k: v[sel] for k, v in terms.items()}
+
+    # centroid to origin (ref :1805-1816), padding excluded
+    nvalid = bead_mask.sum()
+    centroid = (coords * bead_mask[None, :, None]).sum(axis=1, keepdims=True) / nvalid
+    coords = (coords - centroid) * bead_mask[None, :, None]
+
+    return AnnealResult(coords=coords, energies=terms, history=history)
+
+
+solve_ensemble = jax.jit(solve_ensemble_impl, static_argnames=("cfg", "n_models"))
+

@@ -1,0 +1,108 @@
+"""Starting-coordinate generation.
+
+TPU-native replacement for CNS's mmdg distance-geometry embedding
+(SURVEY.md N2; chromosome3D.pl:1009-1090, 1471-1525). CNS's mmdg is
+metric-matrix distance geometry: smooth the restraint bounds with
+shortest paths, then embed via the metric (Gram) matrix eigendecomposition.
+That is exactly classical multidimensional scaling, which maps perfectly to
+TPU: the bounds smoothing is a min-plus matrix power (blocked VPU min/add),
+and the embedding is one (L, L) eigh — all inside jit.
+
+The reference's `extn.inp` extended-chain builder (chromosome3D.pl:2356-2528,
+randomized coords + stereochemistry-repair loops) collapses to `random_init`
+/ `spiral_init`: chromosome beads have no protein stereochemistry to repair.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chromosome3d_tpu.ops.energy import DenseRestraints
+
+_BIG = 1e6
+
+
+def _minplus_square(a: jnp.ndarray, chunk: int = 64) -> jnp.ndarray:
+    """One min-plus squaring: out[i,j] = min_k a[i,k] + a[k,j].
+
+    Blocked over k so peak memory is L*chunk*L instead of L^3. With
+    ceil(log2(L)) squarings this computes all-pairs shortest paths.
+    """
+    L = a.shape[0]
+    nchunks = -(-L // chunk)
+    pad = nchunks * chunk - L
+    ap = jnp.pad(a, ((0, pad), (0, pad)), constant_values=_BIG)
+    Lp = ap.shape[0]
+
+    def body(best, kstart):
+        cols = jax.lax.dynamic_slice(ap, (0, kstart), (Lp, chunk))      # (L, c)
+        rows = jax.lax.dynamic_slice(ap, (kstart, 0), (chunk, Lp))      # (c, L)
+        cand = (cols[:, :, None] + rows[None, :, :]).min(axis=1)         # (L, L)
+        return jnp.minimum(best, cand), None
+
+    starts = jnp.arange(nchunks) * chunk
+    out, _ = jax.lax.scan(body, ap, starts)
+    return out[:L, :L]
+
+
+def smooth_bounds(
+    restraints: DenseRestraints,
+    bond_length: float,
+    n_iters: int | None = None,
+) -> jnp.ndarray:
+    """Shortest-path bounds smoothing (the `auto` bound-smoothing of mmdg,
+    chromosome3D.pl:1480). Edge weights: restraint target distance where a
+    restraint exists, bond_length between consecutive beads, +inf otherwise.
+    Returns the (L, L) smoothed upper-bound distance matrix."""
+    L = restraints.lo.shape[0]
+    target = 0.5 * (restraints.lo + restraints.hi)
+    w = jnp.where(restraints.mask > 0, target, _BIG)
+    idx = jnp.arange(L)
+    adjacent = jnp.abs(idx[:, None] - idx[None, :]) == 1
+    w = jnp.where(adjacent, jnp.minimum(w, bond_length), w)
+    w = jnp.where(idx[:, None] == idx[None, :], 0.0, w)
+    if n_iters is None:
+        n_iters = max(1, int(np.ceil(np.log2(max(L, 2)))))
+    for _ in range(n_iters):
+        w = _minplus_square(w)
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("bond_length",))
+def mds_init(restraints: DenseRestraints, bond_length: float = 3.8) -> jnp.ndarray:
+    """Classical MDS embedding of the smoothed bounds matrix -> (L, 3).
+
+    B = -1/2 J D^2 J; coordinates are the top-3 eigenvectors scaled by
+    sqrt(eigenvalue). Chirality is arbitrary (as with mmdg substructure
+    embedding), which is why the annealer keeps the enantiomer trial.
+    """
+    d = smooth_bounds(restraints, bond_length)
+    L = d.shape[0]
+    d2 = d * d
+    j = jnp.eye(L) - 1.0 / L
+    b = -0.5 * (j @ d2 @ j)
+    vals, vecs = jnp.linalg.eigh(b)          # ascending
+    top_vals = jnp.maximum(vals[-3:], 0.0)   # (3,)
+    top_vecs = vecs[:, -3:]                  # (L, 3)
+    return (top_vecs * jnp.sqrt(top_vals)[None, :]).astype(jnp.float32)
+
+
+def random_init(key: jax.Array, L: int, scale: float = 30.0) -> jnp.ndarray:
+    """Uniform random cloud (the extn.inp `y,z = random(...)` spirit,
+    chromosome3D.pl:2413-2416, minus the protein-repair machinery)."""
+    return scale * jax.random.uniform(key, (L, 3), minval=-1.0, maxval=1.0)
+
+
+def spiral_init(L: int, bond_length: float = 3.8, turns_per_bead: float = 0.2) -> jnp.ndarray:
+    """Deterministic helix: a self-avoiding chain with correct bond lengths."""
+    t = jnp.arange(L, dtype=jnp.float32)
+    theta = 2.0 * jnp.pi * turns_per_bead * t
+    radius = bond_length / (2.0 * jnp.sin(jnp.pi * turns_per_bead) + 1e-6) * 0.9
+    pitch = bond_length * 0.4
+    return jnp.stack(
+        [radius * jnp.cos(theta), radius * jnp.sin(theta), pitch * t], axis=-1
+    )

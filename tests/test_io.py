@@ -1,0 +1,97 @@
+"""Matrix and PDB I/O tests, including round-trips against shipped reference
+artifacts (input/*.txt, output_models/*.pdb)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from chromosome3d_tpu.io.matrix import load_if_matrix, matrix_length, write_dist_matrix
+from chromosome3d_tpu.io.pdb import (
+    read_ca_pdb,
+    read_pdb_remarks,
+    reduce_model,
+    write_ca_pdb,
+)
+
+REF = "/root/reference"
+
+
+def test_load_crlf_and_leading_space(tmp_path):
+    p = tmp_path / "m.txt"
+    p.write_bytes(b" 1.0 2.0 \r\n3.5 4.0 \r\n")
+    assert matrix_length(p) == 2
+    m = load_if_matrix(p)
+    np.testing.assert_allclose(m, [[1.0, 2.0], [3.5, 4.0]])
+
+
+def test_load_shipped_matrix():
+    path = os.path.join(REF, "input", "chr22_1mb_matrix.txt")
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    m = load_if_matrix(path)
+    assert m.shape == (35, 35)
+    assert matrix_length(path) == 35
+    # near-symmetric with a dominant diagonal (SURVEY.md 2.3)
+    assert np.abs(m - m.T).max() / m.max() < 0.2
+    assert (np.diag(m) > np.median(m)).all()
+
+
+def test_dist_matrix_format(tmp_path):
+    d = np.array([[0.0, 1.25], [-1.0, 3.14159]])
+    p = tmp_path / "x.dist"
+    write_dist_matrix(p, d)
+    lines = p.read_text().splitlines()
+    assert lines[0] == "0.0 1.2 " or lines[0] == "0.0 1.2"
+    assert lines[1].startswith("-1.0 3.1")
+
+
+def test_pdb_round_trip(tmp_path):
+    coords = np.random.RandomState(0).randn(12, 3) * 10
+    p = tmp_path / "m.pdb"
+    write_ca_pdb(p, coords, remarks={"noe": 12.5, "overall": 99.0})
+    back = read_ca_pdb(p)
+    np.testing.assert_allclose(back, coords, atol=5e-4)
+    rem = read_pdb_remarks(p)
+    assert rem["noe"] == pytest.approx(12.5)
+    text = p.read_text()
+    assert "CONECT    1    2" in text and text.strip().endswith("END")
+
+
+def test_read_reference_model():
+    path = os.path.join(REF, "output_models", "chr21_1mb_rank07_a11.pdb")
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    coords = read_ca_pdb(path)
+    assert coords.shape == (37, 3)
+    # consecutive bead spacing is protein-like (~4-5 A)
+    steps = np.linalg.norm(np.diff(coords, axis=0), axis=1)
+    assert 3.0 < steps.mean() < 6.0
+
+
+def test_read_reduced_model():
+    path = os.path.join(
+        REF, "output_models", "chr21_500kb_rank04_a11_reduced.pdb"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    full = read_ca_pdb(
+        os.path.join(REF, "output_models", "chr21_500kb_rank04_a11.pdb")
+    )
+    red = read_ca_pdb(path)
+    assert len(red) == (len(full) + 1) // 2
+
+
+def test_reduce_model_matches_reference_convention():
+    path = os.path.join(REF, "output_models", "chr12_500kb_rank02_a11.pdb")
+    red_path = os.path.join(
+        REF, "output_models", "chr12_500kb_rank02_a11_reduced.pdb"
+    )
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    full = read_ca_pdb(path)
+    red_ref = read_ca_pdb(red_path)
+    red_ours = reduce_model(full, 2)
+    assert len(red_ours) == len(red_ref)
+    # the shipped reduced files average consecutive bead pairs
+    np.testing.assert_allclose(red_ours, red_ref, atol=0.01)

@@ -1,0 +1,127 @@
+"""Solver tests: MDS init quality, annealer end-to-end on shipped inputs
+(beating the published models' Spearman), determinism, enantomer handling."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from chromosome3d_tpu.config import AnnealConfig, RestraintConfig, fast_anneal
+from chromosome3d_tpu.metrics import spearman_if_inv_d
+from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+from chromosome3d_tpu.restraints import build_restraints
+from chromosome3d_tpu.solver.anneal import build_schedule, solve_ensemble
+from chromosome3d_tpu.solver.init import mds_init, random_init, smooth_bounds, spiral_init
+
+REF = "/root/reference"
+
+
+def test_schedule_shape_and_ramps():
+    cfg = AnnealConfig()
+    s = build_schedule(cfg)
+    T = cfg.total_steps
+    assert s.lr.shape == (T,) and s.sigma.shape == (T,)
+    # hot phase: full noise; final phase: zero noise
+    assert float(s.sigma[0]) == pytest.approx(cfg.noise_scale, rel=1e-5)
+    assert float(s.sigma[-1]) == 0.0
+    # vdw ramps up to the final weight; repel shrinks to 0.85
+    cool_end = cfg.hot_steps + cfg.cool_steps - 1
+    assert float(s.vdw_weight[cool_end]) == pytest.approx(cfg.vdw_weight_final, rel=1e-3)
+    assert float(s.repel_scale[cool_end]) == pytest.approx(cfg.repel_end, rel=1e-5)
+    assert float(s.lr[-1]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_smooth_bounds_shortest_path(tiny_matrix):
+    r = build_restraints(tiny_matrix, RestraintConfig())
+    dense = dense_restraints_from_numpy(r)
+    w = np.asarray(smooth_bounds(dense, bond_length=3.8))
+    L = w.shape[0]
+    # symmetric, zero diagonal, triangle inequality holds
+    np.testing.assert_allclose(w, w.T, atol=1e-3)
+    np.testing.assert_allclose(np.diag(w), 0.0, atol=1e-6)
+    # chain bound: no pair farther than |i-j| * bond_length
+    idx = np.arange(L)
+    chain = np.abs(idx[:, None] - idx[None, :]) * 3.8
+    assert (w <= chain + 1e-3).all()
+
+
+def test_mds_init_embeds_exact_distances():
+    """A chain with all-pairs exact Euclidean restraints embeds exactly."""
+    rng = np.random.RandomState(0)
+    pts = rng.randn(12, 3) * 5
+    d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    from chromosome3d_tpu.ops.energy import DenseRestraints
+    import jax.numpy as jnp
+
+    mask = 1.0 - np.eye(12)
+    dense = DenseRestraints(
+        lo=jnp.asarray(d, jnp.float32),
+        hi=jnp.asarray(d, jnp.float32),
+        mask=jnp.asarray(mask, jnp.float32),
+        weight=jnp.asarray(mask, jnp.float32),
+    )
+    x = np.asarray(mds_init(dense, bond_length=100.0))  # bond bound inactive
+    got = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    np.testing.assert_allclose(got, d, atol=0.05)
+
+
+def test_inits_shapes():
+    key = jax.random.PRNGKey(0)
+    assert random_init(key, 20).shape == (20, 3)
+    sp = spiral_init(20)
+    assert sp.shape == (20, 3)
+    steps = np.linalg.norm(np.diff(np.asarray(sp), axis=0), axis=1)
+    np.testing.assert_allclose(steps, steps[0], rtol=1e-4)  # uniform spacing
+
+
+def test_solver_deterministic(tiny_matrix):
+    r = build_restraints(tiny_matrix, RestraintConfig())
+    dense = dense_restraints_from_numpy(r)
+    cfg = fast_anneal(AnnealConfig())
+    a = solve_ensemble(dense, cfg, jax.random.PRNGKey(5), 2)
+    b = solve_ensemble(dense, cfg, jax.random.PRNGKey(5), 2)
+    np.testing.assert_allclose(np.asarray(a.coords), np.asarray(b.coords))
+    c = solve_ensemble(dense, cfg, jax.random.PRNGKey(6), 2)
+    assert np.abs(np.asarray(a.coords) - np.asarray(c.coords)).max() > 1e-3
+
+
+def test_solver_centers_models(tiny_matrix):
+    r = build_restraints(tiny_matrix, RestraintConfig())
+    dense = dense_restraints_from_numpy(r)
+    cfg = fast_anneal(AnnealConfig())
+    res = solve_ensemble(dense, cfg, jax.random.PRNGKey(0), 2)
+    centroids = np.asarray(res.coords).mean(axis=1)
+    np.testing.assert_allclose(centroids, 0.0, atol=1e-3)
+
+
+def test_energy_decreases_over_anneal(tiny_matrix):
+    r = build_restraints(tiny_matrix, RestraintConfig())
+    dense = dense_restraints_from_numpy(r)
+    cfg = fast_anneal(AnnealConfig())
+    res = solve_ensemble(dense, cfg, jax.random.PRNGKey(0), 1)
+    h = np.asarray(res.history[0])
+    assert h[-1] < h[0]
+    # final-min phase ends lower than the hot phase's end
+    assert h[-1] <= h[cfg.hot_steps] * 1.01
+
+
+@pytest.mark.slow
+def test_beats_reference_chr21_1mb(chr21_1mb_matrix):
+    """End-to-end quality: our best model must beat the published
+    chr21_1mb model's Spearman(IF, 1/d) (BASELINE.md north star)."""
+    from chromosome3d_tpu.io.pdb import read_ca_pdb
+
+    path = os.path.join(REF, "output_models", "chr21_1mb_rank07_a11.pdb")
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    ref_score = spearman_if_inv_d(chr21_1mb_matrix, read_ca_pdb(path))
+
+    r = build_restraints(chr21_1mb_matrix, RestraintConfig(alpha=1.1))
+    dense = dense_restraints_from_numpy(r)
+    res = solve_ensemble(dense, AnnealConfig(), jax.random.PRNGKey(82364), 4)
+    ours = max(
+        spearman_if_inv_d(chr21_1mb_matrix, c) for c in np.asarray(res.coords)
+    )
+    assert ours > ref_score, f"ours {ours:.4f} <= reference {ref_score:.4f}"
+    assert ours > 0.9
