@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Headline benchmark (BASELINE.json config 4): chr1_500kb (L=456), 10
+restarts (20 annealed structures with enantiomer pairs), full DGSA-shaped
+schedule, on whatever accelerator jax.devices() provides.
+
+Prints ONE JSON line:
+  metric      anneal steps/sec on the chr1-500kb x10 ensemble (one "step" =
+              one scheduled Langevin/Adam update of all 20 structures)
+  vs_baseline our best model's Spearman(IF, 1/d) divided by the published
+              reference model's (output_models/chr1_500kb_rank03_a11.pdb) —
+              >= 1.0 means reconstruction quality beats the reference.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REF = "/root/reference"
+
+
+def main() -> int:
+    import jax
+
+    from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+    from chromosome3d_tpu.io.pdb import read_ca_pdb
+    from chromosome3d_tpu.metrics import spearman_if_inv_d
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.restraints import build_restraints
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+
+    platform = jax.devices()[0].platform
+    use_pallas = platform == "tpu"
+
+    matrix = load_if_matrix(os.path.join(REF, "input", "chr1_500kb_matrix.txt"))
+    rc = RestraintConfig(alpha=1.1)
+    dense = dense_restraints_from_numpy(
+        build_restraints(matrix, rc), rc.weighting, rc.weight_exponent
+    )
+    cfg = AnnealConfig(use_pallas=use_pallas)
+    n_models = 10
+
+    def run(seed):
+        res = solve_ensemble(dense, cfg, jax.random.PRNGKey(seed), n_models)
+        jax.block_until_ready(res.coords)
+        return res
+
+    run(0)  # compile
+    t0 = time.time()
+    result = run(82364)
+    wall = time.time() - t0
+
+    n_structs = n_models * (2 if cfg.enantiomer else 1)
+    steps_per_sec = cfg.total_steps / wall
+
+    ours = max(spearman_if_inv_d(matrix, c) for c in np.asarray(result.coords))
+    ref_model = read_ca_pdb(
+        os.path.join(REF, "output_models", "chr1_500kb_rank03_a11.pdb")
+    )
+    ref_score = spearman_if_inv_d(matrix, ref_model)
+
+    print(
+        json.dumps(
+            {
+                "metric": "anneal_steps_per_sec_chr1_500kb_x10",
+                "value": round(steps_per_sec, 2),
+                "unit": "ensemble_steps/s",
+                "vs_baseline": round(ours / ref_score, 4),
+                "extra": {
+                    "platform": platform,
+                    "pallas": use_pallas,
+                    "wall_seconds": round(wall, 3),
+                    "schedule_steps": cfg.total_steps,
+                    "structures": n_structs,
+                    "structure_steps_per_sec": round(steps_per_sec * n_structs, 1),
+                    "best_spearman_if_inv_d": round(float(ours), 4),
+                    "reference_spearman_if_inv_d": round(float(ref_score), 4),
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,231 @@
+"""Pallas fused energy + gradient kernel for the N x N inner loop.
+
+This is the TPU-native replacement for CNS's nonbonded/NOE energy engine
+(SURVEY.md N5) — the hot op executed every annealing step. Semantics are
+identical to ops.energy (the jnp reference it is tested against); the win is
+one fused VMEM pass per row-tile that produces BOTH the energy partial sums
+and the coordinate gradient, so the optimizer never materializes the (L, L)
+distance matrix (or its adjoint) in HBM.
+
+Math (per row tile of TM beads against all L beads):
+
+    d^2 = |x_i|^2 + |x_j|^2 - 2 x_i . x_j        <- (TM,3)@(3,L) on the MXU
+    e_noe = 1/2 sum w_ij * well(viol_ij)          <- VPU, full lanes
+    e_vdw = 1/2 sum nb_ij * overlap_ij^2
+    dE/dx_i = x_i * rowsum(c) - c @ X             <- (TM,L)@(L,3) on the MXU
+      where c_ij = (dE/dd_ij) / d_ij  (the pair force coefficient; each
+      unordered pair appears in two row tiles, giving each endpoint its
+      gradient, which is why the energy carries the 1/2 and c does not)
+
+The chain-bond term is O(L) and stays in jnp (XLA fuses it around the call).
+
+The public entry is `pallas_energy`, a custom_vjp function: forward runs the
+kernel once, saves the gradient it already computed, and the backward pass is
+a single scale — zero extra FLOPs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from chromosome3d_tpu.ops.energy import DenseRestraints, EnergyWeights
+
+_EPS = 1e-12
+TILE_M = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, rswitch, L_real (unused pad..)
+    x_ref,        # (L, 3) coords
+    xt_ref,       # (3, L) coords transposed (lane-aligned row views)
+    lo_ref,       # (TM, L) tile
+    hi_ref,       # (TM, L) tile
+    w_ref,        # (TM, L) tile: mask-folded restraint weights
+    bmrow_ref,    # (1, L) bead mask row
+    bmcol_ref,    # (TM, 1) bead mask column tile
+    e_ref,        # out (TM, 1): per-row energy partials of this tile
+    g_ref,        # out (TM, 3): gradient rows of this tile
+):
+    i = pl.program_id(0)
+    TM = g_ref.shape[0]
+
+    noe_w = params_ref[0]
+    vdw_w = params_ref[1]
+    vdw_radius = params_ref[2]
+    rswitch = params_ref[3]
+
+    x = x_ref[:]                                   # (L, 3)
+    a = x_ref[pl.ds(i * TM, TM), :]                # (TM, 3)
+
+    # pairwise distances by direct differencing ((TM,1)-(1,L) per coordinate,
+    # full-lane VPU work). Differencing rather than the Gram identity keeps
+    # f32 cancellation error out of the well-boundary branch decisions and
+    # matches ops.energy bit-for-bit.
+    d2 = jnp.zeros((TM, xt_ref.shape[1]), jnp.float32)
+    for c in range(3):
+        diff = a[:, c:c + 1] - xt_ref[c:c + 1, :]
+        d2 = d2 + diff * diff
+    d = jnp.sqrt(d2 + _EPS)
+
+    pair_valid = bmcol_ref[:] * bmrow_ref[:]       # (TM, L)
+
+    # --- NOE soft-square well ---
+    lo = lo_ref[:]
+    hi = hi_ref[:]
+    w = w_ref[:] * pair_valid
+    over = jnp.maximum(d - hi, 0.0)
+    under = jnp.maximum(lo - d, 0.0)
+    viol = over + under
+    quad = viol <= rswitch
+    well = jnp.where(quad, viol * viol, rswitch * rswitch + 2.0 * rswitch * (viol - rswitch))
+    e_noe = 0.5 * noe_w * jnp.sum(w * well, axis=1, keepdims=True)   # (TM, 1)
+    # dwell/dviol, signed by which wall is active
+    dwell = jnp.where(quad, 2.0 * viol, 2.0 * rswitch)
+    sgn = jnp.where(over > 0.0, 1.0, jnp.where(under > 0.0, -1.0, 0.0))
+    c_noe = noe_w * w * dwell * sgn                # dE/dd (full-row convention)
+
+    # --- vdw soft sphere on |i-j| >= 2 ---
+    Lp = xt_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 0) + i * TM
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 1)
+    nonbonded = (jnp.abs(rows - cols) >= 2).astype(jnp.float32) * pair_valid
+    overlap = jnp.maximum(vdw_radius - d, 0.0)
+    e_vdw = 0.5 * vdw_w * jnp.sum(nonbonded * overlap * overlap, axis=1, keepdims=True)
+    c_vdw = -2.0 * vdw_w * nonbonded * overlap
+
+    # --- gradient: dE/dx_i = x_i * rowsum(c) - c @ X ---
+    c = (c_noe + c_vdw) / d                        # (TM, L)
+    crow = jnp.sum(c, axis=1, keepdims=True)       # (TM, 1)
+    cx = jax.lax.dot_general(
+        c, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (TM, 3)
+    g_ref[:] = a * crow - cx
+    e_ref[:, :] = e_noe + e_vdw
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pairwise_energy_grad(
+    coords: jnp.ndarray,
+    restraints: DenseRestraints,
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Run the fused kernel. Returns (pair_energy_scalar, pair_grad (L, 3)).
+
+    Pads L up to a TILE_M multiple; padded beads carry zero mask/weight so
+    they contribute nothing (the same masking contract as ops.energy).
+    """
+    L = coords.shape[0]
+    Lp = _round_up(max(L, 8), TILE_M)
+    padn = Lp - L
+
+    def pad2(m):
+        return jnp.pad(m, ((0, padn), (0, padn)))
+
+    x = jnp.pad(coords.astype(jnp.float32), ((0, padn), (0, 0)))
+    lo = pad2(restraints.lo)
+    hi = pad2(restraints.hi)
+    w = pad2(restraints.mask * restraints.weight)
+    bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
+    xt = x.T                                       # (3, Lp)
+
+    params = jnp.stack(
+        [
+            weights.noe.astype(jnp.float32),
+            weights.vdw.astype(jnp.float32),
+            weights.vdw_radius.astype(jnp.float32),
+            weights.noe_rswitch.astype(jnp.float32),
+            jnp.float32(L),
+            jnp.float32(0),
+            jnp.float32(0),
+            jnp.float32(0),
+        ]
+    )
+
+    grid = Lp // TILE_M
+    e_parts, grad = pl.pallas_call(
+        _kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                      # params
+            pl.BlockSpec((Lp, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_M, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Lp, 3), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * Lp) * Lp + 2 * 3 * Lp * Lp * 2,
+            bytes_accessed=int(4 * Lp) * Lp * 3,
+            transcendentals=Lp * Lp,
+        ),
+        interpret=interpret,
+    )(params, x, xt, lo, hi, w, bm[None, :], bm[:, None])
+    return jnp.sum(e_parts), grad[:L]
+
+
+def _bond_energy(coords, weights, bead_mask):
+    bond_vec = coords[1:] - coords[:-1]
+    bond_d = jnp.sqrt(jnp.sum(bond_vec * bond_vec, axis=-1) + _EPS)
+    bond_valid = bead_mask[1:] * bead_mask[:-1]
+    bdev = bond_d - weights.bond_length
+    return weights.bond * jnp.sum(bond_valid * bdev * bdev)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def pallas_energy(
+    coords: jnp.ndarray,
+    restraints: DenseRestraints,
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Total energy (NOE + vdw fused kernel, + jnp bond term). Same contract
+    as ops.energy.energy; differentiable in coords only (the annealer's
+    variables) — restraint/weight cotangents are structural zeros."""
+    e_pair, _ = _pairwise_energy_grad(coords, restraints, weights, bead_mask, interpret)
+    return e_pair + _bond_energy(coords, weights, bead_mask)
+
+
+def _fwd(coords, restraints, weights, bead_mask, interpret=False):
+    e_pair, g_pair = _pairwise_energy_grad(
+        coords, restraints, weights, bead_mask, interpret
+    )
+    e_bond = _bond_energy(coords, weights, bead_mask)
+    g_bond = jax.grad(_bond_energy)(coords, weights, bead_mask)
+    residuals = (g_pair + g_bond, restraints, weights, bead_mask)
+    return e_pair + e_bond, residuals
+
+
+def _bwd(interpret, residuals, ct):
+    g, restraints, weights, bead_mask = residuals
+    zero_r = jax.tree.map(jnp.zeros_like, restraints)
+    zero_w = jax.tree.map(jnp.zeros_like, weights)
+    return (ct * g, zero_r, zero_w, jnp.zeros_like(bead_mask))
+
+
+pallas_energy.defvjp(_fwd, _bwd)

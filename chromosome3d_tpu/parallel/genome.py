@@ -171,18 +171,31 @@ def run_genome(
     cfg: Optional[PipelineConfig] = None,
     jobs: Optional[List[GenomeJob]] = None,
     mesh: Optional[Mesh] = None,
+    resume: bool = False,
 ) -> Dict[str, Dict]:
     """The single-launch test.sh equivalent: every chr*_matrix.txt in
     input_dir is solved (bucketed + mesh-sharded) and assessed; per-
-    chromosome artifacts land in output_dir/<name>/."""
+    chromosome artifacts land in output_dir/<name>/.
+
+    resume=True skips chromosomes already present in <output_dir>/checkpoint
+    (the checkpoint/resume capability the reference lacks, SURVEY.md 5)."""
     from chromosome3d_tpu.assess import rank_by_energy, rank_by_spearman
     from chromosome3d_tpu.io.pdb import write_ca_pdb
     from chromosome3d_tpu.metrics import spearman_if_inv_d
+    from chromosome3d_tpu.utils.checkpoint import GenomeCheckpoint
 
     cfg = cfg or PipelineConfig()
     jobs = jobs if jobs is not None else discover_jobs(input_dir)
     if not jobs:
         raise FileNotFoundError(f"no chr*_matrix.txt inputs under {input_dir}")
+    ckpt = GenomeCheckpoint(output_dir)
+    if resume:
+        done = [j for j in jobs if ckpt.has(j.name)]
+        if done:
+            log.info(f"resume: skipping {len(done)} finished chromosomes")
+        jobs = [j for j in jobs if not ckpt.has(j.name)]
+        if not jobs:
+            return {d.name: ckpt.load(d.name)[2] for d in done}
     buckets = bucket_jobs(jobs, cfg.length_buckets)
     mesh = mesh or make_mesh()
     summaries: Dict[str, Dict] = {}
@@ -224,6 +237,12 @@ def run_genome(
                 "best_spearman_if_inv_d": float(scores[order[0]]),
                 "best_noe_energy": float(noe[b].min()),
             }
+            ckpt.save(
+                job.name,
+                c,
+                {k: np.asarray(v[b]) for k, v in result.energies.items()},
+                summaries[job.name],
+            )
             log.info(
                 f"  {job.name}: best Spearman(IF,1/d) = {scores[order[0]]:.4f}"
             )

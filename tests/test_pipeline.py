@@ -1,0 +1,144 @@
+"""End-to-end pipeline + genome-runner tests (artifact presence + formats),
+run with the reduced schedule on the 8-fake-device CPU mesh."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig, fast_anneal
+
+REF_INPUT = "/root/reference/input"
+
+
+def fast_cfg(**kw):
+    return PipelineConfig(
+        model_count=kw.pop("model_count", 4),
+        restraints=RestraintConfig(alpha=1.1),
+        anneal=fast_anneal(AnnealConfig()),
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(tmp_path_factory):
+    from chromosome3d_tpu.pipeline import run_pipeline
+
+    src = os.path.join(REF_INPUT, "chr22_1mb_matrix.txt")
+    if not os.path.exists(src):
+        pytest.skip("reference not available")
+    out = str(tmp_path_factory.mktemp("chr22_out"))
+    summary = run_pipeline(src, out, fast_cfg())
+    return out, summary
+
+
+def test_pipeline_artifacts(pipeline_out):
+    out, summary = pipeline_out
+    ident = "chr22_1mb_matrix"
+    expected = [
+        f"{ident}.txt",
+        f"{ident}.dist",
+        f"{ident}.rr",
+        "contact.tbl",
+        "contact_violation.txt",
+        "model_info.log",
+        "spearman.txt",
+        "summary.json",
+        f"{ident}_model1.pdb",
+        f"{ident}_rank01_a11.pdb",
+    ]
+    for name in expected:
+        assert os.path.exists(os.path.join(out, name)), f"missing {name}"
+    assert not os.path.exists(os.path.join(out, "iam.running"))
+    assert not os.path.exists(os.path.join(out, "iam.failed"))
+
+
+def test_pipeline_summary_sane(pipeline_out):
+    out, summary = pipeline_out
+    assert summary["L"] == 35
+    assert summary["models"] == 4
+    assert summary["restraints"] > 200
+    with open(os.path.join(out, "summary.json")) as f:
+        assert json.load(f)["L"] == 35
+
+
+def test_pipeline_models_readable(pipeline_out):
+    from chromosome3d_tpu.io.pdb import read_ca_pdb, read_pdb_remarks
+
+    out, _ = pipeline_out
+    coords = read_ca_pdb(os.path.join(out, "chr22_1mb_matrix_model1.pdb"))
+    assert coords.shape == (35, 3)
+    rem = read_pdb_remarks(os.path.join(out, "chr22_1mb_matrix_model1.pdb"))
+    assert "noe" in rem and "overall" in rem
+    # model1 has the lowest NOE energy of the emitted top-k
+    noes = []
+    for k in range(1, 5):
+        p = os.path.join(out, f"chr22_1mb_matrix_model{k}.pdb")
+        if os.path.exists(p):
+            noes.append(read_pdb_remarks(p)["noe"])
+    assert noes == sorted(noes)
+
+
+def test_pipeline_spearman_ranking(pipeline_out):
+    out, _ = pipeline_out
+    with open(os.path.join(out, "spearman.txt")) as f:
+        lines = f.read().splitlines()[1:]
+    scores = [float(l.split()[0]) for l in lines]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_violation_report_format(pipeline_out):
+    out, _ = pipeline_out
+    with open(os.path.join(out, "contact_violation.txt")) as f:
+        lines = f.read().splitlines()
+    assert lines[0].startswith("#NOE violation check")
+    assert lines[1].startswith("#violation-flag")
+    flags = [int(l.split()[0]) for l in lines[2:]]
+    # violated rows sort first
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_genome_runner_multi_device(tmp_path):
+    """Two chromosomes bucketed + sharded over the 8 fake CPU devices."""
+    import jax
+
+    from chromosome3d_tpu.parallel.genome import GenomeJob, run_genome
+
+    if not os.path.exists(REF_INPUT):
+        pytest.skip("reference not available")
+    assert len(jax.devices()) == 8, "conftest should provide 8 fake devices"
+    jobs = [
+        GenomeJob("chr22_1mb", os.path.join(REF_INPUT, "chr22_1mb_matrix.txt")),
+        GenomeJob("chr21_1mb", os.path.join(REF_INPUT, "chr21_1mb_matrix.txt")),
+    ]
+    out = str(tmp_path / "genome")
+    summaries = run_genome(REF_INPUT, out, fast_cfg(), jobs=jobs)
+    assert set(summaries) == {"chr22_1mb", "chr21_1mb"}
+    for name, s in summaries.items():
+        assert s["bucket"] == 64
+        assert os.path.exists(os.path.join(out, name, f"{name}_model1.pdb"))
+        assert -1.0 <= s["best_spearman_if_inv_d"] <= 1.0
+
+
+def test_genome_sharded_matches_single_device(tmp_path):
+    """Mesh-sharded solve == single-device solve (same keys, same bucket)."""
+    import jax
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+    from chromosome3d_tpu.parallel.genome import GenomeJob, _stack_bucket, make_mesh, solve_bucket
+
+    if not os.path.exists(REF_INPUT):
+        pytest.skip("reference not available")
+    cfg = fast_cfg(model_count=2)
+    jobs = [
+        GenomeJob("chr22_1mb", os.path.join(REF_INPUT, "chr22_1mb_matrix.txt"), 35, 64),
+        GenomeJob("chr21_1mb", os.path.join(REF_INPUT, "chr21_1mb_matrix.txt"), 37, 64),
+    ]
+    batched, masks, _ = _stack_bucket(jobs, 64, cfg)
+    multi = solve_bucket(batched, masks, cfg, make_mesh(jax.devices()))
+    single = solve_bucket(batched, masks, cfg, make_mesh(jax.devices()[:1]))
+    np.testing.assert_allclose(
+        np.asarray(multi.coords), np.asarray(single.coords), atol=2e-3
+    )
