@@ -118,3 +118,40 @@ def append_model_info(
         for term, value in remarks.items():
             f.write(f"REMARK {term} = {value:.4f}\n")
         f.write("\n")
+
+
+def coverage_string(r: Restraints) -> str:
+    """Restraint-density string (ref coverage_tbl :397-445): one char per
+    bead — '-' untouched, 1-9 = restraint count, '*' for 10+. Returns the
+    same trailer format: '[<n> restraints touching <k> residues]'."""
+    L = r.length
+    counts = np.triu(r.mask, k=1).sum(0) + np.triu(r.mask, k=1).sum(1)
+    chars = []
+    for c in counts:
+        if c == 0:
+            chars.append("-")
+        elif c <= 9:
+            chars.append(str(int(c)))
+        else:
+            chars.append("*")
+    cov = "".join(chars)
+    touched = int((counts > 0).sum())
+    n = int(np.triu(r.mask, k=1).sum())
+    return f"{cov} [{n} restraints touching {touched} residues]"
+
+
+def violation_coverage_string(
+    coords: np.ndarray, r: Restraints, cfg: PipelineConfig
+) -> str:
+    """Per-bead violation map (ref noe_tbl_violation_coverage :556-579):
+    'x' where the bead participates in a violated restraint, '-' otherwise."""
+    coords = np.asarray(coords)
+    d = np.asarray(pairwise_distances(jnp.asarray(coords, jnp.float32)))
+    ii, jj = np.nonzero(np.triu(r.mask, k=1))
+    flags = np.zeros(r.length, dtype=bool)
+    for i, j in zip(ii, jj):
+        lo = r.target[i, j] - r.negdev[i, j]
+        hi = r.target[i, j] + r.posdev[i, j]
+        if not (lo - cfg.dist_relax <= d[i, j] < hi + cfg.dist_relax):
+            flags[i] = flags[j] = True
+    return "".join("x" if f else "-" for f in flags)

@@ -71,6 +71,15 @@ def main(argv=None) -> int:
     sp.add_argument("range", nargs="?", type=int, default=3,
                     help="|i-j| short-range cutoff (default 3)")
 
+    sim = sub.add_parser(
+        "similarity",
+        help="cross-resolution similarity report + reduced models "
+             "(the output_models/similarity.txt protocol)",
+    )
+    sim.add_argument("-o", "--output-dir", required=True,
+                     help="a run_genome output tree with chr*_{1mb,500kb} subdirs")
+    sim.add_argument("--factor", type=int, default=2)
+
     args = parser.parse_args(argv)
     if args.command is None:
         parser.print_help()
@@ -109,6 +118,26 @@ def main(argv=None) -> int:
         print("SRCC\tPDB")
         for path in sorted(scores, key=lambda p: -scores[p]):
             print(f"{scores[path]:.3f}\t{path}")
+        return 0
+
+    if args.command == "similarity":
+        from chromosome3d_tpu.similarity import (
+            pair_outputs_by_chromosome,
+            similarity_report,
+            write_reduced_model,
+        )
+
+        pairs = pair_outputs_by_chromosome(args.output_dir)
+        if not pairs:
+            print("no chromosome pairs with both resolutions found", file=sys.stderr)
+            return 1
+        for name, (hi, _) in pairs.items():
+            write_reduced_model(hi, factor=args.factor)
+        out = f"{args.output_dir}/similarity.txt"
+        results = similarity_report(pairs, out, args.factor)
+        for name, (rho, rmsd) in results.items():
+            print(f"{name}: spearman={rho:.4f} rmsd={rmsd:.3f}")
+        print(f"wrote {out}")
         return 0
 
     return 2

@@ -29,9 +29,10 @@ class RestraintConfig:
     # carr2tbl zero-lower-bound special case (chromosome3D.pl:355-359):
     zero_lo_distance: float = 3.6
     zero_lo_negdev: float = 0.1
-    # solver-side per-restraint weighting (see ops.energy.dense_restraints_from_numpy)
+    # solver-side per-restraint weighting (see ops.energy.dense_restraints_from_numpy);
+    # weight_exponent None = length-adaptive p*(L) (ops.energy.auto_weight_exponent)
     weighting: str = "relative"
-    weight_exponent: float = 2.0
+    weight_exponent: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,7 +30,7 @@ against.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -64,8 +64,19 @@ class EnergyWeights(NamedTuple):
     noe_rswitch: jnp.ndarray = jnp.float32(1e9)
 
 
+def auto_weight_exponent(L: int) -> float:
+    """Length-adaptive stress exponent p*(L) = clip(100 / L^0.85, 0.5, 2.5).
+
+    Fit to per-chromosome sweeps of best Spearman(IF, 1/d) vs p on the
+    shipped inputs (both resolutions): small chromosomes want steep weights
+    (local detail dominates the pair count), large chromosomes want flat
+    weights (global shape dominates). Observed optima: L=35..73 -> ~2.5,
+    L=96..120 -> ~1.5, L=192 -> ~1.0, L=455 -> ~0.5."""
+    return float(np.clip(100.0 / (L ** 0.85), 0.5, 2.5))
+
+
 def dense_restraints_from_numpy(
-    r, weighting: str = "relative", weight_exponent: float = 2.0
+    r, weighting: str = "relative", weight_exponent: Optional[float] = None
 ) -> DenseRestraints:
     """chromosome3d_tpu.restraints.Restraints -> device tensors.
 
@@ -87,6 +98,8 @@ def dense_restraints_from_numpy(
     target = np.asarray(r.target, dtype=np.float64)
     mask_np = np.asarray(r.mask)
     mask = jnp.asarray(mask_np, dtype=jnp.float32)
+    if weight_exponent is None:
+        weight_exponent = auto_weight_exponent(target.shape[0])
     if weighting == "relative":
         w = np.where(mask_np, 1.0 / np.maximum(target, 1.0) ** weight_exponent, 0.0)
         denom = w[mask_np].mean() if mask_np.any() else 1.0

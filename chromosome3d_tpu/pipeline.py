@@ -28,6 +28,7 @@ import numpy as np
 from chromosome3d_tpu.assess import (
     append_model_info,
     assess_ensemble,
+    coverage_string,
     rank_by_energy,
     rank_by_spearman,
     write_violation_report,
@@ -100,10 +101,15 @@ def run_pipeline(
         rc,
     )
     banner(log, f"Restraints : {n_tbl} lines in tbl file")
+    # $ID.fasta for tooling compatibility (ref :93-98 used a fake protein
+    # sequence to drive CNS; beads need no chemistry, so poly-M suffices)
+    with open(os.path.join(dir_out, f"{ident}.fasta"), "w") as f:
+        f.write(f">{ident}\n{'M' * L}\n")
     restraints = dist_to_restraints(dist, rc)
     assert restraints.count == n_tbl, (
         f"restraint-count mismatch: tensors {restraints.count} vs tbl {n_tbl}"
     )
+    banner(log, f"Coverage   : {coverage_string(restraints)}")
     dense = dense_restraints_from_numpy(restraints, rc.weighting, rc.weight_exponent)
 
     # ---- L2/L1: solve (sentinel-file failure protocol, ref :261-284) ----

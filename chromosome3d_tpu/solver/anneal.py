@@ -129,13 +129,17 @@ def solve_single(
     key: jax.Array,
     x0: jnp.ndarray,
     bead_mask: Optional[jnp.ndarray] = None,
+    schedule: Optional[Schedule] = None,
 ):
     """Anneal one structure from x0 (+ per-restart jitter). Returns
-    (final coords (L, 3), per-step total-energy history (T,))."""
+    (final coords (L, 3), per-step total-energy history (T,)).
+
+    schedule overrides the cfg-built table — it is a runtime input, so
+    hyperparameter sweeps with equal step counts share one compilation."""
     L = x0.shape[0]
     if bead_mask is None:
         bead_mask = jnp.ones((L,), dtype=jnp.float32)
-    sched = build_schedule(cfg)
+    sched = build_schedule(cfg) if schedule is None else schedule
     efn = _energy_fn(cfg)
     grad_fn = jax.value_and_grad(efn)
 
@@ -176,6 +180,7 @@ def solve_ensemble_impl(
     n_models: int,
     bead_mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
+    schedule: Optional[Schedule] = None,
 ) -> AnnealResult:
     """Build n_models structures: vmap over restarts (+ enantiomer pairs).
 
@@ -206,7 +211,7 @@ def solve_ensemble_impl(
 
     def run(k, sign):
         init = jnp.concatenate([x0[:, :1] * sign, x0[:, 1:]], axis=1)
-        return solve_single(restraints, cfg, k, init, bead_mask)
+        return solve_single(restraints, cfg, k, init, bead_mask, schedule)
 
     coords, history = jax.vmap(run)(keys, signs)  # (n_eff, L, 3), (n_eff, T)
 
