@@ -28,6 +28,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="reduced annealing schedule for smoke runs")
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas fused energy kernel (TPU)")
+    p.add_argument("--alpha-ensemble", default="",
+                   help="comma-separated extra alpha values pooled into the "
+                        "Spearman ranking (quality mode), e.g. 0.5,0.7")
 
 
 def _make_config(args) -> "PipelineConfig":
@@ -41,10 +44,14 @@ def _make_config(args) -> "PipelineConfig":
     anneal = AnnealConfig(use_pallas=args.pallas)
     if args.fast:
         anneal = fast_anneal(anneal)
+    alpha_ensemble = tuple(
+        float(a) for a in args.alpha_ensemble.split(",") if a.strip()
+    )
     return PipelineConfig(
         model_count=args.model_count,
         restraints=RestraintConfig(kscaling=args.kscaling, alpha=args.alpha),
         anneal=anneal,
+        alpha_ensemble=alpha_ensemble,
     )
 
 

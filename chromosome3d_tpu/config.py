@@ -47,8 +47,15 @@ class AnnealConfig:
 
     # ---- energy model (ref: CNS N5, chromosome3D.pl:1092-1135) ----
     noe_weight: float = 10.0       # $con_wt; chromosome3D.pl:66
-    noe_rswitch: float = 1.0       # soft-square switch (CNS NOE asymptote):
-    #                                violations beyond this grow linearly
+    noe_rswitch: float = 1e9       # soft-square switch (CNS NOE asymptote):
+    #                                violations beyond this grow linearly.
+    #                                Default effectively disables the tail:
+    #                                with stress (1/t^p) weighting the
+    #                                quadratic well measurably beats the
+    #                                soft tail (chr21_1mb 0.965 vs 0.804);
+    #                                the tail remains available for
+    #                                weighting="absolute" runs, where it is
+    #                                what keeps huge low-IF targets bounded.
     bond_weight: float = 10.0      # chain-bond term replacing protein topology (N1)
     bond_length: float = 3.8       # CA-CA virtual bond of the fake protein chain
     vdw_radius: float = 3.6        # soft-sphere bead diameter (matches the 3.6 A
@@ -109,6 +116,13 @@ class PipelineConfig:
     spearman_range: int = 3        # |i-j| cutoff of spearman_IF_pdb.pl (:22)
     seed: int = 82364              # CNS's fixed RNG seed (chromosome3D.pl:980)
     dtype: str = "float32"
+    # hyperparameter-ensemble quality mode: extra alpha values solved in
+    # addition to restraints.alpha; all models pool into the Spearman
+    # ranking (NOE-energy ranking stays within the base alpha, since NOE
+    # energies are only comparable under one restraint set). Alpha grids
+    # cost almost nothing on TPU and close the last quality gaps: large L
+    # favors alpha ~0.5, small L ~0.7 (see PARITY.md).
+    alpha_ensemble: tuple = ()
     restraints: RestraintConfig = dataclasses.field(default_factory=RestraintConfig)
     anneal: AnnealConfig = dataclasses.field(default_factory=AnnealConfig)
     # genome runs: pad each chromosome to the smallest bucket >= L

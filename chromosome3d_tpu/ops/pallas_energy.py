@@ -47,34 +47,34 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, rswitch, L_real (unused pad..)
-    x_ref,        # (L, 3) coords
-    xt_ref,       # (3, L) coords transposed (lane-aligned row views)
-    lo_ref,       # (TM, L) tile
+    x_ref,        # (1, L, 3) this structure's coords
+    xt_ref,       # (1, 3, L) coords transposed (lane-aligned row views)
+    lo_ref,       # (TM, L) restraint tile (shared across the batch)
     hi_ref,       # (TM, L) tile
     w_ref,        # (TM, L) tile: mask-folded restraint weights
     bmrow_ref,    # (1, L) bead mask row
     bmcol_ref,    # (TM, 1) bead mask column tile
-    e_ref,        # out (TM, 1): per-row energy partials of this tile
-    g_ref,        # out (TM, 3): gradient rows of this tile
+    e_ref,        # out (1, TM, 1): per-row energy partials of this tile
+    g_ref,        # out (1, TM, 3): gradient rows of this tile
 ):
     i = pl.program_id(0)
-    TM = g_ref.shape[0]
+    TM = g_ref.shape[1]
 
     noe_w = params_ref[0]
     vdw_w = params_ref[1]
     vdw_radius = params_ref[2]
     rswitch = params_ref[3]
 
-    x = x_ref[:]                                   # (L, 3)
-    a = x_ref[pl.ds(i * TM, TM), :]                # (TM, 3)
+    x = x_ref[0]                                   # (L, 3)
+    a = x_ref[0, pl.ds(i * TM, TM), :]             # (TM, 3)
 
     # pairwise distances by direct differencing ((TM,1)-(1,L) per coordinate,
     # full-lane VPU work). Differencing rather than the Gram identity keeps
     # f32 cancellation error out of the well-boundary branch decisions and
     # matches ops.energy bit-for-bit.
-    d2 = jnp.zeros((TM, xt_ref.shape[1]), jnp.float32)
+    d2 = jnp.zeros((TM, xt_ref.shape[2]), jnp.float32)
     for c in range(3):
-        diff = a[:, c:c + 1] - xt_ref[c:c + 1, :]
+        diff = a[:, c:c + 1] - xt_ref[0, c:c + 1, :]
         d2 = d2 + diff * diff
     d = jnp.sqrt(d2 + _EPS)
 
@@ -96,7 +96,7 @@ def _kernel(
     c_noe = noe_w * w * dwell * sgn                # dE/dd (full-row convention)
 
     # --- vdw soft sphere on |i-j| >= 2 ---
-    Lp = xt_ref.shape[1]
+    Lp = xt_ref.shape[2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 0) + i * TM
     cols = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 1)
     nonbonded = (jnp.abs(rows - cols) >= 2).astype(jnp.float32) * pair_valid
@@ -112,36 +112,44 @@ def _kernel(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )                                              # (TM, 3)
-    g_ref[:] = a * crow - cx
-    e_ref[:, :] = e_noe + e_vdw
+    g_ref[0] = a * crow - cx
+    e_ref[0] = e_noe + e_vdw
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _pairwise_energy_grad(
-    coords: jnp.ndarray,
+def _pairwise_energy_grad_batched(
+    coords: jnp.ndarray,       # (B, L, 3)
     restraints: DenseRestraints,
     weights: EnergyWeights,
-    bead_mask: jnp.ndarray,
+    bead_mask: jnp.ndarray,    # (L,)
     interpret: bool = False,
 ):
-    """Run the fused kernel. Returns (pair_energy_scalar, pair_grad (L, 3)).
+    """Run the fused kernel over a batch of structures SHARING one restraint
+    set. Returns (pair_energy (B,), pair_grad (B, L, 3)).
+
+    Grid is (row_tiles, B) with the batch as the FASTEST-varying dimension
+    and the restraint tiles' index_map independent of it, so Mosaic keeps
+    each (TILE_M, L) restraint tile resident in VMEM while all B structures
+    consume it — one HBM fetch per tile per step instead of per structure.
+    This is what makes the multi-restart ensemble bandwidth-cheap: the
+    (L, L) tensors dominate traffic and they are batch-invariant.
 
     Pads L up to a TILE_M multiple; padded beads carry zero mask/weight so
     they contribute nothing (the same masking contract as ops.energy).
     """
-    L = coords.shape[0]
+    B, L, _ = coords.shape
     Lp = _round_up(max(L, 8), TILE_M)
     padn = Lp - L
 
     def pad2(m):
         return jnp.pad(m, ((0, padn), (0, padn)))
 
-    x = jnp.pad(coords.astype(jnp.float32), ((0, padn), (0, 0)))
+    x = jnp.pad(coords.astype(jnp.float32), ((0, 0), (0, padn), (0, 0)))
     lo = pad2(restraints.lo)
     hi = pad2(restraints.hi)
     w = pad2(restraints.mask * restraints.weight)
     bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
-    xt = x.T                                       # (3, Lp)
+    xt = jnp.swapaxes(x, 1, 2)                     # (B, 3, Lp)
 
     params = jnp.stack(
         [
@@ -156,36 +164,50 @@ def _pairwise_energy_grad(
         ]
     )
 
-    grid = Lp // TILE_M
+    grid = (Lp // TILE_M, B)
     e_parts, grad = pl.pallas_call(
         _kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                      # params
-            pl.BlockSpec((Lp, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Lp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp, 3), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Lp), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Lp), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_M, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M, 1), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M, 3), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Lp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Lp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lp, 3), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(10 * Lp) * Lp + 2 * 3 * Lp * Lp * 2,
-            bytes_accessed=int(4 * Lp) * Lp * 3,
-            transcendentals=Lp * Lp,
+            flops=int(40 * Lp) * Lp * B,
+            bytes_accessed=int(4 * Lp) * Lp * 3 + B * Lp * 4 * 10,
+            transcendentals=Lp * Lp * B,
         ),
         interpret=interpret,
     )(params, x, xt, lo, hi, w, bm[None, :], bm[:, None])
-    return jnp.sum(e_parts), grad[:L]
+    return jnp.sum(e_parts[:, :, 0], axis=1), grad[:, :L, :]
+
+
+def _pairwise_energy_grad(
+    coords: jnp.ndarray,
+    restraints: DenseRestraints,
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Single-structure wrapper over the batched kernel."""
+    e, g = _pairwise_energy_grad_batched(
+        coords[None], restraints, weights, bead_mask, interpret
+    )
+    return e[0], g[0]
 
 
 def _bond_energy(coords, weights, bead_mask):
@@ -229,3 +251,31 @@ def _bwd(interpret, residuals, ct):
 
 
 pallas_energy.defvjp(_fwd, _bwd)
+
+
+def _bond_energy_batched(coords, weights, bead_mask):
+    bond_vec = coords[:, 1:, :] - coords[:, :-1, :]
+    bond_d = jnp.sqrt(jnp.sum(bond_vec * bond_vec, axis=-1) + _EPS)
+    bond_valid = (bead_mask[1:] * bead_mask[:-1])[None, :]
+    bdev = bond_d - weights.bond_length
+    return weights.bond * jnp.sum(bond_valid * bdev * bdev, axis=1)
+
+
+def pallas_energy_and_grad_batched(
+    coords: jnp.ndarray,        # (B, L, 3)
+    restraints: DenseRestraints,
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Fused value-and-grad for a shared-restraint batch: the annealer's
+    inner step. Returns (energies (B,), grads (B, L, 3)). Not an autodiff
+    endpoint — the kernel already computed the exact gradient, so the
+    optimizer consumes it directly (the custom_vjp wrapper exists for
+    API parity; this path skips even that indirection)."""
+    e_pair, g_pair = _pairwise_energy_grad_batched(
+        coords, restraints, weights, bead_mask, interpret
+    )
+    e_bond = _bond_energy_batched(coords, weights, bead_mask)
+    g_bond = jax.vmap(lambda c: jax.grad(_bond_energy)(c, weights, bead_mask))(coords)
+    return e_pair + e_bond, g_pair + g_bond

@@ -20,6 +20,7 @@ import json
 import os
 import shutil
 import time
+from dataclasses import replace as dataclasses_replace
 from typing import Dict, Optional
 
 import jax
@@ -122,6 +123,28 @@ def run_pipeline(
         result = solve_ensemble(dense, cfg.anneal, key, cfg.model_count)
         coords = np.asarray(result.coords)
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
+        alphas = [rc.alpha] * cfg.model_count
+        # hyperparameter-ensemble: extra alpha variants pool into the
+        # Spearman ranking (same shapes -> the compiled program is reused)
+        for extra_alpha in cfg.alpha_ensemble:
+            if extra_alpha == rc.alpha:
+                continue
+            rc_x = dataclasses_replace(rc, alpha=extra_alpha)
+            dense_x = dense_restraints_from_numpy(
+                dist_to_restraints(if_to_dist(if_matrix, rc_x), rc_x),
+                rc_x.weighting,
+                rc_x.weight_exponent,
+            )
+            key, sub = jax.random.split(key)
+            res_x = solve_ensemble(dense_x, cfg.anneal, sub, cfg.model_count)
+            coords = np.concatenate([coords, np.asarray(res_x.coords)])
+            # energies under a different restraint set are not comparable;
+            # recorded for REMARKs but excluded from the NOE ranking below
+            energies = {
+                k: np.concatenate([v, np.asarray(res_x.energies[k])])
+                for k, v in energies.items()
+            }
+            alphas += [extra_alpha] * cfg.model_count
     except Exception:
         os.replace(running, os.path.join(dir_out, "iam.failed"))
         raise
@@ -131,11 +154,13 @@ def run_pipeline(
     banner(log, "(C) Assess models..")
     stats = assess_ensemble(coords, dense, cfg)
     sp_order, sp_scores = rank_by_spearman(if_matrix, coords, cfg.spearman_range)
-    e_order = rank_by_energy(energies["noe"], cfg.top_k)
+    # NOE-energy ranking only within the base-alpha models (energies under
+    # different restraint sets are not comparable)
+    e_order = rank_by_energy(energies["noe"][: cfg.model_count], cfg.top_k)
 
     info_log = os.path.join(dir_out, "model_info.log")
     banner(log, f"NOE_SATISFIED(+-{cfg.dist_relax}A)  SUM_OF_DEVIATIONS>=0.2  MODEL")
-    for i in range(cfg.model_count):
+    for i in range(len(coords)):
         banner(
             log,
             f"{stats['satisfied'][i]}/{stats['total'][i]}"
@@ -158,6 +183,7 @@ def run_pipeline(
         path = os.path.join(dir_out, f"{ident}_rank{rank:02d}_{atag}.pdb")
         remarks = {k: float(energies[k][idx]) for k in ("overall", "vdw", "bon", "noe")}
         remarks["spearman_if_inv_d"] = float(sp_scores[idx])
+        remarks["alpha"] = float(alphas[idx])
         write_ca_pdb(path, coords[idx], remarks=remarks)
 
     with open(os.path.join(dir_out, "spearman.txt"), "w") as f:

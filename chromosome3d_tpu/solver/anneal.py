@@ -160,6 +160,7 @@ def solve_single(
             bond_length=base.bond_length,
             vdw=vdw_w,
             vdw_radius=repel * cfg.vdw_radius,
+            noe_rswitch=base.noe_rswitch,
         )
         e, g = grad_fn(x, restraints, weights, bead_mask)
         updates, opt_state = opt.update(g, opt_state)
@@ -182,10 +183,13 @@ def solve_ensemble_impl(
     x0: Optional[jnp.ndarray] = None,
     schedule: Optional[Schedule] = None,
 ) -> AnnealResult:
-    """Build n_models structures: vmap over restarts (+ enantiomer pairs).
+    """Build n_models structures: one batched scan over all restarts
+    (+ enantiomer pairs) at once.
 
     Replaces the reference's `loop dgsa` over 20 models
-    (chromosome3D.pl:1574-1829) with one compiled program.
+    (chromosome3D.pl:1574-1829) with one compiled program. The batch shares
+    one restraint set, which the Pallas path exploits: restraint tiles are
+    fetched from HBM once per step, not once per structure.
     """
     L = restraints.lo.shape[0]
     if bead_mask is None:
@@ -202,20 +206,58 @@ def solve_ensemble_impl(
     x0 = x0 * bead_mask[:, None]
 
     n_eff = n_models * 2 if cfg.enantiomer else n_models
-    keys = jax.random.split(key, n_eff)
     if cfg.enantiomer:
         # pairs (direct, mirrored): flip the x axis of the shared embedding
         signs = jnp.tile(jnp.asarray([1.0, -1.0], dtype=jnp.float32), n_models)
     else:
         signs = jnp.ones((n_eff,), dtype=jnp.float32)
 
-    def run(k, sign):
-        init = jnp.concatenate([x0[:, :1] * sign, x0[:, 1:]], axis=1)
-        return solve_single(restraints, cfg, k, init, bead_mask, schedule)
+    key, jkey = jax.random.split(key)
+    xs = x0[None, :, :] * jnp.stack(
+        [signs, jnp.ones_like(signs), jnp.ones_like(signs)], axis=-1
+    )[:, None, :]
+    xs = xs + cfg.init_noise * jax.random.normal(jkey, xs.shape) * bead_mask[None, :, None]
 
-    coords, history = jax.vmap(run)(keys, signs)  # (n_eff, L, 3), (n_eff, T)
-
+    sched = build_schedule(cfg) if schedule is None else schedule
     base = _final_weights(cfg)
+
+    if cfg.use_pallas:
+        from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
+
+        def vag(x, weights):
+            return pallas_energy_and_grad_batched(x, restraints, weights, bead_mask)
+    else:
+        _single = jax.value_and_grad(energy)
+
+        def vag(x, weights):
+            return jax.vmap(lambda c: _single(c, restraints, weights, bead_mask))(x)
+
+    opt = optax.scale_by_adam()
+    opt_state = opt.init(xs)
+
+    def step(carry, srow):
+        x, opt_state, k = carry
+        lr, sigma, vdw_w, repel = srow
+        weights = EnergyWeights(
+            noe=base.noe,
+            bond=base.bond,
+            bond_length=base.bond_length,
+            vdw=vdw_w,
+            vdw_radius=repel * cfg.vdw_radius,
+            noe_rswitch=base.noe_rswitch,
+        )
+        e, g = vag(x, weights)
+        updates, opt_state = opt.update(g, opt_state)
+        k, nkey = jax.random.split(k)
+        noise = sigma * jax.random.normal(nkey, x.shape)
+        x = x + (-lr * updates + noise) * bead_mask[None, :, None]
+        return (x, opt_state, k), e
+
+    srows = jnp.stack([sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1)
+    (xs, _, _), history = jax.lax.scan(step, (xs, opt_state, key), srows)
+    coords = xs
+    history = history.T                            # (n_eff, T)
+
     terms = jax.vmap(lambda c: energy_terms(c, restraints, base, bead_mask))(coords)
 
     if cfg.enantiomer:

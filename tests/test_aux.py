@@ -1,0 +1,117 @@
+"""Aux subsystem tests: checkpoint/resume, similarity tooling, coverage
+reports, native C++ parser."""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+
+def test_genome_checkpoint_roundtrip(tmp_path):
+    from chromosome3d_tpu.utils.checkpoint import GenomeCheckpoint
+
+    ck = GenomeCheckpoint(str(tmp_path))
+    assert not ck.has("chr9_1mb")
+    coords = np.random.RandomState(0).randn(4, 20, 3)
+    energies = {"noe": np.arange(4.0), "overall": np.arange(4.0) * 2}
+    ck.save("chr9_1mb", coords, energies, {"L": 20})
+    assert ck.has("chr9_1mb")
+    c2, e2, meta = ck.load("chr9_1mb")
+    np.testing.assert_allclose(c2, coords)
+    np.testing.assert_allclose(e2["noe"], energies["noe"])
+    assert meta == {"L": 20}
+
+
+def test_solver_state_roundtrip(tmp_path):
+    import jax
+
+    from chromosome3d_tpu.utils.checkpoint import load_solver_state, save_solver_state
+
+    path = str(tmp_path / "state.npz")
+    coords = np.random.RandomState(1).randn(8, 3)
+    key = np.asarray(jax.random.PRNGKey(7))
+    save_solver_state(path, coords, 123, key)
+    c, step, k = load_solver_state(path)
+    np.testing.assert_allclose(c, coords)
+    assert step == 123
+    np.testing.assert_array_equal(k, key)
+
+
+def test_coverage_string(tiny_matrix):
+    from chromosome3d_tpu.assess import coverage_string
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.restraints import build_restraints
+
+    r = build_restraints(tiny_matrix, RestraintConfig())
+    s = coverage_string(r)
+    cov, _, trailer = s.partition(" [")
+    assert len(cov) == 16
+    assert f"{r.count} restraints" in trailer
+    # beads 0..4 can only pair with beads >= 5 apart; all have some coverage here
+    assert all(ch in "-0123456789*" for ch in cov)
+
+
+def test_violation_coverage_string(tiny_matrix):
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.assess import violation_coverage_string
+    from chromosome3d_tpu.config import PipelineConfig, RestraintConfig
+    from chromosome3d_tpu.restraints import build_restraints
+
+    r = build_restraints(tiny_matrix, RestraintConfig())
+    cfg = PipelineConfig()
+    rng = np.random.RandomState(0)
+    s = violation_coverage_string(rng.randn(16, 3), r, cfg)
+    assert len(s) == 16 and set(s) <= {"x", "-"}
+
+
+def test_similarity_report(tmp_path):
+    from chromosome3d_tpu.io.pdb import read_ca_pdb
+    from chromosome3d_tpu.similarity import similarity_report, write_reduced_model
+
+    hi = os.path.join(REF, "output_models", "chr13_500kb_rank10_a11.pdb")
+    lo = os.path.join(REF, "output_models", "chr13_1mb_rank05_a11.pdb")
+    if not os.path.exists(hi):
+        pytest.skip("reference not available")
+    out = str(tmp_path / "similarity.txt")
+    results = similarity_report({"chr13": (hi, lo)}, out)
+    rho, rmsd = results["chr13"]
+    # published: 0.9666 / 1.619 (similarity.txt:33-35)
+    assert rho == pytest.approx(0.9666, abs=0.005)
+    assert rmsd == pytest.approx(1.619, abs=0.05)
+    text = open(out).read()
+    assert "Spearman correlation:" in text and "RMSD:" in text
+
+    red = write_reduced_model(hi, str(tmp_path / "red.pdb"))
+    ours = read_ca_pdb(red)
+    shipped = read_ca_pdb(hi.replace(".pdb", "_reduced.pdb"))
+    np.testing.assert_allclose(ours, shipped[: len(ours)], atol=0.01)
+
+
+def test_native_parser_matches_python(tmp_path):
+    from chromosome3d_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+
+    path = os.path.join(REF, "input", "chr20_500kb_matrix.txt")
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    m_native = native.parse_matrix(path)
+    # force the pure-python path by writing a copy the native lib also reads
+    rows = ["  ".join(f"{v:.6f}" for v in row) for row in m_native]
+    p2 = tmp_path / "copy.txt"
+    p2.write_text("\r\n".join(rows) + "\r\n")
+    m_py = load_if_matrix(str(p2))
+    np.testing.assert_allclose(m_native, m_py, atol=1e-6)
+    assert m_native.shape == (120, 120)
+
+
+def test_profile_trace_noop():
+    from chromosome3d_tpu.utils.logging import profile_trace
+
+    with profile_trace(None):
+        pass
