@@ -65,11 +65,17 @@ def main(argv=None) -> int:
     run = sub.add_parser("run", help="reconstruct one chromosome (the reference's main CLI)")
     run.add_argument("-i", "--input", required=True, help="IF matrix file")
     run.add_argument("-o", "--output", required=True, help="output directory")
+    run.add_argument("--profile", default=None, metavar="DIR",
+                     help="write a jax.profiler trace of the solve to DIR")
     _add_common(run)
 
     gen = sub.add_parser("genome", help="whole-genome single-launch run (replaces test.sh)")
     gen.add_argument("-i", "--input-dir", required=True, help="directory of chr*_matrix.txt")
     gen.add_argument("-o", "--output-dir", required=True)
+    gen.add_argument("--filter", default="",
+                     help="substring filter on job names, e.g. 500kb")
+    gen.add_argument("--resume", action="store_true",
+                     help="skip chromosomes already in <output>/checkpoint")
     _add_common(gen)
 
     sp = sub.add_parser("spearman", help="score models vs an IF matrix (replaces spearman_IF_pdb.pl)")
@@ -95,14 +101,22 @@ def main(argv=None) -> int:
     if args.command == "run":
         from chromosome3d_tpu.pipeline import run_pipeline
 
-        summary = run_pipeline(args.input, args.output, _make_config(args))
+        summary = run_pipeline(
+            args.input, args.output, _make_config(args), profile_dir=args.profile
+        )
         print(json.dumps(summary))
         return 0
 
     if args.command == "genome":
-        from chromosome3d_tpu.parallel.genome import run_genome
+        from chromosome3d_tpu.parallel.genome import discover_jobs, run_genome
 
-        summaries = run_genome(args.input_dir, args.output_dir, _make_config(args))
+        jobs = discover_jobs(args.input_dir)
+        if args.filter:
+            jobs = [j for j in jobs if args.filter in j.name]
+        summaries = run_genome(
+            args.input_dir, args.output_dir, _make_config(args),
+            jobs=jobs, resume=args.resume,
+        )
         print(json.dumps(summaries, indent=1))
         return 0
 

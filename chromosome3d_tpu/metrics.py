@@ -83,18 +83,29 @@ def spearman_if_model(
 ) -> float:
     """The spearman_IF_pdb.pl statistic: Spearman(IF_ij, d_ij) over all
     ordered pairs with |i-j| >= rng (spearman_IF_pdb.pl:42-70).
-    Negative values are good (high IF <-> short distance)."""
-    if_matrix = jnp.asarray(if_matrix, dtype=jnp.float32)
-    coords = jnp.asarray(coords, dtype=jnp.float32)
+    Negative values are good (high IF <-> short distance).
+
+    Host-side scoring: pure numpy/scipy — it is O(L^2 log L) scalar work,
+    and on a remote-TPU platform every (L,) shape would otherwise pay a
+    fresh accelerator compile just to rank a finished model."""
+    from scipy import stats as sps
+
+    coords = np.asarray(coords, dtype=np.float64)
     L = coords.shape[0]
     if rng >= L:
         raise ValueError("range >= model length (ref prints '-' and exits)")
-    idx = jnp.arange(L)
-    mask = jnp.abs(idx[:, None] - idx[None, :]) >= rng
-    d = pairwise_distances(coords)
+    idx = np.arange(L)
+    mask = np.abs(idx[:, None] - idx[None, :]) >= rng
+    d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
     # the reference quantizes model distances to %.3f before ranking (:46)
-    d = jnp.round(d * 1000.0) / 1000.0
-    return float(masked_spearman(if_matrix[:L, :L].ravel(), d.ravel(), mask.ravel()))
+    d = np.round(d, 3)
+    ifm = np.asarray(if_matrix, dtype=np.float64)[:L, :L]
+    ra = sps.rankdata(ifm[mask])
+    rb = sps.rankdata(d[mask])
+    ra -= ra.mean()
+    rb -= rb.mean()
+    denom = np.sqrt((ra * ra).sum() * (rb * rb).sum())
+    return float((ra * rb).sum() / denom) if denom > 0 else 0.0
 
 
 def spearman_if_inv_d(if_matrix: np.ndarray, coords: np.ndarray, rng: int = 3) -> float:
@@ -180,15 +191,18 @@ def cross_resolution_similarity(
     lo = np.asarray(lo_res)
     n = min(len(red), len(lo))
     red, lo = red[:n], lo[:n]
-    d1 = np.asarray(pairwise_distances(jnp.asarray(red)))
-    d2 = np.asarray(pairwise_distances(jnp.asarray(lo)))
+    from scipy import stats as sps
+
+    d1 = np.linalg.norm(red[:, None] - red[None, :], axis=-1)
+    d2 = np.linalg.norm(lo[:, None] - lo[None, :], axis=-1)
     iu = np.triu_indices(n, k=1)
-    rho = float(spearman(jnp.asarray(d1[iu]), jnp.asarray(d2[iu])))
+    rho = float(sps.spearmanr(d1[iu], d2[iu]).statistic)
     return rho, drmsd(red, lo, fit_scale=True)
 
 
 def clash_count(coords: np.ndarray, threshold: float) -> int:
     """Number of bead pairs closer than threshold (ref clash_count :693-714)."""
-    d = np.asarray(pairwise_distances(jnp.asarray(coords, dtype=jnp.float32)))
+    coords = np.asarray(coords)
+    d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
     iu = np.triu_indices(len(coords), k=1)
     return int((d[iu] <= threshold).sum())

@@ -47,7 +47,7 @@ from chromosome3d_tpu.restraints import (
     write_rr,
 )
 from chromosome3d_tpu.solver.anneal import solve_ensemble
-from chromosome3d_tpu.utils.logging import banner, get_logger
+from chromosome3d_tpu.utils.logging import banner, get_logger, profile_trace
 
 log = get_logger(__name__)
 
@@ -57,11 +57,13 @@ def run_pipeline(
     dir_out: str,
     cfg: Optional[PipelineConfig] = None,
     wipe: bool = True,
+    profile_dir: Optional[str] = None,
 ) -> Dict:
     """Run one chromosome end to end. Returns a result summary dict.
 
     Mirrors `chromosome3D.pl -i file_if -o dir_out` semantics, including the
     outdir wipe (:56) and the stdout progress banners (:48-53, 100-107).
+    profile_dir: if set, the solve runs under a jax.profiler trace.
     """
     cfg = cfg or PipelineConfig()
     t_start = time.time()
@@ -120,9 +122,15 @@ def run_pipeline(
     try:
         banner(log, f"(B) Build {cfg.model_count} models with the TPU annealer..")
         key = jax.random.PRNGKey(cfg.seed)
-        result = solve_ensemble(dense, cfg.anneal, key, cfg.model_count)
-        coords = np.asarray(result.coords)
+        with profile_trace(profile_dir):
+            result = solve_ensemble(dense, cfg.anneal, key, cfg.model_count)
+            coords = np.asarray(result.coords)
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
+        # energy-trajectory observability (the reference discards dgsa.log)
+        np.savez_compressed(
+            os.path.join(dir_out, "trajectory.npz"),
+            energy_history=np.asarray(result.history),
+        )
         alphas = [rc.alpha] * cfg.model_count
         # hyperparameter-ensemble: extra alpha variants pool into the
         # Spearman ranking (same shapes -> the compiled program is reused)
