@@ -26,6 +26,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="models to build (default 20; top 5 kept by NOE energy)")
     p.add_argument("--fast", action="store_true",
                    help="reduced annealing schedule for smoke runs")
+    p.add_argument("--turbo", action="store_true",
+                   help="production speed preset: ~10x fewer steps, "
+                        "validated quality parity on shipped inputs")
     p.add_argument("--pallas", action="store_true",
                    help="use the Pallas fused energy kernel (TPU)")
     p.add_argument("--alpha-ensemble", default="",
@@ -39,9 +42,12 @@ def _make_config(args) -> "PipelineConfig":
         PipelineConfig,
         RestraintConfig,
         fast_anneal,
+        turbo_anneal,
     )
 
     anneal = AnnealConfig(use_pallas=args.pallas)
+    if getattr(args, "turbo", False):
+        anneal = turbo_anneal(anneal)
     if args.fast:
         anneal = fast_anneal(anneal)
     alpha_ensemble = tuple(

@@ -121,6 +121,38 @@ def test_genome_runner_multi_device(tmp_path):
         assert -1.0 <= s["best_spearman_if_inv_d"] <= 1.0
 
 
+def test_genome_resume_skips_finished(tmp_path):
+    """run_genome(resume=True) must not re-solve checkpointed chromosomes."""
+    from chromosome3d_tpu.parallel.genome import GenomeJob, run_genome
+
+    if not os.path.exists(REF_INPUT):
+        pytest.skip("reference not available")
+    jobs = lambda: [
+        GenomeJob("chr22_1mb", os.path.join(REF_INPUT, "chr22_1mb_matrix.txt")),
+        GenomeJob("chr21_1mb", os.path.join(REF_INPUT, "chr21_1mb_matrix.txt")),
+    ]
+    out = str(tmp_path / "g")
+    cfg = fast_cfg(model_count=2)
+    first = run_genome(REF_INPUT, out, cfg, jobs=jobs())
+    assert len(first) == 2
+    # poison one chromosome's matrix path: resume must not read it
+    poisoned = [
+        GenomeJob("chr22_1mb", "/nonexistent.txt"),
+        GenomeJob("chr21_1mb", "/nonexistent.txt"),
+    ]
+    resumed = run_genome(REF_INPUT, out, cfg, jobs=poisoned, resume=True)
+    assert set(resumed) == {"chr22_1mb", "chr21_1mb"}
+    for name, s in resumed.items():
+        assert s["best_spearman_if_inv_d"] == first[name]["best_spearman_if_inv_d"]
+
+
+def test_turbo_preset():
+    from chromosome3d_tpu.config import AnnealConfig, turbo_anneal
+
+    cfg = turbo_anneal(AnnealConfig())
+    assert cfg.total_steps == 30 + 8 * 12 + 150
+
+
 def test_genome_sharded_matches_single_device(tmp_path):
     """Mesh-sharded solve == single-device solve (same keys, same bucket)."""
     import jax
