@@ -120,6 +120,91 @@ def append_model_info(
         f.write("\n")
 
 
+def parse_tbl_rows(path: str | os.PathLike):
+    """Parse a CNS NOE tbl into [(group_i, group_j, d, negdev, posdev)] where
+    each group is a list of (resid, atom_name) — including the `or`-group
+    layouts the reference's assessor tolerates (ssnoe_tbl_min_pdb_dist,
+    chromosome3D.pl:487-554):
+
+        assign (resid I and name A) (resid J and name B) d neg pos
+        assign ((resid I and name A) or (resid I and name C)) (...) d neg pos
+    """
+    rows = []
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("assign"):
+                continue
+            c = line.replace("(", " ( ").replace(")", " ) ").split()
+            groups: List[List[Tuple[int, str]]] = []
+            current: List[Tuple[int, str]] = []
+            i = 0
+            depth = 0
+            tail: List[float] = []
+            while i < len(c):
+                tok = c[i]
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append(current)
+                        current = []
+                elif tok == "resid":
+                    resid = int(c[i + 1])
+                    # find the matching "name X" within this atom selection
+                    j = i + 2
+                    aname = "ca"
+                    while j < len(c) and c[j] not in (")", "or"):
+                        if c[j] == "name":
+                            aname = c[j + 1].lower()
+                        j += 1
+                    current.append((resid, aname))
+                    i = j - 1
+                elif depth == 0 and tok not in ("assign", "assign45", "or"):
+                    try:
+                        tail.append(float(tok))
+                    except ValueError:
+                        pass
+                i += 1
+            if len(groups) >= 2 and len(tail) >= 3:
+                rows.append((groups[0], groups[1], tail[0], tail[1], tail[2]))
+    return rows
+
+
+def min_group_distance(coords: np.ndarray, g1, g2) -> float:
+    """Minimum distance over the atom-group cross product (ref :487-554).
+    For CA-bead models every atom name resolves to the residue's bead."""
+    best = np.inf
+    for r1, _ in g1:
+        for r2, _ in g2:
+            d = float(np.linalg.norm(coords[r1 - 1] - coords[r2 - 1]))
+            best = min(best, d)
+    return best
+
+
+def assess_pdb_vs_tbl(
+    coords: np.ndarray, tbl_path: str | os.PathLike, cfg: PipelineConfig
+) -> Tuple[int, int, float]:
+    """count_satisfied_tbl_rows + sum_noe_dev semantics against an arbitrary
+    tbl file (incl. or-groups). Returns (satisfied, total, sum_dev)."""
+    coords = np.asarray(coords)
+    rows = parse_tbl_rows(tbl_path)
+    satisfied, sum_dev = 0, 0.0
+    for g1, g2, d, neg, pos in rows:
+        pd_ = min_group_distance(coords, g1, g2)
+        lo, hi = d - neg, d + pos
+        if pd_ < hi + cfg.dist_relax:
+            satisfied += 1
+        if pd_ < lo - cfg.dist_relax:
+            satisfied -= 1
+        if pd_ > hi + cfg.sum_dev_margin:
+            sum_dev += pd_ - hi
+        if pd_ < lo - cfg.sum_dev_margin:
+            sum_dev += lo - pd_
+    return satisfied, len(rows), sum_dev
+
+
 def coverage_string(r: Restraints) -> str:
     """Restraint-density string (ref coverage_tbl :397-445): one char per
     bead — '-' untouched, 1-9 = restraint count, '*' for 10+. Returns the

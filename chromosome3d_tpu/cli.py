@@ -90,6 +90,16 @@ def main(argv=None) -> int:
     sp.add_argument("range", nargs="?", type=int, default=3,
                     help="|i-j| short-range cutoff (default 3)")
 
+    ass = sub.add_parser(
+        "assess",
+        help="assess model PDB(s) against a CNS NOE tbl "
+             "(count_satisfied / sum_dev, incl. or-group restraints)",
+    )
+    ass.add_argument("pdb", help="PDB file or directory of PDBs")
+    ass.add_argument("tbl", help="contact.tbl (CNS NOE restraints)")
+    ass.add_argument("--relax", type=float, default=0.5,
+                     help="satisfaction window (default 0.5 A)")
+
     sim = sub.add_parser(
         "similarity",
         help="cross-resolution similarity report + reduced models "
@@ -145,6 +155,22 @@ def main(argv=None) -> int:
         print("SRCC\tPDB")
         for path in sorted(scores, key=lambda p: -scores[p]):
             print(f"{scores[path]:.3f}\t{path}")
+        return 0
+
+    if args.command == "assess":
+        import os
+
+        from chromosome3d_tpu.assess import assess_pdb_vs_tbl
+        from chromosome3d_tpu.config import PipelineConfig
+        from chromosome3d_tpu.io.pdb import load_pdb_dir, read_ca_pdb
+
+        cfg = PipelineConfig(dist_relax=args.relax)
+        paths = [args.pdb] if os.path.isfile(args.pdb) else load_pdb_dir(args.pdb)
+        print(f"NOE_SATISFIED(+-{args.relax}A)  SUM_OF_DEVIATIONS>=0.2  PDB")
+        for path in paths:
+            coords = read_ca_pdb(path)
+            sat, total, dev = assess_pdb_vs_tbl(coords, args.tbl, cfg)
+            print(f"{sat}/{total}             {dev:.2f}                {path}")
         return 0
 
     if args.command == "similarity":

@@ -87,15 +87,29 @@ def bucket_jobs(
 
 def _stack_bucket(
     jobs: Sequence[GenomeJob], L_pad: int, cfg: PipelineConfig
-) -> tuple[DenseRestraints, jnp.ndarray, List[np.ndarray]]:
-    """Load + pad one bucket: (B, L, L) dense tensors, (B, L) bead masks."""
+) -> tuple[DenseRestraints, jnp.ndarray, List[np.ndarray], List]:
+    """Load + pad one bucket: (B, L, L) dense tensors, (B, L) bead masks,
+    the raw IF matrices, and the unpadded Restraints (for assessment).
+
+    NOTE: the per-chromosome weight normalization (mean-1 over the real
+    restraints) happens BEFORE padding, so the padded batch is numerically
+    identical to solving each chromosome alone."""
     rc = cfg.restraints
-    denses, masks, matrices = [], [], []
+    denses, masks, matrices, raw = [], [], [], []
     for job in jobs:
         m = load_if_matrix(job.path)
         matrices.append(m)
-        r = build_restraints(m, rc).padded(L_pad)
-        denses.append(dense_restraints_from_numpy(r, rc.weighting, rc.weight_exponent))
+        r = build_restraints(m, rc)
+        raw.append(r)
+        # length-adaptive exponent from the TRUE length, not the padded one
+        p = rc.weight_exponent
+        if p is None:
+            from chromosome3d_tpu.ops.energy import auto_weight_exponent
+
+            p = auto_weight_exponent(r.length)
+        denses.append(
+            dense_restraints_from_numpy(r.padded(L_pad), rc.weighting, p)
+        )
         bead = np.zeros(L_pad, dtype=np.float32)
         bead[: m.shape[0]] = 1.0
         masks.append(bead)
@@ -105,7 +119,7 @@ def _stack_bucket(
         mask=jnp.stack([d.mask for d in denses]),
         weight=jnp.stack([d.weight for d in denses]),
     )
-    return batched, jnp.asarray(np.stack(masks)), matrices
+    return batched, jnp.asarray(np.stack(masks)), matrices, raw
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = "chrom") -> Mesh:
@@ -179,9 +193,7 @@ def run_genome(
 
     resume=True skips chromosomes already present in <output_dir>/checkpoint
     (the checkpoint/resume capability the reference lacks, SURVEY.md 5)."""
-    from chromosome3d_tpu.assess import rank_by_energy, rank_by_spearman
-    from chromosome3d_tpu.io.pdb import write_ca_pdb
-    from chromosome3d_tpu.metrics import spearman_if_inv_d
+    from chromosome3d_tpu.pipeline import emit_artifacts
     from chromosome3d_tpu.utils.checkpoint import GenomeCheckpoint
 
     cfg = cfg or PipelineConfig()
@@ -204,46 +216,26 @@ def run_genome(
             f"bucket L={L_pad}: {len(bucket)} chromosomes "
             f"({', '.join(j.name for j in bucket)}) on {mesh.devices.size} devices"
         )
-        batched, bead_masks, matrices = _stack_bucket(bucket, L_pad, cfg)
+        batched, bead_masks, matrices, raw = _stack_bucket(bucket, L_pad, cfg)
         result = solve_bucket(batched, bead_masks, cfg, mesh)
         coords = np.asarray(result.coords)
-        noe = np.asarray(result.energies["noe"])
         for b, job in enumerate(bucket):
             L = job.length
             out = os.path.join(output_dir, job.name)
             os.makedirs(out, exist_ok=True)
             c = coords[b, :, :L, :]
-            order, scores = rank_by_spearman(matrices[b], c, cfg.spearman_range)
-            e_order = rank_by_energy(noe[b], cfg.top_k)
-            for rank, idx in enumerate(e_order, start=1):
-                write_ca_pdb(
-                    os.path.join(out, f"{job.name}_model{rank}.pdb"),
-                    c[idx],
-                    remarks={"noe": float(noe[b, idx])},
-                )
-            atag = f"a{cfg.restraints.alpha}".replace(".", "")
-            for rank, idx in enumerate(order, start=1):
-                write_ca_pdb(
-                    os.path.join(out, f"{job.name}_rank{rank:02d}_{atag}.pdb"),
-                    c[idx],
-                    remarks={
-                        "noe": float(noe[b, idx]),
-                        "spearman_if_inv_d": float(scores[idx]),
-                    },
-                )
-            summaries[job.name] = {
-                "L": L,
-                "bucket": L_pad,
-                "best_spearman_if_inv_d": float(scores[order[0]]),
-                "best_noe_energy": float(noe[b].min()),
-            }
-            ckpt.save(
-                job.name,
-                c,
-                {k: np.asarray(v[b]) for k, v in result.energies.items()},
-                summaries[job.name],
+            energies = {k: np.asarray(v[b]) for k, v in result.energies.items()}
+            dense_b = dense_restraints_from_numpy(
+                raw[b], cfg.restraints.weighting, cfg.restraints.weight_exponent
             )
+            summary = emit_artifacts(
+                out, job.name, c, energies, matrices[b], raw[b], dense_b, cfg
+            )
+            summary["bucket"] = L_pad
+            summaries[job.name] = summary
+            ckpt.save(job.name, c, energies, summary)
             log.info(
-                f"  {job.name}: best Spearman(IF,1/d) = {scores[order[0]]:.4f}"
+                f"  {job.name}: best Spearman(IF,1/d) = "
+                f"{summary['best_spearman_if_inv_d']:.4f}"
             )
     return summaries

@@ -160,11 +160,47 @@ def run_pipeline(
 
     # ---- L0: assess, rank, emit ----
     banner(log, "(C) Assess models..")
+    summary = emit_artifacts(
+        dir_out, ident, coords, energies, if_matrix, restraints, dense, cfg,
+        alphas=alphas,
+    )
+    summary.update(
+        {"restraints": int(n_tbl), "wall_seconds": time.time() - t_start}
+    )
+    with open(os.path.join(dir_out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    banner(log, f"Finished in {summary['wall_seconds']:.1f}s "
+                f"best Spearman(IF,1/d)={summary['best_spearman_if_inv_d']:.4f}")
+    return summary
+
+
+def emit_artifacts(
+    dir_out: str,
+    ident: str,
+    coords: np.ndarray,
+    energies: Dict[str, np.ndarray],
+    if_matrix: np.ndarray,
+    restraints,
+    dense,
+    cfg: PipelineConfig,
+    alphas=None,
+) -> Dict:
+    """The L0 assessment + artifact emission shared by the per-chromosome
+    pipeline and the genome runner: satisfaction stats, NOE-energy top-k
+    model PDBs (ref :822-828), Spearman-ranked rankNN PDBs (the published
+    naming), spearman.txt, model_info.log, and the best model's violation
+    report. Returns the summary dict."""
+    rc = cfg.restraints
+    L = if_matrix.shape[0]
+    n_base = min(cfg.model_count, len(coords))
+    if alphas is None:
+        alphas = [rc.alpha] * len(coords)
+
     stats = assess_ensemble(coords, dense, cfg)
     sp_order, sp_scores = rank_by_spearman(if_matrix, coords, cfg.spearman_range)
     # NOE-energy ranking only within the base-alpha models (energies under
     # different restraint sets are not comparable)
-    e_order = rank_by_energy(energies["noe"][: cfg.model_count], cfg.top_k)
+    e_order = rank_by_energy(energies["noe"][:n_base], cfg.top_k)
 
     info_log = os.path.join(dir_out, "model_info.log")
     banner(log, f"NOE_SATISFIED(+-{cfg.dist_relax}A)  SUM_OF_DEVIATIONS>=0.2  MODEL")
@@ -210,20 +246,13 @@ def run_pipeline(
         pdb_name=f"{ident}_model1.pdb",
     )
 
-    summary = {
+    return {
         "id": ident,
         "L": int(L),
-        "restraints": int(n_tbl),
-        "models": int(cfg.model_count),
+        "models": int(len(coords)),
         "best_noe_energy": float(energies["noe"][best]),
         "best_spearman_if_inv_d": float(sp_scores[sp_order[0]]),
         "satisfied": int(satisfied),
         "total": int(total),
         "clashes_under_3A": clash_count(coords[best], 3.0),
-        "wall_seconds": time.time() - t_start,
     }
-    with open(os.path.join(dir_out, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
-    banner(log, f"Finished in {summary['wall_seconds']:.1f}s "
-                f"best Spearman(IF,1/d)={summary['best_spearman_if_inv_d']:.4f}")
-    return summary

@@ -1,0 +1,83 @@
+"""or-group tbl parsing + min-distance assessment (C11 parity:
+ssnoe_tbl_min_pdb_dist, chromosome3D.pl:487-554)."""
+
+import numpy as np
+import pytest
+
+from chromosome3d_tpu.assess import assess_pdb_vs_tbl, min_group_distance, parse_tbl_rows
+from chromosome3d_tpu.config import PipelineConfig
+
+
+def test_parse_simple_rows(tmp_path):
+    tbl = tmp_path / "c.tbl"
+    tbl.write_text(
+        "assign45 (resid   1 and name ca) (resid   7 and name ca) 5.00 0.00 0.00\n"
+        "assign (resid 2 and name ca) (resid 9 and name ca) 8.25 0.10 0.30\n"
+    )
+    rows = parse_tbl_rows(tbl)
+    assert len(rows) == 2
+    g1, g2, d, neg, pos = rows[0]
+    assert g1 == [(1, "ca")] and g2 == [(7, "ca")]
+    assert (d, neg, pos) == (5.0, 0.0, 0.0)
+    assert rows[1][2:] == (8.25, 0.10, 0.30)
+
+
+def test_parse_or_groups(tmp_path):
+    tbl = tmp_path / "c.tbl"
+    tbl.write_text(
+        "assign ((resid 123 and name ca) or (resid 123 and name cb)) "
+        "((resid 58 and name ca) or (resid 58 and name cb)) 3.60 0.10 3.40\n"
+    )
+    rows = parse_tbl_rows(tbl)
+    assert len(rows) == 1
+    g1, g2, d, neg, pos = rows[0]
+    assert g1 == [(123, "ca"), (123, "cb")]
+    assert g2 == [(58, "ca"), (58, "cb")]
+    assert (d, neg, pos) == (3.6, 0.1, 3.4)
+
+
+def test_min_group_distance():
+    coords = np.array([[0.0, 0, 0], [3.0, 0, 0], [10.0, 0, 0]])
+    g1 = [(1, "ca"), (2, "ca")]
+    g2 = [(3, "ca")]
+    assert min_group_distance(coords, g1, g2) == pytest.approx(7.0)
+
+
+def test_assess_pdb_vs_tbl(tmp_path):
+    tbl = tmp_path / "c.tbl"
+    tbl.write_text(
+        "assign45 (resid   1 and name ca) (resid   2 and name ca) 5.00 0.00 0.00\n"
+        "assign45 (resid   1 and name ca) (resid   3 and name ca) 4.00 0.00 0.00\n"
+    )
+    coords = np.array([[0.0, 0, 0], [5.2, 0, 0], [9.0, 0, 0]])
+    cfg = PipelineConfig()
+    sat, total, dev = assess_pdb_vs_tbl(coords, tbl, cfg)
+    # row1: d=5.2 < 5.5 -> satisfied. row2: d=9 > 4.2 -> violated, dev=5
+    assert (sat, total) == (1, 2)
+    assert dev == pytest.approx(5.0, rel=1e-6)
+
+
+def test_assess_matches_pipeline_tbl(tmp_path, tiny_matrix):
+    """Cross-check against the vectorized violation_stats on a generated tbl."""
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy, violation_stats
+    from chromosome3d_tpu.restraints import if_to_dist, write_contact_tbl, write_rr, build_restraints
+
+    rc = RestraintConfig()
+    d = if_to_dist(tiny_matrix, rc)
+    rr = tmp_path / "x.rr"
+    tbl = tmp_path / "x.tbl"
+    write_rr(rr, d, rc)
+    write_contact_tbl(tbl, rr, rc)
+    rng = np.random.RandomState(0)
+    coords = rng.randn(16, 3) * 8
+    cfg = PipelineConfig()
+    sat, total, dev = assess_pdb_vs_tbl(coords, tbl, cfg)
+    dense = dense_restraints_from_numpy(build_restraints(tiny_matrix, rc))
+    s2, t2, d2 = violation_stats(
+        jnp.asarray(coords, jnp.float32), dense, cfg.dist_relax, cfg.sum_dev_margin
+    )
+    assert (sat, total) == (int(s2), int(t2))
+    assert dev == pytest.approx(float(d2), rel=1e-3)

@@ -168,7 +168,7 @@ def test_genome_sharded_matches_single_device(tmp_path):
         GenomeJob("chr22_1mb", os.path.join(REF_INPUT, "chr22_1mb_matrix.txt"), 35, 64),
         GenomeJob("chr21_1mb", os.path.join(REF_INPUT, "chr21_1mb_matrix.txt"), 37, 64),
     ]
-    batched, masks, _ = _stack_bucket(jobs, 64, cfg)
+    batched, masks, _, _ = _stack_bucket(jobs, 64, cfg)
     multi = solve_bucket(batched, masks, cfg, make_mesh(jax.devices()))
     single = solve_bucket(batched, masks, cfg, make_mesh(jax.devices()[:1]))
     np.testing.assert_allclose(
