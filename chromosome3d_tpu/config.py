@@ -125,8 +125,13 @@ class PipelineConfig:
     alpha_ensemble: tuple = ()
     restraints: RestraintConfig = dataclasses.field(default_factory=RestraintConfig)
     anneal: AnnealConfig = dataclasses.field(default_factory=AnnealConfig)
-    # genome runs: pad each chromosome to the smallest bucket >= L
-    length_buckets: tuple = (64, 128, 256, 512, 768)
+    # genome runs: pad each chromosome to the smallest bucket >= L.
+    # Coarse buckets on purpose: every shipped chromosome fits 512, so the
+    # whole genome is ONE compiled program. Padded-out compute is nearly
+    # free on the TPU (masked), while each extra bucket costs a separate
+    # XLA compilation — minutes through this environment's remote-compile
+    # tunnel vs ~2s of extra padded math.
+    length_buckets: tuple = (512, 768)
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -72,22 +72,72 @@ def smooth_bounds(
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("bond_length",))
-def mds_init(restraints: DenseRestraints, bond_length: float = 3.8) -> jnp.ndarray:
+def _orthonormalize(v: jnp.ndarray) -> jnp.ndarray:
+    """Modified Gram-Schmidt on the 3 columns of (L, 3)."""
+    q0 = v[:, 0] / (jnp.linalg.norm(v[:, 0]) + 1e-12)
+    v1 = v[:, 1] - (q0 @ v[:, 1]) * q0
+    q1 = v1 / (jnp.linalg.norm(v1) + 1e-12)
+    v2 = v[:, 2] - (q0 @ v[:, 2]) * q0 - (q1 @ v[:, 2]) * q1
+    q2 = v2 / (jnp.linalg.norm(v2) + 1e-12)
+    return jnp.stack([q0, q1, q2], axis=1)
+
+
+def _top3_eig(b: jnp.ndarray, iters: int = 60):
+    """Top-3 eigenpairs of a symmetric matrix by subspace (orthogonal)
+    iteration: (L, L) @ (L, 3) matmuls on the MXU instead of a full eigh —
+    the TPU-idiomatic choice (eigh lowers to a slow iterative kernel; we
+    only need a 3-dimensional invariant subspace for the embedding).
+    Deterministic start (prefix of a DCT basis, never orthogonal to a
+    smooth dominant eigenvector)."""
+    L = b.shape[0]
+    t = jnp.arange(L, dtype=jnp.float32)
+    v = jnp.stack(
+        [
+            jnp.ones(L, jnp.float32),
+            jnp.cos(jnp.pi * (t + 0.5) / L),
+            jnp.cos(2.0 * jnp.pi * (t + 0.5) / L),
+        ],
+        axis=1,
+    )
+    v = _orthonormalize(v)
+
+    def body(v, _):
+        v = b @ v
+        return _orthonormalize(v), None
+
+    v, _ = jax.lax.scan(body, v, None, length=iters)
+    bv = b @ v
+    # Rayleigh-Ritz on the 3-dim subspace for rotated, ordered eigenpairs
+    small = v.T @ bv                     # (3, 3) symmetric
+    w, s = jnp.linalg.eigh(small)        # ascending
+    v = v @ s
+    return w[::-1], v[:, ::-1]           # descending
+
+
+@functools.partial(jax.jit, static_argnames=("bond_length", "method"))
+def mds_init(
+    restraints: DenseRestraints, bond_length: float = 3.8, method: str = "subspace"
+) -> jnp.ndarray:
     """Classical MDS embedding of the smoothed bounds matrix -> (L, 3).
 
     B = -1/2 J D^2 J; coordinates are the top-3 eigenvectors scaled by
     sqrt(eigenvalue). Chirality is arbitrary (as with mmdg substructure
     embedding), which is why the annealer keeps the enantiomer trial.
+
+    method: "subspace" (MXU subspace iteration, default) | "eigh" (exact).
     """
     d = smooth_bounds(restraints, bond_length)
     L = d.shape[0]
     d2 = d * d
     j = jnp.eye(L) - 1.0 / L
     b = -0.5 * (j @ d2 @ j)
-    vals, vecs = jnp.linalg.eigh(b)          # ascending
-    top_vals = jnp.maximum(vals[-3:], 0.0)   # (3,)
-    top_vecs = vecs[:, -3:]                  # (L, 3)
+    if method == "eigh":
+        vals, vecs = jnp.linalg.eigh(b)          # ascending
+        top_vals = jnp.maximum(vals[-3:], 0.0)[::-1]
+        top_vecs = vecs[:, -3:][:, ::-1]
+    else:
+        top_vals, top_vecs = _top3_eig(b)
+        top_vals = jnp.maximum(top_vals, 0.0)
     return (top_vecs * jnp.sqrt(top_vals)[None, :]).astype(jnp.float32)
 
 
