@@ -14,7 +14,7 @@ this module handles ranking semantics and the text artifacts:
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ spearman_IF_pdb.pl.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 

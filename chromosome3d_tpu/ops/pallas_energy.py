@@ -27,8 +27,6 @@ a single scale — zero extra FLOPs.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,12 +21,11 @@ pattern lifted across chips.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from chromosome3d_tpu.ops.energy import DenseRestraints, EnergyWeights
 

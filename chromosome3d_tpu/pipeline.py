@@ -40,7 +40,6 @@ from chromosome3d_tpu.io.pdb import write_ca_pdb
 from chromosome3d_tpu.metrics import clash_count
 from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
 from chromosome3d_tpu.restraints import (
-    build_restraints,
     dist_to_restraints,
     if_to_dist,
     write_contact_tbl,

@@ -13,8 +13,6 @@ import os
 import re
 from typing import Dict, Optional, Tuple
 
-import numpy as np
-
 from chromosome3d_tpu.io.pdb import read_ca_pdb, reduce_model, write_ca_pdb
 from chromosome3d_tpu.metrics import cross_resolution_similarity
 
