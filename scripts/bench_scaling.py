@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Scaling benchmark: solve synthetic chromosomes at growing L and report
+anneal steps/sec, on whatever devices exist.
+
+  python scripts/bench_scaling.py                 # on-chip batched solver
+  python scripts/bench_scaling.py --sharded       # row-sharded (beads mesh)
+  python scripts/bench_scaling.py --cpu --devices 8
+
+Synthetic inputs are gamma-distributed IF matrices with the reference's
+statistics (symmetric, dominant diagonal), so the energy work matches real
+data exactly.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def synthetic_matrix(L, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    return m
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="512,1024,2048")
+    ap.add_argument("--models", type=int, default=4)
+    ap.add_argument("--sharded", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--devices", type=int, default=0,
+                    help="force host device count (CPU only)")
+    ap.add_argument("--turbo", action="store_true", default=True)
+    args = ap.parse_args()
+
+    if args.devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from chromosome3d_tpu.config import AnnealConfig, RestraintConfig, turbo_anneal
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.restraints import build_restraints
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+    from chromosome3d_tpu.solver.init import mds_init
+    from chromosome3d_tpu.solver.sharded import solve_single_sharded
+
+    platform = jax.devices()[0].platform
+    cfg = turbo_anneal(AnnealConfig(use_pallas=(platform == "tpu" and not args.sharded)))
+    rc = RestraintConfig()
+
+    results = []
+    for L in [int(s) for s in args.sizes.split(",")]:
+        dense = dense_restraints_from_numpy(build_restraints(synthetic_matrix(L), rc))
+        t0 = time.time()
+        if args.sharded:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()), ("beads",))
+            x0 = mds_init(dense)
+            fn = jax.jit(
+                lambda d, k, x: solve_single_sharded(mesh, d, cfg, k, x)
+            )
+            coords, _ = fn(dense, jax.random.PRNGKey(0), x0)
+            coords = np.asarray(coords)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            coords = np.asarray(fn(dense, jax.random.PRNGKey(1), x0)[0])
+            n_struct = 1
+        else:
+            res = solve_ensemble(dense, cfg, jax.random.PRNGKey(0), args.models)
+            np.asarray(res.coords)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            res = solve_ensemble(dense, cfg, jax.random.PRNGKey(1), args.models)
+            coords = np.asarray(res.coords)
+            n_struct = coords.shape[0]
+        wall = time.time() - t0
+        row = {
+            "L": L,
+            "structures": n_struct,
+            "steps": cfg.total_steps,
+            "compile_s": round(compile_s, 1),
+            "solve_s": round(wall, 3),
+            "steps_per_sec": round(cfg.total_steps / wall, 1),
+            "platform": platform,
+            "devices": len(jax.devices()),
+            "sharded": args.sharded,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -122,6 +122,38 @@ def test_genome_runner_multi_device(tmp_path):
         assert -1.0 <= s["best_spearman_if_inv_d"] <= 1.0
 
 
+def test_bucket_padding_quality_equivalence(tmp_path):
+    """A chromosome solved inside a padded bucket must match its unpadded
+    solve at quality level (padding is masked out of every term)."""
+    import jax
+    import numpy as np
+
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+    from chromosome3d_tpu.metrics import spearman_if_inv_d
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.parallel.genome import GenomeJob, _stack_bucket, make_mesh, solve_bucket
+    from chromosome3d_tpu.restraints import build_restraints
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+
+    if not os.path.exists(REF_INPUT):
+        pytest.skip("reference not available")
+    cfg = fast_cfg(model_count=2)
+    m = load_if_matrix(os.path.join(REF_INPUT, "chr22_1mb_matrix.txt"))
+    jobs = [GenomeJob("chr22_1mb", os.path.join(REF_INPUT, "chr22_1mb_matrix.txt"), 35, 64)]
+    batched, masks, _, _ = _stack_bucket(jobs, 64, cfg)
+    padded = solve_bucket(batched, masks, cfg, make_mesh(jax.devices()[:1]))
+    c_pad = np.asarray(padded.coords)[0, :, :35, :]
+
+    rc = cfg.restraints
+    dense = dense_restraints_from_numpy(build_restraints(m, rc), rc.weighting, rc.weight_exponent)
+    res = solve_ensemble(dense, cfg.anneal, jax.random.PRNGKey(cfg.seed), 2)
+    c_unpad = np.asarray(res.coords)
+
+    s_pad = max(spearman_if_inv_d(m, c) for c in c_pad)
+    s_unpad = max(spearman_if_inv_d(m, c) for c in c_unpad)
+    assert abs(s_pad - s_unpad) < 0.03
+
+
 def test_genome_resume_skips_finished(tmp_path):
     """run_genome(resume=True) must not re-solve checkpointed chromosomes."""
     from chromosome3d_tpu.parallel.genome import GenomeJob, run_genome
