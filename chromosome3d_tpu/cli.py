@@ -89,6 +89,25 @@ def main(argv=None) -> int:
     sp.add_argument("range", nargs="?", type=int, default=3,
                     help="|i-j| short-range cutoff (default 3)")
 
+    srv = sub.add_parser(
+        "serve",
+        help="warm-model server on a Unix socket: keeps compiled solve "
+             "programs resident across requests",
+    )
+    srv.add_argument("--socket", required=True, help="unix socket path")
+    srv.add_argument("--turbo", action="store_true")
+    srv.add_argument("--pallas", action="store_true")
+
+    cli = sub.add_parser("submit", help="send one solve request to a server")
+    cli.add_argument("--socket", required=True)
+    cli.add_argument("-i", "--input", help="IF matrix file")
+    cli.add_argument("-o", "--output", help="output directory")
+    cli.add_argument("-a", "--alpha", type=float, default=0.5)
+    cli.add_argument("-m", "--model-count", type=int, default=10)
+    cli.add_argument("--turbo", action="store_true")
+    cli.add_argument("--ping", action="store_true")
+    cli.add_argument("--shutdown", action="store_true")
+
     ass = sub.add_parser(
         "assess",
         help="assess model PDB(s) against a CNS NOE tbl "
@@ -98,6 +117,10 @@ def main(argv=None) -> int:
     ass.add_argument("tbl", help="contact.tbl (CNS NOE restraints)")
     ass.add_argument("--relax", type=float, default=0.5,
                      help="satisfaction window (default 0.5 A)")
+
+    ren = sub.add_parser("render", help="render model PDB(s) to PNG (image.png parity)")
+    ren.add_argument("target", help="a PDB file or a run output directory")
+    ren.add_argument("-o", "--output", default=None, help="output PNG (file mode)")
 
     sim = sub.add_parser(
         "similarity",
@@ -156,6 +179,41 @@ def main(argv=None) -> int:
             print(f"{scores[path]:.3f}\t{path}")
         return 0
 
+    if args.command == "serve":
+        from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, turbo_anneal
+        from chromosome3d_tpu.serve import serve
+
+        anneal = AnnealConfig(use_pallas=args.pallas)
+        if args.turbo:
+            anneal = turbo_anneal(anneal)
+        serve(args.socket, PipelineConfig(anneal=anneal))
+        return 0
+
+    if args.command == "submit":
+        from chromosome3d_tpu.serve import request
+
+        if args.ping:
+            print(json.dumps(request(args.socket, {"cmd": "ping"})))
+            return 0
+        if args.shutdown:
+            print(json.dumps(request(args.socket, {"cmd": "shutdown"})))
+            return 0
+        if not (args.input and args.output):
+            print("submit needs -i and -o (or --ping/--shutdown)", file=sys.stderr)
+            return 2
+        resp = request(
+            args.socket,
+            {
+                "matrix": args.input,
+                "out": args.output,
+                "alpha": args.alpha,
+                "models": args.model_count,
+                "turbo": args.turbo,
+            },
+        )
+        print(json.dumps(resp))
+        return 0 if resp.get("ok") else 1
+
     if args.command == "assess":
         import os
 
@@ -170,6 +228,21 @@ def main(argv=None) -> int:
             coords = read_ca_pdb(path)
             sat, total, dev = assess_pdb_vs_tbl(coords, args.tbl, cfg)
             print(f"{sat}/{total}             {dev:.2f}                {path}")
+        return 0
+
+    if args.command == "render":
+        import os
+
+        from chromosome3d_tpu.render import render_model, render_run
+
+        if os.path.isdir(args.target):
+            for png in render_run(args.target):
+                print(png)
+        else:
+            from chromosome3d_tpu.io.pdb import read_ca_pdb
+
+            out = args.output or args.target.replace(".pdb", ".png")
+            print(render_model(read_ca_pdb(args.target), out))
         return 0
 
     if args.command == "similarity":

@@ -1,0 +1,183 @@
+"""Warm-model serving.
+
+Production deployments solve many matrices over time; XLA compilation (and
+especially this environment's remote-compile tunnel) costs orders of
+magnitude more than a solve. This module provides a long-lived server that
+keeps compiled solve programs warm across requests, keyed by (padded length
+bucket, model count, schedule): the first request for a bucket pays the
+compile, every later one runs in milliseconds-to-seconds.
+
+Transport is a Unix domain socket with newline-delimited JSON (zero-egress
+friendly; no TCP). Protocol:
+
+  request:  {"matrix": "/path/to/if_matrix.txt", "out": "/path/out",
+             "alpha": 0.5, "kscaling": 11.0, "models": 10,
+             "turbo": true}
+  response: {"ok": true, "summary": {...}}   |   {"ok": false, "error": "..."}
+  control:  {"cmd": "ping"} -> {"ok": true, "pong": true, "warm_buckets": [...]}
+            {"cmd": "shutdown"} -> server exits after responding
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+from dataclasses import replace as dataclasses_replace
+from typing import Dict, Optional
+
+import numpy as np
+
+from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig, turbo_anneal
+from chromosome3d_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+class SolverCache:
+    """Holds jitted solve programs warm, keyed by (L_pad, models, schedule id).
+
+    jax's jit cache already keys on shapes + static config; this class's job
+    is to route every request through the SAME padded shapes so that cache
+    actually hits (the same coarse bucketing the genome runner uses).
+    """
+
+    def __init__(self, base: Optional[PipelineConfig] = None):
+        self.base = base or PipelineConfig()
+        self.warm: set = set()
+
+    def bucket_for(self, L: int) -> int:
+        fit = [b for b in self.base.length_buckets if b >= L]
+        if not fit:
+            raise ValueError(
+                f"L={L} exceeds the largest bucket {max(self.base.length_buckets)}"
+            )
+        return min(fit)
+
+    def solve(self, matrix: np.ndarray, cfg: PipelineConfig):
+        """Solve one chromosome through the padded path; returns
+        (coords (n, L, 3), energies dict) with padding stripped."""
+        import jax
+        import jax.numpy as jnp
+
+        from chromosome3d_tpu.ops.energy import (
+            DenseRestraints,
+            auto_weight_exponent,
+            dense_restraints_from_numpy,
+        )
+        from chromosome3d_tpu.restraints import build_restraints
+        from chromosome3d_tpu.solver.anneal import solve_ensemble
+
+        L = matrix.shape[0]
+        L_pad = self.bucket_for(L)
+        rc = cfg.restraints
+        r = build_restraints(matrix, rc)
+        p = rc.weight_exponent
+        if p is None:
+            p = auto_weight_exponent(L)
+        dense = dense_restraints_from_numpy(r.padded(L_pad), rc.weighting, p)
+        bead = jnp.asarray(
+            np.pad(np.ones(L, np.float32), (0, L_pad - L)), jnp.float32
+        )
+        result = solve_ensemble(
+            dense, cfg.anneal, jax.random.PRNGKey(cfg.seed), cfg.model_count, bead
+        )
+        self.warm.add((L_pad, cfg.model_count, cfg.anneal.total_steps))
+        coords = np.asarray(result.coords)[:, :L, :]
+        energies = {k: np.asarray(v) for k, v in result.energies.items()}
+        return coords, energies, r
+
+
+def handle_request(req: Dict, cache: SolverCache) -> Dict:
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.pipeline import emit_artifacts
+
+    if req.get("cmd") == "ping":
+        return {"ok": True, "pong": True, "warm_buckets": sorted(cache.warm)}
+
+    matrix_path = req["matrix"]
+    out_dir = req["out"]
+    anneal = cache.base.anneal
+    if req.get("turbo"):
+        anneal = turbo_anneal(anneal)
+    cfg = cache.base.replace(
+        model_count=int(req.get("models", cache.base.model_count)),
+        restraints=RestraintConfig(
+            kscaling=float(req.get("kscaling", 11.0)),
+            alpha=float(req.get("alpha", 0.5)),
+        ),
+        anneal=anneal,
+    )
+    matrix = load_if_matrix(matrix_path)
+    coords, energies, restraints = cache.solve(matrix, cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    ident = os.path.basename(matrix_path)
+    ident = ident[:-4] if ident.endswith(".txt") else ident
+    dense = dense_restraints_from_numpy(
+        restraints, cfg.restraints.weighting, cfg.restraints.weight_exponent
+    )
+    summary = emit_artifacts(
+        out_dir, ident, coords, energies, matrix, restraints, dense, cfg
+    )
+    return {"ok": True, "summary": summary}
+
+
+def serve(socket_path: str, cfg: Optional[PipelineConfig] = None) -> None:
+    """Blocking server loop on a Unix domain socket."""
+    cache = SolverCache(cfg)
+    if os.path.exists(socket_path):
+        os.remove(socket_path)
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError as e:
+                    self._reply({"ok": False, "error": f"bad json: {e}"})
+                    continue
+                if req.get("cmd") == "shutdown":
+                    self._reply({"ok": True, "bye": True})
+                    raise SystemExit(0)
+                try:
+                    self._reply(handle_request(req, cache))
+                except Exception as e:  # report, keep serving
+                    log.info(f"request failed: {e!r}")
+                    self._reply({"ok": False, "error": repr(e)})
+
+        def _reply(self, obj):
+            self.wfile.write((json.dumps(obj) + "\n").encode())
+            self.wfile.flush()
+
+    class Server(socketserver.UnixStreamServer):
+        allow_reuse_address = True
+
+    log.info(f"serving on {socket_path}")
+    with Server(socket_path, Handler) as server:
+        try:
+            server.serve_forever()
+        except SystemExit:
+            pass
+        finally:
+            if os.path.exists(socket_path):
+                os.remove(socket_path)
+
+
+def request(socket_path: str, req: Dict, timeout: float = 600.0) -> Dict:
+    """One-shot client: send a request, return the response dict."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout)
+        s.connect(socket_path)
+        s.sendall((json.dumps(req) + "\n").encode())
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode())

@@ -115,3 +115,14 @@ def test_profile_trace_noop():
 
     with profile_trace(None):
         pass
+
+
+def test_render_model(tmp_path):
+    from chromosome3d_tpu.render import render_model
+
+    rng = np.random.RandomState(0)
+    # a smooth helix so the plot exercises the position colormap
+    t = np.linspace(0, 6 * np.pi, 60)
+    coords = np.stack([np.cos(t) * 10, np.sin(t) * 10, t], axis=1)
+    png = render_model(coords, str(tmp_path / "m.png"), title="helix")
+    assert os.path.getsize(png) > 5000

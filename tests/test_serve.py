@@ -1,0 +1,77 @@
+"""Warm-model server tests: ping, solve request, warm-bucket reuse, error
+handling, shutdown — over a real Unix socket with the server in a thread."""
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig, fast_anneal
+from chromosome3d_tpu.serve import request, serve
+
+REF_INPUT = "/root/reference/input"
+
+
+@pytest.fixture()
+def server(tmp_path):
+    sock = str(tmp_path / "c3d.sock")
+    cfg = PipelineConfig(
+        model_count=2,
+        anneal=fast_anneal(AnnealConfig()),
+        length_buckets=(64, 128, 256, 512),
+    )
+    t = threading.Thread(target=serve, args=(sock, cfg), daemon=True)
+    t.start()
+    for _ in range(100):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.05)
+    yield sock
+    try:
+        request(sock, {"cmd": "shutdown"}, timeout=5)
+    except Exception:
+        pass
+
+
+def test_ping(server):
+    resp = request(server, {"cmd": "ping"})
+    assert resp["ok"] and resp["pong"]
+    assert resp["warm_buckets"] == []
+
+
+def test_solve_request_and_warm_reuse(server, tmp_path):
+    src = os.path.join(REF_INPUT, "chr22_1mb_matrix.txt")
+    if not os.path.exists(src):
+        pytest.skip("reference not available")
+    out1 = str(tmp_path / "o1")
+    t0 = time.time()
+    resp = request(server, {"matrix": src, "out": out1, "models": 2})
+    cold = time.time() - t0
+    assert resp["ok"], resp
+    assert resp["summary"]["L"] == 35
+    assert os.path.exists(os.path.join(out1, "chr22_1mb_matrix_model1.pdb"))
+
+    # same bucket, different chromosome: must reuse the compiled program
+    src2 = os.path.join(REF_INPUT, "chr21_1mb_matrix.txt")
+    out2 = str(tmp_path / "o2")
+    t0 = time.time()
+    resp2 = request(server, {"matrix": src2, "out": out2, "models": 2})
+    warm = time.time() - t0
+    assert resp2["ok"] and resp2["summary"]["L"] == 37
+    assert warm < cold, f"warm {warm:.2f}s not faster than cold {cold:.2f}s"
+
+    pong = request(server, {"cmd": "ping"})
+    assert len(pong["warm_buckets"]) == 1
+
+
+def test_bad_request_keeps_serving(server):
+    resp = request(server, {"matrix": "/nonexistent.txt", "out": "/tmp/x"})
+    assert not resp["ok"] and "error" in resp
+    assert request(server, {"cmd": "ping"})["ok"]
+
+
+def test_shutdown(server):
+    resp = request(server, {"cmd": "shutdown"})
+    assert resp["ok"]
