@@ -74,7 +74,10 @@ def _kernel(
     for c in range(3):
         diff = a[:, c:c + 1] - xt_ref[0, c:c + 1, :]
         d2 = d2 + diff * diff
-    d = jnp.sqrt(d2 + _EPS)
+    # one rsqrt replaces sqrt + the two later divides by d (transcendentals
+    # and divides are the VPU's expensive ops in this kernel)
+    rinv = jax.lax.rsqrt(d2 + _EPS)
+    d = (d2 + _EPS) * rinv
 
     pair_valid = bmcol_ref[:] * bmrow_ref[:]       # (TM, L)
 
@@ -103,7 +106,7 @@ def _kernel(
     c_vdw = -2.0 * vdw_w * nonbonded * overlap
 
     # --- gradient: dE/dx_i = x_i * rowsum(c) - c @ X ---
-    c = (c_noe + c_vdw) / d                        # (TM, L)
+    c = (c_noe + c_vdw) * rinv                     # (TM, L)
     crow = jnp.sum(c, axis=1, keepdims=True)       # (TM, 1)
     cx = jax.lax.dot_general(
         c, x, (((1,), (0,)), ((), ())),
