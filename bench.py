@@ -60,7 +60,16 @@ def main() -> int:
         coords = np.asarray(res.coords)
         return res, coords
 
-    run(0)  # compile
+    try:
+        run(0)  # compile
+    except Exception:
+        if not use_pallas:
+            raise
+        # fall back to the dense XLA energy path if the Pallas kernel fails
+        # to lower on this backend (keeps the benchmark alive on new stacks)
+        use_pallas = False
+        cfg = AnnealConfig(use_pallas=False)
+        run(0)
     t0 = time.time()
     result, coords_np = run(82364)
     wall = time.time() - t0

@@ -123,3 +123,14 @@ def test_golden_chr21(chr21_1mb_matrix):
     assert r.length == 37
     assert r.count > 300
     assert (r.target[r.mask] > 0).all()
+
+
+def test_kscaling_spearman_invariance(tiny_matrix):
+    """K scales all targets uniformly, so the Spearman objective (and the
+    relative-weighted energy landscape up to scale) is K-invariant."""
+    from chromosome3d_tpu.config import RestraintConfig
+
+    a = if_to_dist(tiny_matrix, RestraintConfig(kscaling=11.0))
+    b = if_to_dist(tiny_matrix, RestraintConfig(kscaling=44.0))
+    mask = a > 0
+    np.testing.assert_allclose(b[mask] / a[mask], 4.0, rtol=1e-9)
