@@ -41,7 +41,7 @@ def load_if_matrix(path: str | os.PathLike, dtype=np.float64) -> np.ndarray:
     if _native_parse is not None:
         mat = _native_parse(os.fspath(path))
         if mat is not None:
-            return np.asarray(mat, dtype=dtype)
+            return _validate(np.asarray(mat, dtype=dtype), path)
 
     rows = []
     width: Optional[int] = None
@@ -63,6 +63,19 @@ def load_if_matrix(path: str | os.PathLike, dtype=np.float64) -> np.ndarray:
     mat = np.asarray(rows, dtype=dtype)
     if mat.shape[0] != mat.shape[1]:
         raise ValueError(f"{path}: matrix is {mat.shape}, expected square")
+    return _validate(mat, path)
+
+
+def _validate(mat: np.ndarray, path) -> np.ndarray:
+    """IF matrices are interaction counts/frequencies: finite and
+    non-negative. Catch corrupt inputs here rather than as NaN structures
+    three subsystems later (the reference dies mid-CNS instead)."""
+    if not np.isfinite(mat).all():
+        bad = np.argwhere(~np.isfinite(mat))[0]
+        raise ValueError(f"{path}: non-finite IF value at {tuple(bad)}")
+    if (mat < 0).any():
+        bad = np.argwhere(mat < 0)[0]
+        raise ValueError(f"{path}: negative IF value at {tuple(bad)}")
     return mat
 
 

@@ -95,3 +95,25 @@ def test_reduce_model_matches_reference_convention():
     assert len(red_ours) == len(red_ref)
     # the shipped reduced files average consecutive bead pairs
     np.testing.assert_allclose(red_ours, red_ref, atol=0.01)
+
+
+def test_load_rejects_corrupt_values(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text("1.0 nan\n2.0 3.0\n")
+    with pytest.raises(ValueError, match="non-finite"):
+        load_if_matrix(p)
+    p2 = tmp_path / "neg.txt"
+    p2.write_text("1.0 -2.0\n3.0 4.0\n")
+    with pytest.raises(ValueError, match="negative"):
+        load_if_matrix(p2)
+
+
+def test_load_rejects_ragged_and_nonsquare(tmp_path):
+    p = tmp_path / "ragged.txt"
+    p.write_text("1.0 2.0\n3.0\n")
+    with pytest.raises(ValueError, match="ragged"):
+        load_if_matrix(p)
+    p2 = tmp_path / "rect.txt"
+    p2.write_text("1.0 2.0 3.0\n4.0 5.0 6.0\n")
+    with pytest.raises(ValueError, match="square"):
+        load_if_matrix(p2)

@@ -216,3 +216,20 @@ def test_genome_sharded_matches_single_device(tmp_path):
     s_m = spearman_if_inv_d(m22, np.asarray(multi.coords)[0, 0, :35])
     s_s = spearman_if_inv_d(m22, np.asarray(single.coords)[0, 0, :35])
     assert abs(s_m - s_s) < 0.05
+
+
+def test_pipeline_zero_restraints(tmp_path):
+    """A matrix smaller than the separation cutoff yields zero restraints;
+    the pipeline must still produce (bond/vdw-shaped) models, not crash."""
+    import numpy as np
+
+    m = np.full((4, 4), 10.0)
+    np.fill_diagonal(m, 100.0)
+    src = tmp_path / "tiny_matrix.txt"
+    src.write_text("\n".join(" ".join(f"{v:.1f}" for v in row) for row in m) + "\n")
+    from chromosome3d_tpu.pipeline import run_pipeline
+
+    summary = run_pipeline(str(src), str(tmp_path / "out"), fast_cfg(model_count=2))
+    assert summary["restraints"] == 0
+    assert summary["total"] == 0
+    assert os.path.exists(tmp_path / "out" / "tiny_matrix_model1.pdb")
