@@ -68,7 +68,9 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command")
 
     run = sub.add_parser("run", help="reconstruct one chromosome (the reference's main CLI)")
-    run.add_argument("-i", "--input", required=True, help="IF matrix file")
+    # "-if" kept as an alias: the reference's test.sh invokes `-if <matrix>`
+    # (Getopt::Long prefix-matches it to -i, test.sh:4-11)
+    run.add_argument("-i", "-if", "--input", required=True, help="IF matrix file")
     run.add_argument("-o", "--output", required=True, help="output directory")
     run.add_argument("--profile", default=None, metavar="DIR",
                      help="write a jax.profiler trace of the solve to DIR")

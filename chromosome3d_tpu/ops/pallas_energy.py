@@ -9,13 +9,19 @@ distance matrix (or its adjoint) in HBM.
 
 Math (per row tile of TM beads against all L beads):
 
-    d^2 = |x_i|^2 + |x_j|^2 - 2 x_i . x_j        <- (TM,3)@(3,L) on the MXU
+    d^2 = sum_c (a_c - x_c^T)^2                   <- broadcast differencing, VPU
+    r   = rsqrt(d^2 + eps); d = d^2 * r           <- one transcendental total
     e_noe = 1/2 sum w_ij * well(viol_ij)          <- VPU, full lanes
     e_vdw = 1/2 sum nb_ij * overlap_ij^2
     dE/dx_i = x_i * rowsum(c) - c @ X             <- (TM,L)@(L,3) on the MXU
-      where c_ij = (dE/dd_ij) / d_ij  (the pair force coefficient; each
+      where c_ij = (dE/dd_ij) * r_ij  (the pair force coefficient; each
       unordered pair appears in two row tiles, giving each endpoint its
       gradient, which is why the energy carries the 1/2 and c does not)
+
+Batch handling: the ensemble's structures share one restraint set, so the
+grid is (row_tiles, B) with B fastest-varying and the restraint tiles'
+index_map independent of it — each (TM, L) tile is fetched from HBM once
+per step for ALL structures (the tensors that dominate traffic never repeat).
 
 The chain-bond term is O(L) and stays in jnp (XLA fuses it around the call).
 
