@@ -125,3 +125,16 @@ def test_beats_reference_chr21_1mb(chr21_1mb_matrix):
     )
     assert ours > ref_score, f"ours {ours:.4f} <= reference {ref_score:.4f}"
     assert ours > 0.9
+
+
+def test_absolute_weighting_mode(tiny_matrix):
+    """The CNS-parity configuration (absolute weights + soft-square tail)
+    must still solve sanely — it is a documented option (PARITY.md)."""
+    r = build_restraints(tiny_matrix, RestraintConfig(weighting="absolute"))
+    dense = dense_restraints_from_numpy(r, "absolute")
+    cfg = fast_anneal(AnnealConfig(noe_rswitch=1.0))
+    res = solve_ensemble(dense, cfg, jax.random.PRNGKey(0), 2)
+    coords = np.asarray(res.coords)
+    assert np.isfinite(coords).all()
+    h = np.asarray(res.history[0])
+    assert h[-1] < h[0]
