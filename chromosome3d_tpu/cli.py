@@ -91,6 +91,18 @@ def main(argv=None) -> int:
     sp.add_argument("range", nargs="?", type=int, default=3,
                     help="|i-j| short-range cutoff (default 3)")
 
+    slv = sub.add_parser(
+        "solve",
+        help="solve directly from a restraint file (.rr or CNS .tbl), "
+             "no IF matrix required",
+    )
+    slv.add_argument("-r", "--restraints", required=True,
+                     help=".rr (i j lo hi conf) or CNS .tbl file")
+    slv.add_argument("-o", "--output", required=True)
+    slv.add_argument("-L", "--length", type=int, default=None,
+                     help="bead count (default: largest residue index)")
+    _add_common(slv)
+
     srv = sub.add_parser(
         "serve",
         help="warm-model server on a Unix socket: keeps compiled solve "
@@ -179,6 +191,15 @@ def main(argv=None) -> int:
         print("SRCC\tPDB")
         for path in sorted(scores, key=lambda p: -scores[p]):
             print(f"{scores[path]:.3f}\t{path}")
+        return 0
+
+    if args.command == "solve":
+        from chromosome3d_tpu.pipeline import run_restraints_pipeline
+
+        summary = run_restraints_pipeline(
+            args.restraints, args.output, _make_config(args), L=args.length
+        )
+        print(json.dumps(summary))
         return 0
 
     if args.command == "serve":

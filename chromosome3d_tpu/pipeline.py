@@ -173,6 +173,77 @@ def run_pipeline(
     return summary
 
 
+def run_restraints_pipeline(
+    restraints_file: str,
+    dir_out: str,
+    cfg: Optional[PipelineConfig] = None,
+    L: Optional[int] = None,
+) -> Dict:
+    """Solve directly from a restraint file — a CONFOLD-style `.rr` or a CNS
+    `.tbl` — with no IF matrix. This is the general distance-geometry entry
+    point (the reference only reaches CNS through its own generated tbl;
+    here external restraint sets are first-class). Spearman ranking needs a
+    matrix, so models rank by NOE energy only."""
+    from chromosome3d_tpu.restraints import read_contact_tbl, read_rr
+
+    cfg = cfg or PipelineConfig()
+    t_start = time.time()
+    os.makedirs(dir_out, exist_ok=True)
+    ident = os.path.basename(restraints_file)
+    ident = ident.rsplit(".", 1)[0]
+    rc = cfg.restraints
+
+    if restraints_file.endswith(".tbl"):
+        if L is None:
+            rows = open(restraints_file).read()
+            import re as _re
+
+            L = max(int(x) for x in _re.findall(r"resid\s+(\d+)", rows))
+        restraints = read_contact_tbl(restraints_file, L)
+        conf = None
+    else:
+        restraints, conf = read_rr(restraints_file, L, rc)
+    banner(log, f"Restraints : {restraints.count} from {restraints_file} (L={restraints.length})")
+    dense = dense_restraints_from_numpy(restraints, rc.weighting, rc.weight_exponent)
+    if conf is not None:
+        # fold rr confidences into the stress weights
+        import jax.numpy as jnp
+
+        dense = dense._replace(weight=dense.weight * jnp.asarray(conf, jnp.float32))
+
+    key = jax.random.PRNGKey(cfg.seed)
+    result = solve_ensemble(dense, cfg.anneal, key, cfg.model_count)
+    coords = np.asarray(result.coords)
+    energies = {k: np.asarray(v) for k, v in result.energies.items()}
+
+    e_order = rank_by_energy(energies["noe"], cfg.top_k)
+    info_log = os.path.join(dir_out, "model_info.log")
+    for rank, idx in enumerate(e_order, start=1):
+        path = os.path.join(dir_out, f"{ident}_model{rank}.pdb")
+        remarks = {k: float(energies[k][idx]) for k in ("overall", "vdw", "bon", "noe")}
+        write_ca_pdb(path, coords[idx], remarks=remarks)
+        append_model_info(info_log, path, remarks)
+    best = int(e_order[0])
+    satisfied, total = write_violation_report(
+        os.path.join(dir_out, f"{ident}_violation.txt"),
+        coords[best], restraints, cfg, pdb_name=f"{ident}_model1.pdb",
+        tbl_name=os.path.basename(restraints_file),
+    )
+    summary = {
+        "id": ident,
+        "L": int(restraints.length),
+        "restraints": int(restraints.count),
+        "models": int(cfg.model_count),
+        "best_noe_energy": float(energies["noe"][best]),
+        "satisfied": int(satisfied),
+        "total": int(total),
+        "wall_seconds": time.time() - t_start,
+    }
+    with open(os.path.join(dir_out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return summary
+
+
 def emit_artifacts(
     dir_out: str,
     ident: str,
