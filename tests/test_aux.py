@@ -94,7 +94,16 @@ def test_native_parser_matches_python(tmp_path):
     from chromosome3d_tpu import native
 
     if not native.available():
-        pytest.skip("native lib not built")
+        # build on demand (the .so is deliberately not committed)
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", os.path.dirname(native.__file__)],
+            capture_output=True,
+        )
+        native._TRIED = False  # re-probe after the build
+        if not native.available():
+            pytest.skip("native lib not built and toolchain unavailable")
     from chromosome3d_tpu.io.matrix import load_if_matrix
 
     path = os.path.join(REF, "input", "chr20_500kb_matrix.txt")

@@ -233,3 +233,20 @@ def test_pipeline_zero_restraints(tmp_path):
     assert summary["restraints"] == 0
     assert summary["total"] == 0
     assert os.path.exists(tmp_path / "out" / "tiny_matrix_model1.pdb")
+
+
+def test_pipeline_failure_sentinel(tmp_path):
+    """A solve failure must leave iam.failed (the reference's protocol)."""
+    src = os.path.join(REF_INPUT, "chr22_1mb_matrix.txt")
+    if not os.path.exists(src):
+        pytest.skip("reference not available")
+    from chromosome3d_tpu.pipeline import run_pipeline
+
+    bad = PipelineConfig(
+        model_count=2,
+        anneal=AnnealConfig(hot_steps=-7),  # breaks schedule construction in-solve
+    )
+    with pytest.raises(Exception):
+        run_pipeline(src, str(tmp_path / "out"), bad)
+    assert os.path.exists(tmp_path / "out" / "iam.failed")
+    assert not os.path.exists(tmp_path / "out" / "iam.running")
