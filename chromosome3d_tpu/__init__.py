@@ -23,13 +23,42 @@ from chromosome3d_tpu.config import (
     RestraintConfig,
     AnnealConfig,
     PipelineConfig,
+    fast_anneal,
+    turbo_anneal,
 )
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import chromosome3d_tpu` light)."""
+    lazy = {
+        "run_pipeline": ("chromosome3d_tpu.pipeline", "run_pipeline"),
+        "run_restraints_pipeline": ("chromosome3d_tpu.pipeline", "run_restraints_pipeline"),
+        "run_genome": ("chromosome3d_tpu.parallel.genome", "run_genome"),
+        "solve_ensemble": ("chromosome3d_tpu.solver.anneal", "solve_ensemble"),
+        "build_restraints": ("chromosome3d_tpu.restraints", "build_restraints"),
+        "spearman_if_inv_d": ("chromosome3d_tpu.metrics", "spearman_if_inv_d"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 
 __all__ = [
     "RestraintConfig",
     "AnnealConfig",
     "PipelineConfig",
+    "fast_anneal",
+    "turbo_anneal",
+    "run_pipeline",
+    "run_restraints_pipeline",
+    "run_genome",
+    "solve_ensemble",
+    "build_restraints",
+    "spearman_if_inv_d",
     "__version__",
 ]

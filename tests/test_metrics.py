@@ -126,3 +126,17 @@ def test_cross_resolution_similarity_reproduces_published(hi, lo, pub_rho, pub_r
     rho, rmsd = cross_resolution_similarity(read_ca_pdb(hp), read_ca_pdb(lp))
     assert rho == pytest.approx(pub_rho, abs=0.005)
     assert rmsd == pytest.approx(pub_rmsd, abs=0.05)
+
+
+def test_drmsd_scale_fit():
+    from chromosome3d_tpu.metrics import drmsd
+
+    rng = np.random.RandomState(7)
+    a = rng.randn(20, 3) * 5
+    # pure scaling is absorbed by the fit; disabled fit sees it
+    assert drmsd(a * 3.0, a, fit_scale=True) == pytest.approx(0.0, abs=1e-9)
+    assert drmsd(a * 3.0, a, fit_scale=False) > 1.0
+    # mirror-invariant (distance-based)
+    assert drmsd(a * np.array([-1.0, 1, 1]), a, fit_scale=False) == pytest.approx(
+        0.0, abs=1e-9
+    )

@@ -138,3 +138,23 @@ def test_absolute_weighting_mode(tiny_matrix):
     assert np.isfinite(coords).all()
     h = np.asarray(res.history[0])
     assert h[-1] < h[0]
+
+
+def test_runtime_schedule_override(tiny_matrix):
+    """The schedule is a runtime input: same cfg + different table must
+    change the result without recompilation (sweep support)."""
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.solver.anneal import Schedule
+
+    r = build_restraints(tiny_matrix, RestraintConfig())
+    dense = dense_restraints_from_numpy(r)
+    cfg = fast_anneal(AnnealConfig())
+    base = build_schedule(cfg)
+    hot = Schedule(
+        lr=base.lr * 3.0, sigma=base.sigma, vdw_weight=base.vdw_weight,
+        repel_scale=base.repel_scale,
+    )
+    a = solve_ensemble(dense, cfg, jax.random.PRNGKey(1), 2, None, None, base)
+    b = solve_ensemble(dense, cfg, jax.random.PRNGKey(1), 2, None, None, hot)
+    assert np.abs(np.asarray(a.coords) - np.asarray(b.coords)).max() > 1e-3
