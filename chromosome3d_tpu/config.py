@@ -68,7 +68,12 @@ class AnnealConfig:
 
     # ---- initialization (replaces CNS mmdg embedding, ref :1471-1525) ----
     init: str = "mds"              # "mds" (classical MDS on smoothed bounds) | "random" | "spiral"
-    mds_unknown_fill: str = "shortest_path"  # bounds smoothing for unrestrained pairs
+    # bounds completion for unrestrained pairs before the MDS embed:
+    #   "shortest_path" — min-plus all-pairs shortest paths (mmdg's `auto`
+    #       bound smoothing, chromosome3D.pl:1480); O(L^2 log L) per squaring.
+    #   "max_target"    — fill with the largest restraint target; O(L^2), the
+    #       cheap choice for very large L where the min-plus dominates.
+    mds_unknown_fill: str = "shortest_path"
     init_noise: float = 2.0        # per-restart jitter added to the shared embed (A)
 
     # ---- hot phase (ref :1644-1709: T=2000, 1000 MD steps, dt=.003) ----
@@ -93,7 +98,12 @@ class AnnealConfig:
     # ---- protocol toggles ----
     enantiomer: bool = True        # run mirror-image pair per restart, keep lower
     #                                energy (ref enantiomer trial :1605-1727)
-    gradient_clip: float = 10.0    # per-bead gradient-norm clip (stability)
+    # per-bead gradient-norm clip, applied to the raw gradient before Adam:
+    # each bead's 3-vector is scaled down to at most this norm. None = off
+    # (the validated default; the quadratic well + Adam are already stable).
+    # Set it when feeding adversarial restraint sets (huge absolute-weighted
+    # targets) where early gradients can overflow float32.
+    gradient_clip: Optional[float] = None
     use_pallas: bool = False       # use the Pallas fused energy kernel on TPU
 
     @property
@@ -115,7 +125,6 @@ class PipelineConfig:
     sum_dev_margin: float = 0.2    # sum_noe_dev threshold (:592-597)
     spearman_range: int = 3        # |i-j| cutoff of spearman_IF_pdb.pl (:22)
     seed: int = 82364              # CNS's fixed RNG seed (chromosome3D.pl:980)
-    dtype: str = "float32"
     # hyperparameter-ensemble quality mode: extra alpha values solved in
     # addition to restraints.alpha; all models pool into the Spearman
     # ranking (NOE-energy ranking stays within the base alpha, since NOE

@@ -37,10 +37,11 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_double),
                     ctypes.c_longlong,
                 ]
-                lib.c3d_matrix_size.restype = ctypes.c_longlong
-                lib.c3d_matrix_size.argtypes = [ctypes.c_char_p]
+                lib.c3d_matrix_dims.restype = ctypes.c_longlong
+                lib.c3d_matrix_dims.argtypes = [ctypes.c_char_p]
                 _LIB = lib
-            except OSError:
+            except (OSError, AttributeError):
+                # missing symbol = stale .so from an older ABI; rebuild needed
                 _LIB = None
             break
     return _LIB
@@ -52,20 +53,21 @@ def available() -> bool:
 
 def parse_matrix(path: str) -> Optional[np.ndarray]:
     """Parse a whitespace-float matrix file; None if the native lib is absent
-    or declines (caller falls back to Python)."""
+    or the file is not a well-formed square grid of numeric tokens with
+    uniform row widths (caller falls back to Python, which applies the same
+    acceptance rule and raises the descriptive error — so behavior is
+    identical with or without the .so built)."""
     lib = _load()
     if lib is None:
         return None
-    n = lib.c3d_matrix_size(path.encode())
-    if n <= 0:
+    side = lib.c3d_matrix_dims(path.encode())
+    if side <= 0:
         return None
+    n = side * side
     buf = np.empty(n, dtype=np.float64)
     got = lib.c3d_parse_matrix(
         path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n
     )
-    if got != n:
-        return None
-    side = int(round(n ** 0.5))
-    if side * side != n:
+    if got != side:
         return None
     return buf.reshape(side, side)

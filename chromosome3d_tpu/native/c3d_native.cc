@@ -2,10 +2,17 @@
 //
 // The reference's host layer is Perl text munging (chromosome3D.pl:110-206):
 // at L=456 the whitespace float matrix is ~2 MB of text parsed cell by cell.
-// This library provides a single-pass zero-copy parser (mmap'd, no line
-// splitting) plus a PDB ATOM-row emitter, exposed through a minimal C ABI
-// consumed via ctypes (chromosome3d_tpu/native/__init__.py). Python remains
-// the fallback when the library isn't built.
+// This library provides a single-pass parser plus a PDB ATOM-row emitter,
+// exposed through a minimal C ABI consumed via ctypes
+// (chromosome3d_tpu/native/__init__.py). Python remains the fallback when the
+// library isn't built.
+//
+// Validation contract: the parser accepts EXACTLY what the Python loader
+// (io/matrix.py) accepts — an L x L grid of numeric tokens with every row the
+// same width — and declines (returns -1) anything else, so a malformed file
+// falls through to the Python path and raises the same descriptive error with
+// or without the .so built. The file is read into a NUL-terminated heap
+// buffer (never strtod'd off the end of an mmap page).
 //
 // Build: make -C chromosome3d_tpu/native
 
@@ -13,87 +20,89 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
-#include <fcntl.h>
-#include <sys/mman.h>
-#include <sys/stat.h>
-#include <unistd.h>
+#include <string>
 
 namespace {
 
-struct MappedFile {
-  const char* data = nullptr;
-  size_t size = 0;
-  int fd = -1;
-
-  bool open(const char* path) {
-    fd = ::open(path, O_RDONLY);
-    if (fd < 0) return false;
-    struct stat st;
-    if (fstat(fd, &st) != 0 || st.st_size == 0) {
-      ::close(fd);
-      fd = -1;
-      return false;
-    }
-    size = static_cast<size_t>(st.st_size);
-    void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
-    if (p == MAP_FAILED) {
-      ::close(fd);
-      fd = -1;
-      return false;
-    }
-    data = static_cast<const char*>(p);
-    return true;
+// Read the whole file into a NUL-terminated string; empty on failure.
+std::string read_file(const char* path) {
+  FILE* fp = fopen(path, "rb");
+  if (!fp) return {};
+  fseek(fp, 0, SEEK_END);
+  long size = ftell(fp);
+  if (size <= 0) {
+    fclose(fp);
+    return {};
   }
-
-  ~MappedFile() {
-    if (data) munmap(const_cast<char*>(data), size);
-    if (fd >= 0) ::close(fd);
-  }
-};
-
-inline bool is_space(char c) {
-  return c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\v' || c == '\f';
+  std::string buf(static_cast<size_t>(size), '\0');
+  fseek(fp, 0, SEEK_SET);
+  size_t got = fread(&buf[0], 1, buf.size(), fp);
+  fclose(fp);
+  if (got != buf.size()) return {};
+  return buf;  // c_str() provides the trailing NUL strtod may touch
 }
 
-// Parse all whitespace-separated doubles in [p, end). Writes up to cap
-// values into out (out may be null to count only). Returns the count.
-int64_t parse_doubles(const char* p, const char* end, double* out, int64_t cap) {
-  int64_t n = 0;
+inline bool is_blank(char c) { return c == ' ' || c == '\t' || c == '\r' ||
+                                      c == '\v' || c == '\f'; }
+
+// Parse a well-formed whitespace matrix. Writes row-major values into out
+// (may be null to validate/count only). Returns the square side L, or -1 if
+// the file is empty, ragged, non-square, or contains a non-numeric token.
+int64_t parse_matrix_checked(const std::string& text, double* out, int64_t cap) {
+  const char* p = text.c_str();
+  const char* end = p + text.size();
+  int64_t n = 0;        // values written
+  int64_t rows = 0;
+  int64_t width = -1;   // tokens in the first non-empty row
   while (p < end) {
-    while (p < end && is_space(*p)) ++p;
-    if (p >= end) break;
-    char* next = nullptr;
-    double v = strtod(p, &next);
-    if (next == p) {  // not a number: skip the token
-      while (p < end && !is_space(*p)) ++p;
-      continue;
+    // one line
+    const char* eol = static_cast<const char*>(memchr(p, '\n', end - p));
+    const char* line_end = eol ? eol : end;
+    int64_t row_tokens = 0;
+    while (p < line_end) {
+      while (p < line_end && is_blank(*p)) ++p;
+      if (p >= line_end) break;
+      char* next = nullptr;
+      double v = strtod(p, &next);
+      if (next == p || next > line_end) return -1;  // non-numeric token
+      // the token must end at whitespace/EOL (reject e.g. "1.5x")
+      if (next < line_end && !is_blank(*next)) return -1;
+      if (out) {
+        if (n >= cap) return -1;
+        out[n] = v;
+      }
+      ++n;
+      ++row_tokens;
+      p = next;
     }
-    if (out) {
-      if (n >= cap) return -1;
-      out[n] = v;
+    if (row_tokens > 0) {
+      if (width < 0) width = row_tokens;
+      if (row_tokens != width) return -1;  // ragged row
+      ++rows;
     }
-    ++n;
-    p = next;
+    p = eol ? eol + 1 : end;
   }
-  return n;
+  if (rows == 0 || rows != width) return -1;  // empty or non-square
+  return rows;
 }
 
 }  // namespace
 
 extern "C" {
 
-// Total count of float cells in the file (L*L for a well-formed matrix).
-int64_t c3d_matrix_size(const char* path) {
-  MappedFile f;
-  if (!f.open(path)) return -1;
-  return parse_doubles(f.data, f.data + f.size, nullptr, 0);
+// Side length L of a well-formed L x L matrix file, or -1 (malformed files
+// decline to the Python loader, which raises the descriptive error).
+int64_t c3d_matrix_dims(const char* path) {
+  std::string text = read_file(path);
+  if (text.empty()) return -1;
+  return parse_matrix_checked(text, nullptr, 0);
 }
 
-// Fill out[0..n) with the file's cells; returns the number written or -1.
-int64_t c3d_parse_matrix(const char* path, double* out, int64_t n) {
-  MappedFile f;
-  if (!f.open(path)) return -1;
-  return parse_doubles(f.data, f.data + f.size, out, n);
+// Fill out[0..L*L) row-major; returns L or -1. cap guards the buffer.
+int64_t c3d_parse_matrix(const char* path, double* out, int64_t cap) {
+  std::string text = read_file(path);
+  if (text.empty()) return -1;
+  return parse_matrix_checked(text, out, cap);
 }
 
 // Emit a CA-bead PDB (same fixed-column layout as io/pdb.py write_ca_pdb,

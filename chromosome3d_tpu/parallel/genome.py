@@ -201,16 +201,19 @@ def run_genome(
     if not jobs:
         raise FileNotFoundError(f"no chr*_matrix.txt inputs under {input_dir}")
     ckpt = GenomeCheckpoint(output_dir)
+    summaries: Dict[str, Dict] = {}
     if resume:
         done = [j for j in jobs if ckpt.has(j.name)]
         if done:
             log.info(f"resume: skipping {len(done)} finished chromosomes")
         jobs = [j for j in jobs if not ckpt.has(j.name)]
+        # the returned dict always covers EVERY job: finished chromosomes
+        # contribute their checkpointed summaries even on a partial resume
+        summaries.update({d.name: ckpt.load(d.name)[2] for d in done})
         if not jobs:
-            return {d.name: ckpt.load(d.name)[2] for d in done}
+            return summaries
     buckets = bucket_jobs(jobs, cfg.length_buckets)
     mesh = mesh or make_mesh()
-    summaries: Dict[str, Dict] = {}
     for L_pad, bucket in sorted(buckets.items()):
         log.info(
             f"bucket L={L_pad}: {len(bucket)} chromosomes "

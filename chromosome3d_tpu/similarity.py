@@ -9,6 +9,7 @@ scale-optimal dRMSD — reproduces the published chr12/13/21 numbers).
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 import re
 from typing import Dict, Optional, Tuple
@@ -67,8 +68,16 @@ def pair_outputs_by_chromosome(
         subdir = os.path.join(output_dir, sub)
         if not os.path.isdir(subdir):
             continue
-        for cand in (f"{sub}_rank01_a11.pdb", f"{sub}_model1.pdb"):
-            path = os.path.join(subdir, cand)
+        # rank files are tagged by the run's alpha (emit_artifacts: _rank01_a05
+        # for the default alpha 0.5, _rank01_a11 for 1.1, ...) — glob the tag
+        # rather than assuming one; fall back to the NOE-ranked model1 only
+        # when no Spearman-ranked file exists.
+        ranked = sorted(
+            p
+            for p in _glob.glob(os.path.join(subdir, f"{sub}_rank01_*.pdb"))
+            if "_reduced" not in os.path.basename(p)
+        )
+        for path in ranked + [os.path.join(subdir, f"{sub}_model1.pdb")]:
             if os.path.exists(path):
                 best.setdefault(chrom, {})[res] = path
                 break

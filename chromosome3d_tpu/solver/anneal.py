@@ -112,6 +112,16 @@ def _final_weights(cfg: AnnealConfig) -> EnergyWeights:
     )
 
 
+def _clip_per_bead(g: jnp.ndarray, clip: Optional[float]) -> jnp.ndarray:
+    """Scale each bead's gradient 3-vector down to at most `clip` norm
+    (AnnealConfig.gradient_clip); identity when clip is None. Works on any
+    (..., L, 3) batch."""
+    if clip is None:
+        return g
+    norm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-12)
+    return g * jnp.minimum(1.0, clip / norm)
+
+
 def _energy_fn(cfg: AnnealConfig):
     if cfg.use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy
@@ -163,6 +173,7 @@ def solve_single(
             noe_rswitch=base.noe_rswitch,
         )
         e, g = grad_fn(x, restraints, weights, bead_mask)
+        g = _clip_per_bead(g, cfg.gradient_clip)
         updates, opt_state = opt.update(g, opt_state)
         key, nkey = jax.random.split(key)
         noise = sigma * jax.random.normal(nkey, x.shape)
@@ -197,7 +208,11 @@ def solve_ensemble_impl(
 
     if x0 is None:
         if cfg.init == "mds":
-            x0 = mds_init(restraints, bond_length=cfg.bond_length)
+            x0 = mds_init(
+                restraints,
+                bond_length=cfg.bond_length,
+                unknown_fill=cfg.mds_unknown_fill,
+            )
         elif cfg.init == "spiral":
             x0 = spiral_init(L, bond_length=cfg.bond_length)
         else:
@@ -247,6 +262,7 @@ def solve_ensemble_impl(
             noe_rswitch=base.noe_rswitch,
         )
         e, g = vag(x, weights)
+        g = _clip_per_bead(g, cfg.gradient_clip)
         updates, opt_state = opt.update(g, opt_state)
         k, nkey = jax.random.split(k)
         noise = sigma * jax.random.normal(nkey, x.shape)

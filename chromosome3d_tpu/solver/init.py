@@ -53,11 +53,18 @@ def smooth_bounds(
     restraints: DenseRestraints,
     bond_length: float,
     n_iters: int | None = None,
+    unknown_fill: str = "shortest_path",
 ) -> jnp.ndarray:
-    """Shortest-path bounds smoothing (the `auto` bound-smoothing of mmdg,
-    chromosome3D.pl:1480). Edge weights: restraint target distance where a
-    restraint exists, bond_length between consecutive beads, +inf otherwise.
-    Returns the (L, L) smoothed upper-bound distance matrix."""
+    """Bounds completion for the MDS embed (the `auto` bound-smoothing of
+    mmdg, chromosome3D.pl:1480). Edge weights: restraint target distance where
+    a restraint exists, bond_length between consecutive beads; unrestrained
+    pairs are completed per `unknown_fill` (AnnealConfig.mds_unknown_fill):
+
+      "shortest_path" — min-plus all-pairs shortest paths (mmdg semantics).
+      "max_target"    — fill with the largest restraint target (no min-plus;
+                        O(L^2), for very large L).
+
+    Returns the (L, L) completed upper-bound distance matrix."""
     L = restraints.lo.shape[0]
     target = 0.5 * (restraints.lo + restraints.hi)
     w = jnp.where(restraints.mask > 0, target, _BIG)
@@ -65,6 +72,11 @@ def smooth_bounds(
     adjacent = jnp.abs(idx[:, None] - idx[None, :]) == 1
     w = jnp.where(adjacent, jnp.minimum(w, bond_length), w)
     w = jnp.where(idx[:, None] == idx[None, :], 0.0, w)
+    if unknown_fill == "max_target":
+        fill = jnp.max(jnp.where(restraints.mask > 0, target, 0.0))
+        return jnp.minimum(w, jnp.maximum(fill, bond_length))
+    if unknown_fill != "shortest_path":
+        raise ValueError(f"unknown mds_unknown_fill {unknown_fill!r}")
     if n_iters is None:
         n_iters = max(1, int(np.ceil(np.log2(max(L, 2)))))
     for _ in range(n_iters):
@@ -114,9 +126,12 @@ def _top3_eig(b: jnp.ndarray, iters: int = 60):
     return w[::-1], v[:, ::-1]           # descending
 
 
-@functools.partial(jax.jit, static_argnames=("bond_length", "method"))
+@functools.partial(jax.jit, static_argnames=("bond_length", "method", "unknown_fill"))
 def mds_init(
-    restraints: DenseRestraints, bond_length: float = 3.8, method: str = "subspace"
+    restraints: DenseRestraints,
+    bond_length: float = 3.8,
+    method: str = "subspace",
+    unknown_fill: str = "shortest_path",
 ) -> jnp.ndarray:
     """Classical MDS embedding of the smoothed bounds matrix -> (L, 3).
 
@@ -125,8 +140,9 @@ def mds_init(
     embedding), which is why the annealer keeps the enantiomer trial.
 
     method: "subspace" (MXU subspace iteration, default) | "eigh" (exact).
+    unknown_fill: bounds completion mode, see smooth_bounds.
     """
-    d = smooth_bounds(restraints, bond_length)
+    d = smooth_bounds(restraints, bond_length, unknown_fill=unknown_fill)
     L = d.shape[0]
     d2 = d * d
     j = jnp.eye(L) - 1.0 / L

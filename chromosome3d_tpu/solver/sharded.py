@@ -25,7 +25,12 @@ import optax
 from chromosome3d_tpu.config import AnnealConfig
 from chromosome3d_tpu.ops.energy import DenseRestraints, EnergyWeights
 from chromosome3d_tpu.parallel.sharded_energy import _row_block_energy_grad
-from chromosome3d_tpu.solver.anneal import Schedule, build_schedule, _final_weights
+from chromosome3d_tpu.solver.anneal import (
+    Schedule,
+    build_schedule,
+    _clip_per_bead,
+    _final_weights,
+)
 
 _EPS = 1e-12
 
@@ -106,6 +111,7 @@ def solve_single_sharded(
     def step(carry, srow):
         x, opt_state, k = carry
         e, g = mapped(x, restraints.lo, restraints.hi, w_folded, bead_mask, srow)
+        g = _clip_per_bead(g, cfg.gradient_clip)
         updates, opt_state = opt.update(g, opt_state)
         k, nkey = jax.random.split(k)
         lr, sigma = srow[0], srow[1]

@@ -90,7 +90,7 @@ def test_similarity_report(tmp_path):
     np.testing.assert_allclose(ours, shipped[: len(ours)], atol=0.01)
 
 
-def test_native_parser_matches_python(tmp_path):
+def _require_native():
     from chromosome3d_tpu import native
 
     if not native.available():
@@ -104,6 +104,11 @@ def test_native_parser_matches_python(tmp_path):
         native._TRIED = False  # re-probe after the build
         if not native.available():
             pytest.skip("native lib not built and toolchain unavailable")
+    return native
+
+
+def test_native_parser_matches_python(tmp_path):
+    native = _require_native()
     from chromosome3d_tpu.io.matrix import load_if_matrix
 
     path = os.path.join(REF, "input", "chr20_500kb_matrix.txt")
@@ -117,6 +122,43 @@ def test_native_parser_matches_python(tmp_path):
     m_py = load_if_matrix(str(p2))
     np.testing.assert_allclose(m_native, m_py, atol=1e-6)
     assert m_native.shape == (120, 120)
+
+
+def test_native_and_python_reject_the_same_malformed_files(tmp_path):
+    """Cross-path consistency: a ragged file whose token count happens to be
+    a perfect square (or a file with junk tokens) must fail identically with
+    or without the .so — the native parser declines, and the Python loader
+    raises (ADVICE r1: the old native path silently accepted both)."""
+    native = _require_native()
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+
+    # 4 tokens = 2x2-square count, but rows of width 3 and 1 -> ragged
+    ragged = tmp_path / "ragged.txt"
+    ragged.write_text("1.0 2.0 3.0\n4.0\n")
+    assert native.parse_matrix(str(ragged)) is None
+    with pytest.raises(ValueError, match="ragged"):
+        load_if_matrix(str(ragged))
+
+    # junk token glued to a number
+    junk = tmp_path / "junk.txt"
+    junk.write_text("1.0 2.0x\n3.0 4.0\n")
+    assert native.parse_matrix(str(junk)) is None
+    with pytest.raises(ValueError):
+        load_if_matrix(str(junk))
+
+    # square token count arranged non-square (4 tokens in 1 row)
+    nonsq = tmp_path / "nonsq.txt"
+    nonsq.write_text("1.0 2.0 3.0 4.0\n")
+    assert native.parse_matrix(str(nonsq)) is None
+    with pytest.raises(ValueError):
+        load_if_matrix(str(nonsq))
+
+    # well-formed CRLF file parses identically on both paths
+    ok = tmp_path / "ok.txt"
+    ok.write_text("  1.0 2.0 \r\n 3.0 4.0 \r\n")
+    got = native.parse_matrix(str(ok))
+    np.testing.assert_allclose(got, [[1.0, 2.0], [3.0, 4.0]])
+    np.testing.assert_allclose(load_if_matrix(str(ok)), got)
 
 
 def test_profile_trace_noop():

@@ -158,3 +158,60 @@ def test_runtime_schedule_override(tiny_matrix):
     a = solve_ensemble(dense, cfg, jax.random.PRNGKey(1), 2, None, None, base)
     b = solve_ensemble(dense, cfg, jax.random.PRNGKey(1), 2, None, None, hot)
     assert np.abs(np.asarray(a.coords) - np.asarray(b.coords)).max() > 1e-3
+
+
+def test_gradient_clip_per_bead():
+    """AnnealConfig.gradient_clip bounds each bead's raw-gradient norm."""
+    from chromosome3d_tpu.solver.anneal import _clip_per_bead
+
+    rng = np.random.RandomState(3)
+    g = jax.numpy.asarray(rng.normal(0, 50.0, size=(4, 16, 3)), jax.numpy.float32)
+    clipped = np.asarray(_clip_per_bead(g, 1.5))
+    norms = np.linalg.norm(clipped, axis=-1)
+    assert (norms <= 1.5 + 1e-4).all()
+    # direction preserved
+    small = np.linalg.norm(np.asarray(g), axis=-1) < 1.4
+    np.testing.assert_allclose(clipped[small], np.asarray(g)[small], rtol=1e-5)
+    # None is the identity
+    assert _clip_per_bead(g, None) is g
+
+
+def test_gradient_clip_changes_solve(tiny_matrix):
+    """The knob must be live: a tight clip alters the trajectory."""
+    import dataclasses
+
+    rc = RestraintConfig()
+    dense = dense_restraints_from_numpy(build_restraints(tiny_matrix, rc), rc.weighting)
+    base = fast_anneal(AnnealConfig(), 0.1)
+    key = jax.random.PRNGKey(0)
+    r_off = solve_ensemble(dense, base, key, 2)
+    r_on = solve_ensemble(dense, dataclasses.replace(base, gradient_clip=0.01), key, 2)
+    assert np.isfinite(np.asarray(r_on.coords)).all()
+    assert not np.allclose(np.asarray(r_off.coords), np.asarray(r_on.coords))
+
+
+def test_mds_unknown_fill_modes(tiny_matrix):
+    """mds_unknown_fill selects the bounds-completion mode (and is live)."""
+    import dataclasses
+
+    rc = RestraintConfig()
+    dense = dense_restraints_from_numpy(build_restraints(tiny_matrix, rc), rc.weighting)
+    sp = np.asarray(smooth_bounds(dense, 3.8, unknown_fill="shortest_path"))
+    mt = np.asarray(smooth_bounds(dense, 3.8, unknown_fill="max_target"))
+    assert np.isfinite(sp).all() and np.isfinite(mt).all()
+    # max_target leaves unrestrained pairs at the max target, shortest_path
+    # tightens them below it
+    assert mt.max() >= sp.max()
+    assert not np.allclose(sp, mt)
+    with pytest.raises(ValueError, match="mds_unknown_fill"):
+        smooth_bounds(dense, 3.8, unknown_fill="bogus")
+
+    x_sp = np.asarray(mds_init(dense, unknown_fill="shortest_path"))
+    x_mt = np.asarray(mds_init(dense, unknown_fill="max_target"))
+    assert np.isfinite(x_mt).all()
+    assert not np.allclose(x_sp, x_mt)
+
+    cfg = dataclasses.replace(fast_anneal(AnnealConfig(), 0.1),
+                              mds_unknown_fill="max_target")
+    res = solve_ensemble(dense, cfg, jax.random.PRNGKey(0), 2)
+    assert np.isfinite(np.asarray(res.coords)).all()
