@@ -71,10 +71,16 @@ def write_violation_report(
     cfg: PipelineConfig,
     pdb_name: str = "model",
     tbl_name: str = "contact.tbl",
+    append: bool = False,
 ) -> Tuple[int, int]:
     """`contact_violation.txt` (ref count_satisfied_tbl_rows :447-485):
     one row per restraint: violation flag, deviation, actual distance, and
-    the restraint spec; violated rows first. Returns (satisfied, total)."""
+    the restraint spec; violated rows first. Returns (satisfied, total).
+
+    append=True adds this model's report after existing ones — the reference
+    appends one report per assessed model into the same file (print2file
+    appends, and assess_dgsa calls count_satisfied_tbl_rows per PDB,
+    chromosome3D.pl:323-338, 804-810)."""
     coords = np.asarray(coords)
     d = np.asarray(pairwise_distances(jnp.asarray(coords, jnp.float32)))
     ii, jj = np.nonzero(np.triu(r.mask, k=1))
@@ -100,7 +106,7 @@ def write_violation_report(
         )
         rows.append((flag, f"{flag:3d}\t{dev:.2f}\t{pd_:.2f} # {spec}"))
     rows.sort(key=lambda t: -t[0])
-    with open(path, "w") as f:
+    with open(path, "a" if append else "w") as f:
         f.write(f"#NOE violation check; {pdb_name} against {tbl_name}\n")
         f.write("#violation-flag, deviation, actual-measurement, Input-NOE-restraint\n")
         for _, row in rows:

@@ -141,6 +141,10 @@ class PipelineConfig:
     # XLA compilation — minutes through this environment's remote-compile
     # tunnel vs ~2s of extra padded math.
     length_buckets: tuple = (512, 768)
+    # single-chromosome runs (`run`/`solve` CLI) also pad to the bucket, so
+    # 45 sequential runs share ~1 compiled program instead of paying one
+    # multi-minute remote compile per distinct L. False = exact-L compile.
+    bucket_single_runs: bool = True
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

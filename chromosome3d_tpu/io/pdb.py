@@ -118,6 +118,30 @@ def read_pdb_remarks(path: str | os.PathLike) -> Dict[str, float]:
     return remarks
 
 
+def write_reduced_pdb(path: str | os.PathLike, coords: np.ndarray) -> None:
+    """Write a reduced model in the PUBLISHED `*_reduced.pdb` layout
+    (output_models/chr12_500kb_rank02_a11_reduced.pdb): CRLF line endings, a
+    leading blank line, then `ATOM  %5d   CA MET B<resid>` rows with the
+    chain-B id glued to the residue number (left-justified in cols 21-29),
+    occupancy 0.20, b-factor 10.00, CONECT chain, END. Byte-parity-tested
+    against the shipped file."""
+    coords = np.asarray(coords, dtype=np.float64)
+    if coords.ndim != 2 or coords.shape[1] != 3:
+        raise ValueError(f"coords must be (L, 3), got {coords.shape}")
+    L = coords.shape[0]
+    lines = [""]
+    for i, (x, y, z) in enumerate(coords, start=1):
+        lines.append(
+            f"ATOM  {i:5d}   CA MET {'B' + str(i):<9s}"
+            f"{x:8.3f}{y:8.3f}{z:8.3f}{0.20:6.2f}{10.00:6.2f}"
+        )
+    for i in range(1, L):
+        lines.append(f"CONECT{i:5d}{i + 1:5d}")
+    lines.append("END")
+    with open(path, "w", newline="") as f:
+        f.write("\r\n".join(lines) + "\r\n")
+
+
 def reduce_model(coords: np.ndarray, factor: int = 2) -> np.ndarray:
     """Downsample a model by AVERAGING consecutive bead groups:
     out[i] = mean(coords[i*factor : (i+1)*factor]).

@@ -51,6 +51,35 @@ from chromosome3d_tpu.utils.logging import banner, get_logger, profile_trace
 log = get_logger(__name__)
 
 
+def _bucket_pad(L: int, cfg: PipelineConfig):
+    """Padded length + (L_pad,) bead mask for a single-chromosome solve.
+    Falls back to exact L when bucketing is off or L exceeds every bucket."""
+    L_pad = L
+    if cfg.bucket_single_runs:
+        fit = [b for b in cfg.length_buckets if b >= L]
+        if fit:
+            L_pad = min(fit)
+    bead_mask = None
+    if L_pad != L:
+        bead_mask = np.zeros(L_pad, dtype=np.float32)
+        bead_mask[:L] = 1.0
+    return L_pad, bead_mask
+
+
+def _padded_dense(restraints, rc, L_pad: int):
+    """Device tensors padded to L_pad. The weight exponent and the mean-1
+    normalization both come from the TRUE length (padding is masked), so the
+    padded solve is numerically identical to the exact-L solve."""
+    p = rc.weight_exponent
+    if p is None:
+        from chromosome3d_tpu.ops.energy import auto_weight_exponent
+
+        p = auto_weight_exponent(restraints.length)
+    return dense_restraints_from_numpy(
+        restraints.padded(L_pad), rc.weighting, p
+    ), p
+
+
 def run_pipeline(
     file_if: str,
     dir_out: str,
@@ -113,6 +142,12 @@ def run_pipeline(
     )
     banner(log, f"Coverage   : {coverage_string(restraints)}")
     dense = dense_restraints_from_numpy(restraints, rc.weighting, rc.weight_exponent)
+    # solver tensors are padded to the length bucket, so different-L runs
+    # share one compiled program (each distinct L otherwise costs a fresh
+    # multi-minute remote compile — the genome runner's discipline, applied
+    # to single runs; see PipelineConfig.bucket_single_runs)
+    L_pad, bead_mask = _bucket_pad(L, cfg)
+    dense_solve, p_eff = _padded_dense(restraints, rc, L_pad)
 
     # ---- L2/L1: solve (sentinel-file failure protocol, ref :261-284) ----
     running = os.path.join(dir_out, "iam.running")
@@ -120,10 +155,15 @@ def run_pipeline(
         f.write("solving\n")
     try:
         banner(log, f"(B) Build {cfg.model_count} models with the TPU annealer..")
+        if L_pad != L:
+            banner(log, f"Bucket     : solving padded to L={L_pad}")
         key = jax.random.PRNGKey(cfg.seed)
+        bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
         with profile_trace(profile_dir):
-            result = solve_ensemble(dense, cfg.anneal, key, cfg.model_count)
-            coords = np.asarray(result.coords)
+            result = solve_ensemble(
+                dense_solve, cfg.anneal, key, cfg.model_count, bm
+            )
+            coords = np.asarray(result.coords)[:, :L, :]
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
         # energy-trajectory observability (the reference discards dgsa.log)
         np.savez_compressed(
@@ -137,14 +177,12 @@ def run_pipeline(
             if extra_alpha == rc.alpha:
                 continue
             rc_x = dataclasses_replace(rc, alpha=extra_alpha)
-            dense_x = dense_restraints_from_numpy(
-                dist_to_restraints(if_to_dist(if_matrix, rc_x), rc_x),
-                rc_x.weighting,
-                rc_x.weight_exponent,
+            dense_x, _ = _padded_dense(
+                dist_to_restraints(if_to_dist(if_matrix, rc_x), rc_x), rc_x, L_pad
             )
             key, sub = jax.random.split(key)
-            res_x = solve_ensemble(dense_x, cfg.anneal, sub, cfg.model_count)
-            coords = np.concatenate([coords, np.asarray(res_x.coords)])
+            res_x = solve_ensemble(dense_x, cfg.anneal, sub, cfg.model_count, bm)
+            coords = np.concatenate([coords, np.asarray(res_x.coords)[:, :L, :]])
             # energies under a different restraint set are not comparable;
             # recorded for REMARKs but excluded from the NOE ranking below
             energies = {
@@ -204,16 +242,23 @@ def run_restraints_pipeline(
     else:
         restraints, conf = read_rr(restraints_file, L, rc)
     banner(log, f"Restraints : {restraints.count} from {restraints_file} (L={restraints.length})")
-    dense = dense_restraints_from_numpy(restraints, rc.weighting, rc.weight_exponent)
+    Lr = restraints.length
+    L_pad, bead_mask = _bucket_pad(Lr, cfg)
+    dense, _ = _padded_dense(restraints, rc, L_pad)
     if conf is not None:
         # fold rr confidences into the stress weights
         import jax.numpy as jnp
 
-        dense = dense._replace(weight=dense.weight * jnp.asarray(conf, jnp.float32))
+        conf_pad = np.ones((L_pad, L_pad), np.float32)
+        conf_pad[:Lr, :Lr] = conf
+        dense = dense._replace(
+            weight=dense.weight * jnp.asarray(conf_pad, jnp.float32)
+        )
 
     key = jax.random.PRNGKey(cfg.seed)
-    result = solve_ensemble(dense, cfg.anneal, key, cfg.model_count)
-    coords = np.asarray(result.coords)
+    bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
+    result = solve_ensemble(dense, cfg.anneal, key, cfg.model_count, bm)
+    coords = np.asarray(result.coords)[:, :Lr, :]
     energies = {k: np.asarray(v) for k, v in result.energies.items()}
 
     e_order = rank_by_energy(energies["noe"], cfg.top_k)
@@ -305,16 +350,27 @@ def emit_artifacts(
         for rank, idx in enumerate(sp_order, start=1):
             f.write(f"{sp_scores[idx]:.3f}\t{ident}_rank{rank:02d}_{atag}.pdb\n")
 
-    # violation report for the best-energy model (ref writes one per model
-    # during assessment; the best model's report is the one consumers read)
+    # violation reports for EVERY model, appended into one file in
+    # descending-NOE-energy order — exactly the reference's assessment loop
+    # (assess_dgsa iterates `sort {$energyNoe{$b} <=> $energyNoe{$a}}` and
+    # count_satisfied_tbl_rows print2file-APPENDS each report,
+    # chromosome3D.pl:804-810, 478-484)
+    viol_path = os.path.join(dir_out, "contact_violation.txt")
+    idx_to_rank = {int(idx): rank for rank, idx in enumerate(sp_order, start=1)}
     best = int(e_order[0])
-    satisfied, total = write_violation_report(
-        os.path.join(dir_out, "contact_violation.txt"),
-        coords[best],
-        restraints,
-        cfg,
-        pdb_name=f"{ident}_model1.pdb",
-    )
+    satisfied = total = 0
+    for n, idx in enumerate(np.argsort(-energies["noe"], kind="stable")):
+        idx = int(idx)
+        s, t = write_violation_report(
+            viol_path,
+            coords[idx],
+            restraints,
+            cfg,
+            pdb_name=f"{ident}_rank{idx_to_rank[idx]:02d}_{atag}.pdb",
+            append=n > 0,
+        )
+        if idx == best:
+            satisfied, total = s, t
 
     return {
         "id": ident,

@@ -14,19 +14,20 @@ import os
 import re
 from typing import Dict, Optional, Tuple
 
-from chromosome3d_tpu.io.pdb import read_ca_pdb, reduce_model, write_ca_pdb
+from chromosome3d_tpu.io.pdb import read_ca_pdb, reduce_model, write_reduced_pdb
 from chromosome3d_tpu.metrics import cross_resolution_similarity
 
 
 def write_reduced_model(
     hi_res_pdb: str, out_pdb: Optional[str] = None, factor: int = 2
 ) -> str:
-    """Emit the bead-pair-averaged reduced model of a high-res PDB."""
+    """Emit the bead-pair-averaged reduced model of a high-res PDB, in the
+    published chain-B/occ-0.20/b-10.00 reduced layout (io.pdb.write_reduced_pdb)."""
     coords = read_ca_pdb(hi_res_pdb)
     red = reduce_model(coords, factor)
     if out_pdb is None:
         out_pdb = hi_res_pdb.replace(".pdb", "_reduced.pdb")
-    write_ca_pdb(out_pdb, red)
+    write_reduced_pdb(out_pdb, red)
     return out_pdb
 
 

@@ -212,6 +212,7 @@ def solve_ensemble_impl(
                 restraints,
                 bond_length=cfg.bond_length,
                 unknown_fill=cfg.mds_unknown_fill,
+                bead_mask=bead_mask,
             )
         elif cfg.init == "spiral":
             x0 = spiral_init(L, bond_length=cfg.bond_length)

@@ -54,6 +54,7 @@ def smooth_bounds(
     bond_length: float,
     n_iters: int | None = None,
     unknown_fill: str = "shortest_path",
+    bead_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Bounds completion for the MDS embed (the `auto` bound-smoothing of
     mmdg, chromosome3D.pl:1480). Edge weights: restraint target distance where
@@ -64,17 +65,27 @@ def smooth_bounds(
       "max_target"    — fill with the largest restraint target (no min-plus;
                         O(L^2), for very large L).
 
+    bead_mask marks real beads (1.0) vs bucket padding (0.0): padding gets no
+    chain bonds and stays at +inf, so the padding tail can neither shortcut a
+    real path nor (with mds_init's masked centering) pollute the embedding.
+
     Returns the (L, L) completed upper-bound distance matrix."""
     L = restraints.lo.shape[0]
     target = 0.5 * (restraints.lo + restraints.hi)
     w = jnp.where(restraints.mask > 0, target, _BIG)
     idx = jnp.arange(L)
     adjacent = jnp.abs(idx[:, None] - idx[None, :]) == 1
+    if bead_mask is not None:
+        pair_real = (bead_mask[:, None] * bead_mask[None, :]) > 0
+        adjacent = adjacent & pair_real
     w = jnp.where(adjacent, jnp.minimum(w, bond_length), w)
     w = jnp.where(idx[:, None] == idx[None, :], 0.0, w)
     if unknown_fill == "max_target":
         fill = jnp.max(jnp.where(restraints.mask > 0, target, 0.0))
-        return jnp.minimum(w, jnp.maximum(fill, bond_length))
+        filled = jnp.minimum(w, jnp.maximum(fill, bond_length))
+        if bead_mask is not None:
+            filled = jnp.where(pair_real | (idx[:, None] == idx[None, :]), filled, w)
+        return filled
     if unknown_fill != "shortest_path":
         raise ValueError(f"unknown mds_unknown_fill {unknown_fill!r}")
     if n_iters is None:
@@ -132,6 +143,7 @@ def mds_init(
     bond_length: float = 3.8,
     method: str = "subspace",
     unknown_fill: str = "shortest_path",
+    bead_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Classical MDS embedding of the smoothed bounds matrix -> (L, 3).
 
@@ -139,14 +151,29 @@ def mds_init(
     sqrt(eigenvalue). Chirality is arbitrary (as with mmdg substructure
     embedding), which is why the annealer keeps the enantiomer trial.
 
+    bead_mask restricts the embedding to real beads (bucket padding): the
+    double-centering runs with mask weights and padding rows of B are zeroed,
+    so the result is the embedding of the REAL beads alone (padding rows
+    come out zero), at the padded static shape.
+
     method: "subspace" (MXU subspace iteration, default) | "eigh" (exact).
     unknown_fill: bounds completion mode, see smooth_bounds.
     """
-    d = smooth_bounds(restraints, bond_length, unknown_fill=unknown_fill)
+    d = smooth_bounds(
+        restraints, bond_length, unknown_fill=unknown_fill, bead_mask=bead_mask
+    )
     L = d.shape[0]
     d2 = d * d
-    j = jnp.eye(L) - 1.0 / L
-    b = -0.5 * (j @ d2 @ j)
+    if bead_mask is None:
+        j = jnp.eye(L) - 1.0 / L
+        b = -0.5 * (j @ d2 @ j)
+    else:
+        m = bead_mask.astype(d2.dtype)
+        n = jnp.maximum(m.sum(), 1.0)
+        mu_i = (d2 * m[None, :]).sum(1) / n          # masked row means
+        mu = (m * mu_i).sum() / n                    # masked grand mean
+        pair = m[:, None] * m[None, :]
+        b = -0.5 * (d2 - mu_i[:, None] - mu_i[None, :] + mu) * pair
     if method == "eigh":
         vals, vecs = jnp.linalg.eigh(b)          # ascending
         top_vals = jnp.maximum(vals[-3:], 0.0)[::-1]

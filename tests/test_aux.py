@@ -90,6 +90,22 @@ def test_similarity_report(tmp_path):
     np.testing.assert_allclose(ours, shipped[: len(ours)], atol=0.01)
 
 
+def test_reduced_pdb_published_byte_format(tmp_path):
+    """write_reduced_pdb reproduces the shipped reduced layout byte-for-byte
+    (chain B glued to resid, occ 0.20, b 10.00, CRLF, leading blank line)."""
+    from chromosome3d_tpu.io.pdb import read_ca_pdb, write_reduced_pdb
+
+    shipped = os.path.join(
+        REF, "output_models", "chr12_500kb_rank02_a11_reduced.pdb"
+    )
+    if not os.path.exists(shipped):
+        pytest.skip("reference not available")
+    coords = read_ca_pdb(shipped)
+    out = tmp_path / "roundtrip.pdb"
+    write_reduced_pdb(out, coords)
+    assert out.read_bytes() == open(shipped, "rb").read()
+
+
 def _require_native():
     from chromosome3d_tpu import native
 

@@ -89,15 +89,67 @@ def test_pipeline_spearman_ranking(pipeline_out):
     assert scores == sorted(scores, reverse=True)
 
 
-def test_violation_report_format(pipeline_out):
-    out, _ = pipeline_out
-    with open(os.path.join(out, "contact_violation.txt")) as f:
-        lines = f.read().splitlines()
-    assert lines[0].startswith("#NOE violation check")
-    assert lines[1].startswith("#violation-flag")
-    flags = [int(l.split()[0]) for l in lines[2:]]
-    # violated rows sort first
-    assert flags == sorted(flags, reverse=True)
+def test_violation_report_per_model(pipeline_out):
+    """One appended report per model (ref assess_dgsa assesses EVERY pdb,
+    chromosome3D.pl:804-810), each in the count_satisfied_tbl_rows format."""
+    from chromosome3d_tpu.io.pdb import read_pdb_remarks
+
+    out, summary = pipeline_out
+    text = open(os.path.join(out, "contact_violation.txt")).read()
+    reports = text.split("#NOE violation check")[1:]
+    assert len(reports) == summary["models"]
+    noes = []
+    for rep in reports:
+        lines = rep.splitlines()
+        pdb_name = lines[0].split(";")[1].split("against")[0].strip()
+        noes.append(read_pdb_remarks(os.path.join(out, pdb_name))["noe"])
+        assert lines[1].startswith("#violation-flag")
+        flags = [int(l.split()[0]) for l in lines[2:] if l.strip()]
+        assert len(flags) == summary["restraints"]
+        # violated rows sort first
+        assert flags == sorted(flags, reverse=True)
+    # reports appended in descending NOE-energy order (the reference's loop)
+    assert noes == sorted(noes, reverse=True)
+
+
+def test_bucketed_single_runs_share_one_program(tmp_path):
+    """Different-L `run` invocations pad to one bucket and reuse ONE compiled
+    solve program (each distinct L otherwise costs a fresh multi-minute
+    remote compile on the production TPU platform)."""
+    from chromosome3d_tpu.pipeline import run_pipeline
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+
+    for name in ("chr22_1mb_matrix.txt", "chr21_1mb_matrix.txt"):
+        if not os.path.exists(os.path.join(REF_INPUT, name)):
+            pytest.skip("reference not available")
+    cfg = fast_cfg(model_count=2, length_buckets=(64,))
+    solve_ensemble.clear_cache()
+    s22 = run_pipeline(
+        os.path.join(REF_INPUT, "chr22_1mb_matrix.txt"), str(tmp_path / "c22"), cfg
+    )
+    assert solve_ensemble._cache_size() == 1
+    s21 = run_pipeline(
+        os.path.join(REF_INPUT, "chr21_1mb_matrix.txt"), str(tmp_path / "c21"), cfg
+    )  # L=37 != 35, same bucket -> no recompile
+    assert solve_ensemble._cache_size() == 1
+    assert s22["L"] == 35 and s21["L"] == 37
+    # artifacts come out at the TRUE length
+    from chromosome3d_tpu.io.pdb import read_ca_pdb
+
+    assert read_ca_pdb(tmp_path / "c21" / "chr21_1mb_matrix_model1.pdb").shape == (37, 3)
+
+    # opt-out: exact-L compile per run
+    cfg_exact = fast_cfg(model_count=2, bucket_single_runs=False)
+    solve_ensemble.clear_cache()
+    run_pipeline(
+        os.path.join(REF_INPUT, "chr22_1mb_matrix.txt"), str(tmp_path / "e22"),
+        cfg_exact,
+    )
+    run_pipeline(
+        os.path.join(REF_INPUT, "chr21_1mb_matrix.txt"), str(tmp_path / "e21"),
+        cfg_exact,
+    )
+    assert solve_ensemble._cache_size() == 2
 
 
 def test_genome_runner_multi_device(tmp_path):
