@@ -75,6 +75,12 @@ class AnnealConfig:
     #       cheap choice for very large L where the min-plus dominates.
     mds_unknown_fill: str = "shortest_path"
     init_noise: float = 2.0        # per-restart jitter added to the shared embed (A)
+    # init="landmark" (and the row-sharded solver, which always uses it):
+    # landmark-MDS with this many evenly spaced landmarks and Bellman-Ford
+    # relaxation sweeps — O(k L^2) compute / O(k L) memory vs classical MDS's
+    # O(L^3 log L) smoothing, the init that scales past one chip.
+    landmark_count: int = 64
+    landmark_iters: int = 4
 
     # ---- hot phase (ref :1644-1709: T=2000, 1000 MD steps, dt=.003) ----
     hot_steps: int = 300

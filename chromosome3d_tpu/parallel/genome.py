@@ -127,26 +127,68 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "chrom") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def model_axis_shards(B: int, n_dev: int, model_count: int) -> int:
+    """The 2-D `chrom x model` layout decision: when chips outnumber the
+    bucket's chromosomes, split each chromosome's restart budget over m
+    replicas (virtual batch entries with independent PRNG keys) so every
+    chip works. Returns the largest divisor m of model_count with
+    B * m <= n_dev (1 = plain 1-D chrom layout)."""
+    best = 1
+    for m in range(2, model_count + 1):
+        if model_count % m == 0 and B * m <= n_dev:
+            best = m
+    return best
+
+
 def solve_bucket(
     batched: DenseRestraints,
     bead_masks: jnp.ndarray,
     cfg: PipelineConfig,
     mesh: Optional[Mesh] = None,
     base_seed: Optional[int] = None,
+    model_shards: Optional[int] = None,
 ) -> AnnealResult:
     """Solve a (B, L, L) bucket, batch axis sharded over the mesh.
 
-    The batch is padded up to a multiple of the mesh size with copies of
-    entry 0 (discarded after); each chromosome gets an independent PRNG key.
+    Layout is picked from (B, n_devices): when devices outnumber
+    chromosomes, each chromosome is expanded into model_axis_shards(...)
+    replicas that each solve model_count/m restarts under independent keys
+    (a 2-D chrom x model decomposition flattened onto the 1-D mesh axis —
+    the enantiomer pairing stays inside each replica, so semantics per
+    model are unchanged; only the key assignment differs). The batch is
+    then padded up to a multiple of the mesh size with copies of entry 0
+    (discarded after).
     """
     B = batched.lo.shape[0]
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
-    B_pad = -(-B // n_dev) * n_dev
+    m_shards = (
+        model_axis_shards(B, n_dev, cfg.model_count)
+        if model_shards is None
+        else model_shards
+    )
+    if cfg.model_count % m_shards:
+        raise ValueError(
+            f"model_shards={m_shards} must divide model_count={cfg.model_count}"
+        )
+    models_per = cfg.model_count // m_shards
+    if m_shards > 1:
+        log.info(
+            f"2-D layout: {B} chromosomes x {m_shards} model shards "
+            f"({models_per} models each) over {n_dev} devices"
+        )
+
+    def expand(a):
+        return jnp.repeat(a, m_shards, axis=0) if m_shards > 1 else a
+
+    batched = DenseRestraints(*(expand(t) for t in batched))
+    bead_masks = expand(bead_masks)
+    B_eff = B * m_shards
+    B_pad = -(-B_eff // n_dev) * n_dev
 
     def pad(a):
-        return jnp.concatenate([a, jnp.repeat(a[:1], B_pad - B, axis=0)], axis=0) \
-            if B_pad > B else a
+        return jnp.concatenate([a, jnp.repeat(a[:1], B_pad - B_eff, axis=0)], axis=0) \
+            if B_pad > B_eff else a
 
     batched = DenseRestraints(*(pad(t) for t in batched))
     bead_masks = pad(bead_masks)
@@ -158,7 +200,7 @@ def solve_bucket(
 
     solve = jax.vmap(
         lambda dense, key, bead: solve_ensemble_impl(
-            dense, cfg.anneal, key, cfg.model_count, bead
+            dense, cfg.anneal, key, models_per, bead
         )
     )
     solve = jax.jit(
@@ -171,11 +213,18 @@ def solve_bucket(
         out_shardings=batch_sharding,
     )
     result = solve(batched, keys, bead_masks)
-    # drop batch padding
+
+    # drop batch padding, then fold the model shards back into the model axis
+    def fold(a):
+        a = a[:B_eff]
+        if m_shards > 1:
+            a = a.reshape((B, m_shards * models_per) + a.shape[2:])
+        return a
+
     return AnnealResult(
-        coords=result.coords[:B],
-        energies={k: v[:B] for k, v in result.energies.items()},
-        history=result.history[:B],
+        coords=fold(result.coords),
+        energies={k: fold(v) for k, v in result.energies.items()},
+        history=fold(result.history),
     )
 
 

@@ -40,8 +40,9 @@ def _row_block_energy_grad(
     bead_mask: jnp.ndarray,  # (L,) replicated
     row_start: jnp.ndarray,  # scalar: global index of this block's first row
     weights: EnergyWeights,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Energy partial + gradient rows for one row block (pair terms only)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(NOE energy partial, vdw energy partial, gradient rows) for one row
+    block (pair terms only; bond is O(L) and computed replicated by callers)."""
     Lb, L = lo.shape
     a = jax.lax.dynamic_slice(x, (row_start, 0), (Lb, 3))
     bm_rows = jax.lax.dynamic_slice(bead_mask, (row_start,), (Lb,))
@@ -70,7 +71,7 @@ def _row_block_energy_grad(
 
     c = (c_noe + c_vdw) / d                        # (Lb, L)
     grad_rows = a * jnp.sum(c, 1, keepdims=True) - c @ x
-    return e_noe + e_vdw, grad_rows
+    return e_noe, e_vdw, grad_rows
 
 
 def make_sharded_energy_grad(mesh: Mesh, weights: EnergyWeights, axis: str = "beads"):
@@ -87,10 +88,10 @@ def make_sharded_energy_grad(mesh: Mesh, weights: EnergyWeights, axis: str = "be
         idx = jax.lax.axis_index(axis)
         Lb = lo.shape[0]
         row_start = idx * Lb
-        e, g_rows = _row_block_energy_grad(
+        e_noe, e_vdw, g_rows = _row_block_energy_grad(
             x, lo, hi, w, bead_mask, row_start, weights
         )
-        return jax.lax.psum(e, axis), g_rows
+        return jax.lax.psum(e_noe + e_vdw, axis), g_rows
 
     mapped = jax.shard_map(
         shard_fn,

@@ -55,6 +55,95 @@ def similarity_report(
     return results
 
 
+def read_similarity_report(path: str) -> Dict[str, Tuple[float, float]]:
+    """Parse a similarity.txt (ours or the published one) into
+    {entry_name: (spearman, rmsd)} — entries are 'name\\nSpearman
+    correlation: x\\nRMSD: y' blocks (output_models/similarity.txt:1-75)."""
+    out: Dict[str, Tuple[float, float]] = {}
+    name, rho = None, None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("Spearman correlation:"):
+                rho = float(line.split(":")[1])
+            elif line.startswith("RMSD:"):
+                if name is not None and rho is not None:
+                    out.setdefault(name, (rho, float(line.split(":")[1])))
+                name, rho = None, None
+            else:
+                name = line
+    return out
+
+
+def _fit_init_scale(x0: "np.ndarray", restraints) -> float:
+    """Least-squares scale s minimizing sum over restrained pairs of
+    (s*d0 - target)^2 — aligns a donor embedding with this resolution's
+    restraint scale before annealing."""
+    import numpy as np
+
+    ii, jj = np.nonzero(np.triu(restraints.mask, k=1))
+    if len(ii) == 0:
+        return 1.0
+    d0 = np.linalg.norm(x0[ii] - x0[jj], axis=-1)
+    t = restraints.target[ii, jj]
+    denom = float((d0 * d0).sum())
+    return float((d0 * t).sum() / denom) if denom > 0 else 1.0
+
+
+def solve_coinit(
+    lo_matrix: "np.ndarray",
+    hi_coords: "np.ndarray",
+    cfg,
+    factor: int = 2,
+    seed: Optional[int] = None,
+):
+    """Solve the LOW-resolution chromosome co-initialized from the reduced
+    HIGH-resolution model: x0 = bead-pair-averaged hi-res coords, scale-fit
+    to the lo-res restraint targets, then the normal annealing ensemble.
+
+    This couples the two resolutions' solutions the way the published
+    similarity.txt protocol measures them (cross-resolution consistency),
+    closing the one quality gap the independent solves left (chr21,
+    output_models/similarity.txt:57-59). Returns (coords (n, L, 3),
+    spearman_order, spearman_scores)."""
+    import jax
+    import numpy as np
+
+    from chromosome3d_tpu.assess import rank_by_spearman
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.pipeline import _bucket_pad, _padded_dense
+    from chromosome3d_tpu.restraints import build_restraints
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+
+    rc = cfg.restraints
+    L = lo_matrix.shape[0]
+    restraints = build_restraints(lo_matrix, rc)
+    red = reduce_model(np.asarray(hi_coords), factor)
+    n = min(L, len(red))
+    x0 = np.zeros((L, 3), np.float32)
+    x0[:n] = red[:n]
+    if L > n and n >= 2:
+        step = red[n - 1] - red[n - 2]
+        for i in range(n, L):
+            x0[i] = x0[i - 1] + step
+    x0 *= _fit_init_scale(x0, restraints)
+
+    L_pad, bead_mask = _bucket_pad(L, cfg)
+    dense, _ = _padded_dense(restraints, rc, L_pad)
+    if L_pad != L:
+        x0 = np.concatenate([x0, np.zeros((L_pad - L, 3), np.float32)])
+    bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
+    key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    res = solve_ensemble(
+        dense, cfg.anneal, key, cfg.model_count, bm, jax.numpy.asarray(x0)
+    )
+    coords = np.asarray(res.coords)[:, :L, :]
+    order, scores = rank_by_spearman(lo_matrix, coords, cfg.spearman_range)
+    return coords, order, scores
+
+
 def pair_outputs_by_chromosome(
     output_dir: str, hi_tag: str = "500kb", lo_tag: str = "1mb"
 ) -> Dict[str, Tuple[str, str]]:

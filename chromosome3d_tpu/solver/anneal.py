@@ -33,7 +33,12 @@ from chromosome3d_tpu.ops.energy import (
     energy,
     energy_terms,
 )
-from chromosome3d_tpu.solver.init import mds_init, random_init, spiral_init
+from chromosome3d_tpu.solver.init import (
+    landmark_init,
+    mds_init,
+    random_init,
+    spiral_init,
+)
 
 
 class Schedule(NamedTuple):
@@ -201,6 +206,13 @@ def solve_ensemble_impl(
     (chromosome3D.pl:1574-1829) with one compiled program. The batch shares
     one restraint set, which the Pallas path exploits: restraint tiles are
     fetched from HBM once per step, not once per structure.
+
+    Enantiomer semantics match CNS exactly: both mirror images run through
+    the HOT phase only, the lower-energy image is picked, and only the
+    winner pays for slow-cool + final minimization (chromosome3D.pl:
+    1605-1727 picks handedness between the hot and cool stages) — roughly
+    halving the dominant cool+final compute vs annealing both mirrors
+    end-to-end.
     """
     L = restraints.lo.shape[0]
     if bead_mask is None:
@@ -212,6 +224,14 @@ def solve_ensemble_impl(
                 restraints,
                 bond_length=cfg.bond_length,
                 unknown_fill=cfg.mds_unknown_fill,
+                bead_mask=bead_mask,
+            )
+        elif cfg.init == "landmark":
+            x0 = landmark_init(
+                restraints,
+                bond_length=cfg.bond_length,
+                k=cfg.landmark_count,
+                n_iters=cfg.landmark_iters,
                 bead_mask=bead_mask,
             )
         elif cfg.init == "spiral":
@@ -271,19 +291,45 @@ def solve_ensemble_impl(
         return (x, opt_state, k), e
 
     srows = jnp.stack([sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1)
-    (xs, _, _), history = jax.lax.scan(step, (xs, opt_state, key), srows)
+    if cfg.enantiomer:
+        # hot phase on all 2n mirror-pair members
+        hot = cfg.hot_steps
+        carry = (xs, opt_state, key)
+        carry, hist_hot = jax.lax.scan(step, carry, srows[:hot])
+        xs, opt_state, key = carry
+        # pick handedness per pair by energy under the end-of-hot weights
+        # (ref :1710-1727: CNS evaluates with the flags active at that point)
+        w_hot = EnergyWeights(
+            noe=base.noe,
+            bond=base.bond,
+            bond_length=base.bond_length,
+            vdw=sched.vdw_weight[hot - 1],
+            vdw_radius=sched.repel_scale[hot - 1] * cfg.vdw_radius,
+            noe_rswitch=base.noe_rswitch,
+        )
+        e_hot, _ = vag(xs, w_hot)                               # (2n,)
+        pick = jnp.argmin(e_hot.reshape(n_models, 2), axis=1)   # (n,)
+        sel = jnp.arange(n_models) * 2 + pick
+        xs = xs[sel]
+        n_eff2 = n_eff
+        opt_state = jax.tree.map(
+            lambda a: a[sel]
+            if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n_eff2)
+            else a,
+            opt_state,
+        )
+        hist_hot = hist_hot[:, sel]                             # (hot, n)
+        # only the winners pay for slow-cool + final minimization
+        (xs, _, _), hist_rest = jax.lax.scan(
+            step, (xs, opt_state, key), srows[hot:]
+        )
+        history = jnp.concatenate([hist_hot, hist_rest], axis=0).T  # (n, T)
+    else:
+        (xs, _, _), history = jax.lax.scan(step, (xs, opt_state, key), srows)
+        history = history.T                        # (n_eff, T)
     coords = xs
-    history = history.T                            # (n_eff, T)
 
     terms = jax.vmap(lambda c: energy_terms(c, restraints, base, bead_mask))(coords)
-
-    if cfg.enantiomer:
-        overall = terms["overall"].reshape(n_models, 2)
-        pick = jnp.argmin(overall, axis=1)                      # (n,)
-        sel = jnp.arange(n_models) * 2 + pick
-        coords = coords[sel]
-        history = history[sel]
-        terms = {k: v[sel] for k, v in terms.items()}
 
     # centroid to origin (ref :1805-1816), padding excluded
     nvalid = bead_mask.sum()

@@ -184,6 +184,139 @@ def mds_init(
     return (top_vecs * jnp.sqrt(top_vals)[None, :]).astype(jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# Landmark MDS: the at-scale init. Classical MDS needs the full (L, L)
+# smoothed bounds (O(L^3 log L) min-plus); landmark MDS needs only the k x L
+# landmark-to-all distances (k relaxation sweeps over the edge matrix) and
+# triangulates the rest with one (L, k) @ (k, 3) matmul — O(k L^2) compute,
+# O(k L) extra memory, and every piece is row-shardable across chips
+# (solver/sharded.py runs the same math on row blocks with pmin/psum).
+# ---------------------------------------------------------------------------
+
+
+def edge_weights(
+    restraints: DenseRestraints,
+    bond_length: float,
+    bead_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """The (L, L) graph edge matrix: restraint target where a restraint
+    exists, bond_length between consecutive real beads, _BIG otherwise,
+    zero diagonal. (The same construction smooth_bounds starts from.)"""
+    L = restraints.lo.shape[0]
+    target = 0.5 * (restraints.lo + restraints.hi)
+    w = jnp.where(restraints.mask > 0, target, _BIG)
+    idx = jnp.arange(L)
+    adjacent = jnp.abs(idx[:, None] - idx[None, :]) == 1
+    if bead_mask is not None:
+        adjacent = adjacent & ((bead_mask[:, None] * bead_mask[None, :]) > 0)
+    w = jnp.where(adjacent, jnp.minimum(w, bond_length), w)
+    return jnp.where(idx[:, None] == idx[None, :], 0.0, w)
+
+
+def landmark_indices(L: int, k: int, n_real) -> jnp.ndarray:
+    """k evenly spaced REAL bead indices (n_real may be a traced count)."""
+    frac = jnp.arange(k, dtype=jnp.float32) / max(k - 1, 1)
+    return jnp.clip(
+        (frac * (n_real - 1)).astype(jnp.int32), 0, L - 1
+    )
+
+
+def chain_metric_rows(
+    lidx: jnp.ndarray, L: int, bond_length: float
+) -> jnp.ndarray:
+    """Chain-walk upper bound |l - j| * bond_length for the landmark rows —
+    an exact upper bound on the graph distance (the chain is always a path),
+    so relaxation only ever tightens it."""
+    j = jnp.arange(L, dtype=jnp.float32)
+    return jnp.abs(lidx[:, None].astype(jnp.float32) - j[None, :]) * bond_length
+
+
+def relax_landmarks_block(
+    delta: jnp.ndarray,      # (k, L) current landmark-to-all upper bounds
+    w_block: jnp.ndarray,    # (Lb, L) edge rows owned by this block
+    row_start,               # global index of w_block's first row
+    chunk: int = 8,
+) -> jnp.ndarray:
+    """One Bellman-Ford relaxation sweep restricted to this row block:
+    cand[l, j] = min_{m in block} delta[l, m] + w[m, j]. Returns (k, L);
+    the caller min-reduces across blocks (jnp.minimum locally, lax.pmin
+    across devices). Chunked over landmarks to bound the (chunk, Lb, L)
+    temporary."""
+    k, L = delta.shape
+    Lb = w_block.shape[0]
+    d_cols = jax.lax.dynamic_slice(delta, (0, row_start), (k, Lb))  # (k, Lb)
+    nchunks = -(-k // chunk)
+    pad = nchunks * chunk - k
+    d_cols = jnp.pad(d_cols, ((0, pad), (0, 0)), constant_values=_BIG)
+
+    def body(_, cstart):
+        dc = jax.lax.dynamic_slice(d_cols, (cstart, 0), (chunk, Lb))
+        cand = jnp.min(dc[:, :, None] + w_block[None, :, :], axis=1)  # (chunk, L)
+        return None, cand
+
+    _, cands = jax.lax.scan(body, None, jnp.arange(nchunks) * chunk)
+    return cands.reshape(nchunks * chunk, L)[:k]
+
+
+def landmark_triangulate(
+    delta: jnp.ndarray,      # (k, L) landmark-to-all distances
+    lidx: jnp.ndarray,       # (k,) landmark indices
+    method: str = "subspace",
+) -> jnp.ndarray:
+    """Landmark-MDS triangulation: classical MDS on the k x k landmark
+    submatrix, then every point j embeds as
+        x_j = -1/2 * diag(1/sqrt(lambda)) V^T (delta_j^2 - rowmean(Dk^2)),
+    an (L, k) @ (k, 3) matmul. Returns (L, 3)."""
+    k = delta.shape[0]
+    dk = jnp.take_along_axis(delta, lidx[None, :].repeat(k, 0), axis=1)  # (k, k)
+    dk = 0.5 * (dk + dk.T)
+    dk2 = dk * dk
+    jk = jnp.eye(k) - 1.0 / k
+    b = -0.5 * (jk @ dk2 @ jk)
+    if method == "eigh":
+        vals, vecs = jnp.linalg.eigh(b)
+        lam = jnp.maximum(vals[-3:], 1e-6)[::-1]
+        v = vecs[:, -3:][:, ::-1]
+    else:
+        lam, v = _top3_eig(b)
+        lam = jnp.maximum(lam, 1e-6)
+    mu = dk2.mean(axis=1)                                   # (k,)
+    proj = v / jnp.sqrt(lam)[None, :]                       # (k, 3)
+    return -0.5 * ((delta * delta - mu[:, None]).T @ proj)  # (L, 3)
+
+
+def landmark_init(
+    restraints: DenseRestraints,
+    bond_length: float = 3.8,
+    k: int = 64,
+    n_iters: int = 4,
+    bead_mask: jnp.ndarray | None = None,
+    method: str = "subspace",
+) -> jnp.ndarray:
+    """Landmark-MDS embedding -> (L, 3); the O(k L^2) / O(k L)-memory init
+    for L beyond classical MDS's reach. Single-device reference version of
+    the row-sharded init inside solver.sharded.solve_ensemble_sharded
+    (tested equal)."""
+    L = restraints.lo.shape[0]
+    k = min(k, L)
+    n_real = bead_mask.sum() if bead_mask is not None else L
+    lidx = landmark_indices(L, k, n_real)
+    w = edge_weights(restraints, bond_length, bead_mask)
+    # start from the chain-walk metric; the first sweep already reaches every
+    # direct edge through the zero diagonal (delta[l, l] + w[l, j])
+    delta = chain_metric_rows(lidx, L, bond_length)
+
+    def sweep(delta, _):
+        cand = relax_landmarks_block(delta, w, 0)
+        return jnp.minimum(delta, cand), None
+
+    delta, _ = jax.lax.scan(sweep, delta, None, length=n_iters)
+    x = landmark_triangulate(delta, lidx, method)
+    if bead_mask is not None:
+        x = x * bead_mask[:, None]
+    return x.astype(jnp.float32)
+
+
 def random_init(key: jax.Array, L: int, scale: float = 30.0) -> jnp.ndarray:
     """Uniform random cloud (the extn.inp `y,z = random(...)` spirit,
     chromosome3D.pl:2413-2416, minus the protein-repair machinery)."""

@@ -2,22 +2,30 @@
 row-sharded over a `beads` mesh axis.
 
 For L far beyond the shipped sizes (ultra-high-resolution Hi-C), one core
-cannot hold the O(L^2) restraint tensors. This solver keeps coordinates and
-optimizer state replicated (O(L) — tiny) and shards the quadratic work:
+cannot hold the O(L^2) restraint tensors. These solvers keep coordinates and
+optimizer state replicated (O(L) — tiny) and shard the quadratic work:
 per step, each device computes its row block's energy partial + gradient
 rows (parallel.sharded_energy), the gradient is all-gathered (L*3 floats,
 rides the ICI), and every device applies the identical Adam/Langevin update.
 
-Semantics match solver.anneal.solve_single exactly (same schedule, same RNG
-stream shape); tested for trajectory equality on a CPU mesh.
+Two entry points:
+  * solve_single_sharded  — one structure from a provided x0; trajectory-
+    equal to solver.anneal.solve_single (tested on a CPU mesh).
+  * solve_ensemble_sharded — the FULL production program at scale: landmark
+    init computed from the sharded rows (no host-fed x0), mirror-pair
+    batch, hot phase, CNS-style enantiomer pick, cool + final on the
+    winners — the sharded counterpart of solver.anneal.solve_ensemble_impl.
+    Per step the only collectives are one psum (scalars) and one
+    all-gather of (n, L, 3) gradient rows, both riding the ICI.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 import optax
@@ -31,8 +39,15 @@ from chromosome3d_tpu.solver.anneal import (
     _clip_per_bead,
     _final_weights,
 )
+from chromosome3d_tpu.solver.init import (
+    chain_metric_rows,
+    landmark_indices,
+    landmark_triangulate,
+    relax_landmarks_block,
+)
 
 _EPS = 1e-12
+_BIG = 1e6
 
 
 def solve_single_sharded(
@@ -74,8 +89,10 @@ def solve_single_sharded(
             vdw_radius=repel * cfg.vdw_radius,
             noe_rswitch=base.noe_rswitch,
         )
-        e, g_rows = _row_block_energy_grad(x, lo, hi, w, bead, row_start, weights)
-        e = jax.lax.psum(e, axis)
+        e_noe, e_vdw, g_rows = _row_block_energy_grad(
+            x, lo, hi, w, bead, row_start, weights
+        )
+        e = jax.lax.psum(e_noe + e_vdw, axis)
         grad = jax.lax.all_gather(g_rows, axis, axis=0, tiled=True)  # (L, 3)
         # bond term: O(L), computed replicated on every shard
         bond_vec = x[1:] - x[:-1]
@@ -124,3 +141,203 @@ def solve_single_sharded(
     )
     (x, _, _), history = jax.lax.scan(step, (x, opt_state, key), srows)
     return x, history
+
+
+class ShardedEnsembleResult(NamedTuple):
+    coords: jnp.ndarray                 # (n_models, L, 3), centroid at origin
+    energies: Dict[str, jnp.ndarray]    # each (n_models,), canonical weights
+    history: jnp.ndarray                # (n_models, T) total energy per step
+
+
+def _schedule_weights(cfg: AnnealConfig, base: EnergyWeights, vdw_w, repel):
+    return EnergyWeights(
+        noe=base.noe,
+        bond=base.bond,
+        bond_length=base.bond_length,
+        vdw=vdw_w,
+        vdw_radius=repel * cfg.vdw_radius,
+        noe_rswitch=base.noe_rswitch,
+    )
+
+
+def solve_ensemble_sharded(
+    mesh: Mesh,
+    restraints: DenseRestraints,
+    cfg: AnnealConfig,
+    key: jax.Array,
+    n_models: int,
+    bead_mask: Optional[jnp.ndarray] = None,
+    schedule: Optional[Schedule] = None,
+    axis: str = "beads",
+) -> ShardedEnsembleResult:
+    """The full ensemble solve with the O(L^2) work row-sharded over `axis`:
+    landmark init from the sharded restraint rows, mirror-pair hot phase,
+    CNS-style enantiomer pick (chromosome3D.pl:1605-1727), cool + final on
+    the winners — no host-fed x0, no (L, L) tensor ever replicated.
+
+    Matches solver.anneal.solve_ensemble_impl semantics with
+    init="landmark" (tested equal on a CPU mesh). L must be a multiple of
+    the axis size (pad with bead_mask; see pad_restraints_to_multiple).
+    """
+    L = restraints.lo.shape[0]
+    n_dev = mesh.shape[axis]
+    if L % n_dev:
+        raise ValueError(f"L={L} must be a multiple of the {axis} axis size {n_dev}")
+    if bead_mask is None:
+        bead_mask = jnp.ones((L,), dtype=jnp.float32)
+    sched = build_schedule(cfg) if schedule is None else schedule
+    base = _final_weights(cfg)
+    srows = jnp.stack(
+        [sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1
+    )
+    n_eff = n_models * 2 if cfg.enantiomer else n_models
+    hot = cfg.hot_steps
+    k_land = min(cfg.landmark_count, L)
+
+    def shard_fn(lo, hi, w, bead, key, srows):
+        """Everything below runs per device on its (Lb, L) restraint rows;
+        coordinates, optimizer state, and RNG are replicated (identical on
+        every device), so only psum/pmin/all_gather touch the ICI."""
+        idx = jax.lax.axis_index(axis)
+        Lb = lo.shape[0]
+        row_start = idx * Lb
+
+        # ---- landmark init from the sharded rows ----
+        target = 0.5 * (lo + hi)
+        rows_g = row_start + jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 0)
+        cols_g = jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 1)
+        bm_rows = jax.lax.dynamic_slice(bead, (row_start,), (Lb,))
+        pair_real = (bm_rows[:, None] * bead[None, :]) > 0
+        w_edges = jnp.where(w > 0, target, _BIG)
+        adjacent = (jnp.abs(rows_g - cols_g) == 1) & pair_real
+        w_edges = jnp.where(adjacent, jnp.minimum(w_edges, cfg.bond_length), w_edges)
+        w_edges = jnp.where(rows_g == cols_g, 0.0, w_edges)
+        n_real = bead.sum()
+        lidx = landmark_indices(L, k_land, n_real)
+        delta = chain_metric_rows(lidx, L, cfg.bond_length)
+
+        def sweep(delta, _):
+            cand = relax_landmarks_block(delta, w_edges, row_start)
+            cand = jax.lax.pmin(cand, axis)
+            return jnp.minimum(delta, cand), None
+
+        delta, _ = jax.lax.scan(sweep, delta, None, length=cfg.landmark_iters)
+        x0 = landmark_triangulate(delta, lidx).astype(jnp.float32)
+        x0 = x0 * bead[:, None]
+
+        # ---- mirror pairs + per-restart jitter (replicated RNG) ----
+        if cfg.enantiomer:
+            signs = jnp.tile(jnp.asarray([1.0, -1.0], jnp.float32), n_models)
+        else:
+            signs = jnp.ones((n_eff,), jnp.float32)
+        key_, jkey = jax.random.split(key)
+        xs = x0[None, :, :] * jnp.stack(
+            [signs, jnp.ones_like(signs), jnp.ones_like(signs)], axis=-1
+        )[:, None, :]
+        xs = xs + cfg.init_noise * jax.random.normal(jkey, xs.shape) * bead[None, :, None]
+
+        opt = optax.scale_by_adam()
+        opt_state = opt.init(xs)
+
+        def bond_energy(c):
+            bond_vec = c[1:] - c[:-1]
+            bond_d = jnp.sqrt(jnp.sum(bond_vec * bond_vec, -1) + _EPS)
+            bdev = bond_d - base.bond_length
+            return base.bond * jnp.sum(bead[1:] * bead[:-1] * bdev * bdev)
+
+        bond_vg = jax.vmap(jax.value_and_grad(bond_energy))
+
+        def pair_terms(x, weights):
+            """(e_noe, e_vdw, grad) per structure, psum'd/gathered."""
+            e_noe, e_vdw, g_rows = jax.vmap(
+                lambda c: _row_block_energy_grad(
+                    c, lo, hi, w, bead, row_start, weights
+                )
+            )(x)
+            e_noe = jax.lax.psum(e_noe, axis)
+            e_vdw = jax.lax.psum(e_vdw, axis)
+            g = jax.lax.all_gather(g_rows, axis, axis=1, tiled=True)  # (n, L, 3)
+            return e_noe, e_vdw, g
+
+        def step(carry, srow):
+            x, opt_state, k = carry
+            lr, sigma, vdw_w, repel = srow
+            weights = _schedule_weights(cfg, base, vdw_w, repel)
+            e_noe, e_vdw, g = pair_terms(x, weights)
+            e_bond, g_bond = bond_vg(x)
+            e = e_noe + e_vdw + e_bond
+            g = _clip_per_bead(g + g_bond, cfg.gradient_clip)
+            updates, opt_state = opt.update(g, opt_state)
+            k, nkey = jax.random.split(k)
+            noise = sigma * jax.random.normal(nkey, x.shape)
+            x = x + (-lr * updates + noise) * bead[None, :, None]
+            return (x, opt_state, k), e
+
+        if cfg.enantiomer:
+            carry, hist_hot = jax.lax.scan(step, (xs, opt_state, key_), srows[:hot])
+            xs, opt_state, key_ = carry
+            w_hot = _schedule_weights(
+                cfg, base, sched.vdw_weight[hot - 1], sched.repel_scale[hot - 1]
+            )
+            e_noe, e_vdw, _ = pair_terms(xs, w_hot)
+            e_bond, _ = bond_vg(xs)
+            e_hot = e_noe + e_vdw + e_bond
+            pick = jnp.argmin(e_hot.reshape(n_models, 2), axis=1)
+            sel = jnp.arange(n_models) * 2 + pick
+            xs = xs[sel]
+            opt_state = jax.tree.map(
+                lambda a: a[sel]
+                if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n_eff)
+                else a,
+                opt_state,
+            )
+            hist_hot = hist_hot[:, sel]
+            (xs, _, _), hist_rest = jax.lax.scan(
+                step, (xs, opt_state, key_), srows[hot:]
+            )
+            history = jnp.concatenate([hist_hot, hist_rest], axis=0).T
+        else:
+            (xs, _, _), history = jax.lax.scan(step, (xs, opt_state, key_), srows)
+            history = history.T
+
+        # ---- final canonical-weight terms + centroid to origin ----
+        e_noe, e_vdw, _ = pair_terms(xs, base)
+        e_bond, _ = bond_vg(xs)
+        terms = {
+            "noe": e_noe,
+            "bon": e_bond,
+            "vdw": e_vdw,
+            "overall": e_noe + e_vdw + e_bond,
+        }
+        nvalid = jnp.maximum(bead.sum(), 1.0)
+        centroid = (xs * bead[None, :, None]).sum(axis=1, keepdims=True) / nvalid
+        xs = (xs - centroid) * bead[None, :, None]
+        return xs, terms, history
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(), {"noe": P(), "bon": P(), "vdw": P(), "overall": P()}, P()),
+        check_vma=False,
+    )
+    coords, terms, history = mapped(
+        restraints.lo,
+        restraints.hi,
+        restraints.mask * restraints.weight,
+        bead_mask,
+        key,
+        srows,
+    )
+    return ShardedEnsembleResult(coords=coords, energies=terms, history=history)
+
+
+def pad_restraints_to_multiple(restraints, n_dev: int):
+    """Host-side helper: pad a chromosome3d_tpu.restraints.Restraints to the
+    next multiple of n_dev and return (padded Restraints, bead_mask ndarray).
+    Use before dense_restraints_from_numpy for the sharded solvers."""
+    L = restraints.length
+    L_pad = -(-L // n_dev) * n_dev
+    bead = np.zeros(L_pad, dtype=np.float32)
+    bead[:L] = 1.0
+    return restraints.padded(L_pad), bead

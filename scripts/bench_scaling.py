@@ -54,12 +54,13 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    import dataclasses
+
     from chromosome3d_tpu.config import AnnealConfig, RestraintConfig, turbo_anneal
     from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
     from chromosome3d_tpu.restraints import build_restraints
     from chromosome3d_tpu.solver.anneal import solve_ensemble
-    from chromosome3d_tpu.solver.init import mds_init
-    from chromosome3d_tpu.solver.sharded import solve_single_sharded
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
 
     platform = jax.devices()[0].platform
     cfg = turbo_anneal(AnnealConfig(use_pallas=(platform == "tpu" and not args.sharded)))
@@ -70,19 +71,22 @@ def main():
         dense = dense_restraints_from_numpy(build_restraints(synthetic_matrix(L), rc))
         t0 = time.time()
         if args.sharded:
+            # the full at-scale program: row-sharded landmark init +
+            # ensemble + enantiomer, no host-fed x0 (solver.sharded)
             from jax.sharding import Mesh
 
             mesh = Mesh(np.array(jax.devices()), ("beads",))
-            x0 = mds_init(dense)
+            cfg_s = dataclasses.replace(cfg, init="landmark")
             fn = jax.jit(
-                lambda d, k, x: solve_single_sharded(mesh, d, cfg, k, x)
+                lambda d, k: solve_ensemble_sharded(
+                    mesh, d, cfg_s, k, args.models
+                )
             )
-            coords, _ = fn(dense, jax.random.PRNGKey(0), x0)
-            coords = np.asarray(coords)
+            np.asarray(fn(dense, jax.random.PRNGKey(0)).coords)
             compile_s = time.time() - t0
             t0 = time.time()
-            coords = np.asarray(fn(dense, jax.random.PRNGKey(1), x0)[0])
-            n_struct = 1
+            coords = np.asarray(fn(dense, jax.random.PRNGKey(1)).coords)
+            n_struct = coords.shape[0]
         else:
             res = solve_ensemble(dense, cfg, jax.random.PRNGKey(0), args.models)
             np.asarray(res.coords)

@@ -193,3 +193,50 @@ def test_render_model(tmp_path):
     coords = np.stack([np.cos(t) * 10, np.sin(t) * 10, t], axis=1)
     png = render_model(coords, str(tmp_path / "m.png"), title="helix")
     assert os.path.getsize(png) > 5000
+
+
+def test_solve_coinit_cross_resolution(tmp_path):
+    """solve_coinit: lo-res solve seeded from a reduced hi-res model keeps
+    finite coords, true length, and a sane consistency score."""
+    import jax
+
+    from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig, fast_anneal
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+    from chromosome3d_tpu.metrics import cross_resolution_similarity
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.restraints import build_restraints
+    from chromosome3d_tpu.similarity import solve_coinit
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+
+    hi_path = os.path.join(REF, "input", "chr21_500kb_matrix.txt")
+    lo_path = os.path.join(REF, "input", "chr21_1mb_matrix.txt")
+    if not os.path.exists(hi_path):
+        pytest.skip("reference not available")
+    cfg = PipelineConfig(
+        model_count=2,
+        restraints=RestraintConfig(alpha=0.5),
+        anneal=fast_anneal(AnnealConfig()),
+        length_buckets=(80,),
+    )
+    hi_m = load_if_matrix(hi_path)
+    dense = dense_restraints_from_numpy(build_restraints(hi_m, cfg.restraints))
+    hi = np.asarray(
+        solve_ensemble(dense, cfg.anneal, jax.random.PRNGKey(0), 2).coords
+    )
+    lo_m = load_if_matrix(lo_path)
+    coords, order, scores = solve_coinit(lo_m, hi[0], cfg)
+    assert coords.shape == (2, lo_m.shape[0], 3)
+    assert np.isfinite(coords).all()
+    rho, rmsd = cross_resolution_similarity(hi[0], coords[order[0]])
+    assert -1.0 <= rho <= 1.0 and rmsd > 0
+
+
+def test_read_similarity_report_published():
+    from chromosome3d_tpu.similarity import read_similarity_report
+
+    path = os.path.join(REF, "output_models", "similarity.txt")
+    if not os.path.exists(path):
+        pytest.skip("reference not available")
+    rep = read_similarity_report(path)
+    assert rep["chr13_500kb_rank10_a11"][0] == pytest.approx(0.9666, abs=1e-3)
+    assert rep["chr21_500kb_rank04_a11"][1] == pytest.approx(4.817, abs=1e-2)

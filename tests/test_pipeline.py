@@ -254,20 +254,73 @@ def test_genome_sharded_matches_single_device(tmp_path):
         GenomeJob("chr21_1mb", os.path.join(REF_INPUT, "chr21_1mb_matrix.txt"), 37, 64),
     ]
     batched, masks, _, _ = _stack_bucket(jobs, 64, cfg)
-    multi = solve_bucket(batched, masks, cfg, make_mesh(jax.devices()))
-    single = solve_bucket(batched, masks, cfg, make_mesh(jax.devices()[:1]))
-    # mesh partitioning changes matmul reduction order in the MDS init;
-    # the chaotic anneal amplifies those ulps, so the contract is
-    # quality-level equivalence, not bitwise trajectories
+    # layout pinned to 1-D so both runs assign identical keys
+    multi = solve_bucket(batched, masks, cfg, make_mesh(jax.devices()),
+                         model_shards=1)
+    single = solve_bucket(batched, masks, cfg, make_mesh(jax.devices()[:1]),
+                          model_shards=1)
+    # full-path contract is quality-level: the MDS init's 3-D subspace can be
+    # near-degenerate (chr22), where mesh-dependent ulps legitimately rotate
+    # the embedding; the tight trajectory check (below) pins the anneal
+    # sharding itself with a shared x0
     e_m = np.asarray(multi.energies["overall"])
     e_s = np.asarray(single.energies["overall"])
-    np.testing.assert_allclose(e_m, e_s, rtol=0.15)
+    np.testing.assert_allclose(np.sort(e_m, -1), np.sort(e_s, -1), rtol=0.15)
     from chromosome3d_tpu.metrics import spearman_if_inv_d
 
     m22 = load_if_matrix(os.path.join(REF_INPUT, "chr22_1mb_matrix.txt"))
     s_m = spearman_if_inv_d(m22, np.asarray(multi.coords)[0, 0, :35])
     s_s = spearman_if_inv_d(m22, np.asarray(single.coords)[0, 0, :35])
     assert abs(s_m - s_s) < 0.05
+
+
+def test_dp_sharded_anneal_trajectory_equal(tmp_path):
+    """The tight dp check (r1 review): with a SHARED x0 (no init
+    degeneracy in play), the mesh-sharded batched anneal must reproduce the
+    single-device trajectories almost bitwise — a real sharding bug (wrong
+    lane, wrong mask, wrong key) cannot hide in 1e-4."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+    from chromosome3d_tpu.ops.energy import DenseRestraints
+    from chromosome3d_tpu.parallel.genome import GenomeJob, _stack_bucket, make_mesh
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+    from chromosome3d_tpu.solver.init import spiral_init
+
+    if not os.path.exists(REF_INPUT):
+        pytest.skip("reference not available")
+    cfg = fast_cfg(model_count=2)
+    jobs = [
+        GenomeJob("chr22_1mb", os.path.join(REF_INPUT, "chr22_1mb_matrix.txt"), 35, 64),
+        GenomeJob("chr21_1mb", os.path.join(REF_INPUT, "chr21_1mb_matrix.txt"), 37, 64),
+    ]
+    batched, masks, _, _ = _stack_bucket(jobs, 64, cfg)
+    x0 = jnp.stack([spiral_init(64), spiral_init(64)]) * masks[:, :, None]
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+
+    def run(mesh):
+        sh = NamedSharding(mesh, P("chrom"))
+        f = jax.jit(
+            jax.vmap(
+                lambda d, k, bead, x: solve_ensemble_impl(
+                    d, cfg.anneal, k, cfg.model_count, bead, x
+                )
+            ),
+            in_shardings=(DenseRestraints(*(sh,) * 4), sh, sh, sh),
+            out_shardings=sh,
+        )
+        return f(batched, keys, masks, x0)
+
+    multi = run(make_mesh(jax.devices()[:2]))
+    single = run(make_mesh(jax.devices()[:1]))
+    np.testing.assert_allclose(
+        np.asarray(multi.history), np.asarray(single.history), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(multi.coords), np.asarray(single.coords), atol=1e-3
+    )
 
 
 def test_pipeline_zero_restraints(tmp_path):
@@ -302,3 +355,44 @@ def test_pipeline_failure_sentinel(tmp_path):
         run_pipeline(src, str(tmp_path / "out"), bad)
     assert os.path.exists(tmp_path / "out" / "iam.failed")
     assert not os.path.exists(tmp_path / "out" / "iam.running")
+
+
+def test_model_axis_shards_layout():
+    from chromosome3d_tpu.parallel.genome import model_axis_shards
+
+    # chips outnumber chromosomes: split the restart budget
+    assert model_axis_shards(2, 8, 20) == 4    # 2*4=8 devices, 5 models each
+    assert model_axis_shards(3, 8, 20) == 2    # 3*2=6 <= 8
+    assert model_axis_shards(1, 8, 20) == 5    # hmm: largest divisor m<=8
+    # chromosomes >= chips: plain 1-D layout
+    assert model_axis_shards(8, 8, 20) == 1
+    assert model_axis_shards(46, 8, 20) == 1
+
+
+def test_solve_bucket_2d_model_axis(tmp_path):
+    """One chromosome on an 8-device mesh uses the chrom x model layout and
+    still returns model_count models."""
+    import jax
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.ops.energy import DenseRestraints, dense_restraints_from_numpy
+    from chromosome3d_tpu.parallel.genome import make_mesh, solve_bucket
+    from chromosome3d_tpu.restraints import build_restraints
+
+    rng = np.random.RandomState(0)
+    L = 64
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    d = dense_restraints_from_numpy(
+        build_restraints(m, RestraintConfig()), "relative", 2.0
+    )
+    batched = DenseRestraints(*(t[None] for t in d))
+    cfg = fast_cfg(model_count=4)
+    res = solve_bucket(batched, jnp.ones((1, L), jnp.float32), cfg, make_mesh())
+    assert res.coords.shape == (1, 4, L, 3)
+    assert np.isfinite(np.asarray(res.coords)).all()
+    assert res.history.shape[:2] == (1, 4)
+    # the 4 models are genuinely distinct restarts
+    c = np.asarray(res.coords[0])
+    assert not np.allclose(c[0], c[1])

@@ -50,3 +50,71 @@ def test_sharded_solve_rejects_bad_length():
         solve_single_sharded(
             mesh, dense, cfg, jax.random.PRNGKey(0), jnp.zeros((50, 3))
         )
+
+
+def test_sharded_ensemble_matches_dense_landmark():
+    """solve_ensemble_sharded (row-sharded init + hot + enantiomer pick +
+    cool/final) must match solve_ensemble_impl with init='landmark' on the
+    same key — the sharded program IS the dense program, decomposed."""
+    import dataclasses
+
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+
+    L = 16 * 8
+    dense = make_case(L)
+    cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig()), init="landmark", landmark_count=16
+    )
+    key = jax.random.PRNGKey(7)
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    sharded = jax.jit(
+        lambda d, k: solve_ensemble_sharded(mesh, d, cfg, k, 2)
+    )(dense, key)
+    ref = jax.jit(
+        lambda d, k: solve_ensemble_impl(d, cfg, k, 2),
+    )(dense, key)
+    np.testing.assert_allclose(
+        np.asarray(sharded.history), np.asarray(ref.history), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.coords), np.asarray(ref.coords), atol=5e-3
+    )
+    for k2 in ("noe", "bon", "vdw", "overall"):
+        np.testing.assert_allclose(
+            np.asarray(sharded.energies[k2]), np.asarray(ref.energies[k2]),
+            rtol=2e-3,
+        )
+
+
+def test_sharded_ensemble_padded_bead_mask():
+    """Sharded ensemble on a padded problem (true L not divisible by the
+    mesh): padding masked everywhere, coords zero on padding."""
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.restraints import build_restraints
+    from chromosome3d_tpu.solver.sharded import (
+        pad_restraints_to_multiple,
+        solve_ensemble_sharded,
+    )
+    import dataclasses
+
+    rng = np.random.RandomState(1)
+    L = 50
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    r = build_restraints(m, RestraintConfig())
+    r_pad, bead = pad_restraints_to_multiple(r, 8)
+    assert r_pad.length == 56
+    dense = dense_restraints_from_numpy(r_pad, "relative", 2.0)
+    cfg = dataclasses.replace(fast_anneal(AnnealConfig(), 0.1), init="landmark")
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    res = jax.jit(
+        lambda d, k, b: solve_ensemble_sharded(mesh, d, cfg, k, 2, b)
+    )(dense, jax.random.PRNGKey(0), jnp.asarray(bead))
+    coords = np.asarray(res.coords)
+    assert coords.shape == (2, 56, 3)
+    assert np.isfinite(coords).all()
+    assert (coords[:, L:, :] == 0).all()
+    assert np.abs(coords[:, :L, :]).max() > 1.0
