@@ -49,7 +49,8 @@ def main() -> int:
     dense = dense_restraints_from_numpy(
         build_restraints(matrix, rc), rc.weighting, rc.weight_exponent
     )
-    cfg = AnnealConfig(use_pallas=use_pallas)
+    # pipeline restraints are exact (negdev = posdev = 0) -> fast kernel
+    cfg = AnnealConfig(use_pallas=use_pallas, exact_restraints=True)
     n_models = 10
 
     def run(seed):
@@ -68,7 +69,7 @@ def main() -> int:
         # fall back to the dense XLA energy path if the Pallas kernel fails
         # to lower on this backend (keeps the benchmark alive on new stacks)
         use_pallas = False
-        cfg = AnnealConfig(use_pallas=False)
+        cfg = AnnealConfig(use_pallas=False, exact_restraints=True)
         run(0)
     t0 = time.time()
     result, coords_np = run(82364)

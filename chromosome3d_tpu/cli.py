@@ -70,10 +70,18 @@ def main(argv=None) -> int:
     run = sub.add_parser("run", help="reconstruct one chromosome (the reference's main CLI)")
     # "-if" kept as an alias: the reference's test.sh invokes `-if <matrix>`
     # (Getopt::Long prefix-matches it to -i, test.sh:4-11)
-    run.add_argument("-i", "-if", "--input", required=True, help="IF matrix file")
+    run.add_argument("-i", "-if", "--input", required=True,
+                     help="IF matrix: dense text, .cool/.mcool, .hic, or "
+                          "HiC-Pro .matrix")
     run.add_argument("-o", "--output", required=True, help="output directory")
     run.add_argument("--profile", default=None, metavar="DIR",
                      help="write a jax.profiler trace of the solve to DIR")
+    run.add_argument("--chrom", default=None,
+                     help="chromosome name (for .cool/.hic/.matrix inputs)")
+    run.add_argument("--resolution", type=int, default=None,
+                     help="bin size in bp (for .hic/.mcool inputs)")
+    run.add_argument("--bed", default=None,
+                     help="HiC-Pro .bed bin table (for .matrix inputs)")
     _add_common(run)
 
     gen = sub.add_parser("genome", help="whole-genome single-launch run (replaces test.sh)")
@@ -154,7 +162,9 @@ def main(argv=None) -> int:
         from chromosome3d_tpu.pipeline import run_pipeline
 
         summary = run_pipeline(
-            args.input, args.output, _make_config(args), profile_dir=args.profile
+            args.input, args.output, _make_config(args),
+            profile_dir=args.profile, chrom=args.chrom,
+            resolution=args.resolution, bed_path=args.bed,
         )
         print(json.dumps(summary))
         return 0

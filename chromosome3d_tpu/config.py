@@ -111,6 +111,13 @@ class AnnealConfig:
     # targets) where early gradients can overflow float32.
     gradient_clip: Optional[float] = None
     use_pallas: bool = False       # use the Pallas fused energy kernel on TPU
+    # exact-restraint kernel: when every restraint has negdev == posdev == 0
+    # (always true for pipeline-generated restraints, carr2tbl emits
+    # `d 0.00 0.00`) AND the well is pure quadratic (noe_rswitch disabled),
+    # the Pallas kernel drops the lo/hi pair for one target tensor and the
+    # whole wall-selection branch logic. The pipeline auto-enables this when
+    # provable; only set it manually if you know the restraints are exact.
+    exact_restraints: bool = False
 
     @property
     def cool_steps(self) -> int:

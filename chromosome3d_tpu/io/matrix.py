@@ -79,6 +79,18 @@ def _validate(mat: np.ndarray, path) -> np.ndarray:
     return mat
 
 
+def write_if_matrix(path: str | os.PathLike, m: np.ndarray) -> None:
+    """Write a dense IF matrix in the reference's text format (whitespace
+    floats, one row per line) — used to materialize a .cool/.hic/.matrix
+    input as the run's `{ident}.txt` artifact so downstream tooling sees the
+    same file layout as a native run."""
+    m = np.asarray(m)
+    with open(path, "w") as f:
+        for row in m:
+            f.write(" ".join(f"{v:.6g}" for v in row))
+            f.write("\n")
+
+
 def write_dist_matrix(path: str | os.PathLike, dist: np.ndarray) -> None:
     """Write the `$ID.dist` artifact: L x L of '%.1f ' cells, one row per line,
     -1 sentinel already applied by the caller (ref: chromosome3D.pl:156-161)."""

@@ -49,6 +49,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_tile(Lp: int, n_tensors: int) -> int:
+    """Row-tile size: as large as the 16 MiB scoped-VMEM budget allows. The
+    TPU grid runs SEQUENTIALLY on a core, so many small tiles pay
+    per-iteration overhead that dwarfs their VPU work at the shipped sizes
+    (L <= 512 padded: ONE row tile per structure; measured +11% end-to-end
+    vs fixed 128). Mosaic double-buffers the streamed blocks, so budget
+    2 x n_restraint_tensors x TM x Lp floats plus the (Lp, 3) coords and
+    intermediates; tile rows stay multiples of 128 for lane alignment."""
+    budget = 10 * 1024 * 1024  # leave headroom under the 16 MiB scoped limit
+    for t in (Lp, 512, 384, 320, 256, 128):
+        if t <= Lp and Lp % t == 0:
+            need = 2 * (n_tensors + 2) * t * Lp * 4  # tiles + d2/work arrays
+            if need <= budget:
+                return t
+    return TILE_M
+
+
 def _kernel(
     params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, rswitch, L_real (unused pad..)
     x_ref,        # (1, L, 3) this structure's coords
@@ -123,13 +140,79 @@ def _kernel(
     e_ref[0] = e_noe + e_vdw
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _kernel_exact(
+    params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, ...
+    x_ref,        # (1, L, 3)
+    xt_ref,       # (1, 3, L)
+    t_ref,        # (TM, L) exact restraint TARGET tile (lo == hi == t)
+    w_ref,        # (TM, L) mask-folded weights tile
+    bmrow_ref,    # (1, L)
+    bmcol_ref,    # (TM, 1)
+    e_ref,        # out (1, TM, 1)
+    g_ref,        # out (1, TM, 3)
+):
+    """The exact-restraint specialization of _kernel: this pipeline's
+    restraints always have negdev = posdev = 0 (carr2tbl emits `d 0.00 0.00`,
+    chromosome3D.pl:352-354) and the production well is pure quadratic
+    (noe_rswitch disabled), so the soft-square machinery collapses:
+
+        viol^2 = (d - t)^2        (no |.|, no wall selection)
+        dE/dd  = 2 (d - t)        (no sign, no branch)
+
+    One (TM, L) restraint tensor instead of two (lo, hi) — a third less
+    restraint HBM traffic — and roughly half the VPU ops of the general
+    well. Dispatched statically via exact=True (AnnealConfig.exact_restraints,
+    auto-enabled by the pipeline when provable)."""
+    i = pl.program_id(0)
+    TM = g_ref.shape[1]
+
+    noe_w = params_ref[0]
+    vdw_w = params_ref[1]
+    vdw_radius = params_ref[2]
+
+    x = x_ref[0]
+    a = x_ref[0, pl.ds(i * TM, TM), :]
+
+    d2 = jnp.zeros((TM, xt_ref.shape[2]), jnp.float32)
+    for c in range(3):
+        diff = a[:, c:c + 1] - xt_ref[0, c:c + 1, :]
+        d2 = d2 + diff * diff
+    rinv = jax.lax.rsqrt(d2 + _EPS)
+    d = (d2 + _EPS) * rinv
+
+    pair_valid = bmcol_ref[:] * bmrow_ref[:]
+    w = w_ref[:] * pair_valid
+    dev = d - t_ref[:]
+    e_noe = 0.5 * noe_w * jnp.sum(w * dev * dev, axis=1, keepdims=True)
+    c_noe = noe_w * w * (2.0 * dev)
+
+    Lp = xt_ref.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 0) + i * TM
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 1)
+    nonbonded = (jnp.abs(rows - cols) >= 2).astype(jnp.float32) * pair_valid
+    overlap = jnp.maximum(vdw_radius - d, 0.0)
+    e_vdw = 0.5 * vdw_w * jnp.sum(nonbonded * overlap * overlap, axis=1, keepdims=True)
+    c_vdw = -2.0 * vdw_w * nonbonded * overlap
+
+    c = (c_noe + c_vdw) * rinv
+    crow = jnp.sum(c, axis=1, keepdims=True)
+    cx = jax.lax.dot_general(
+        c, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    g_ref[0] = a * crow - cx
+    e_ref[0] = e_noe + e_vdw
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
 def _pairwise_energy_grad_batched(
     coords: jnp.ndarray,       # (B, L, 3)
     restraints: DenseRestraints,
     weights: EnergyWeights,
     bead_mask: jnp.ndarray,    # (L,)
     interpret: bool = False,
+    exact: bool = False,
 ):
     """Run the fused kernel over a batch of structures SHARING one restraint
     set. Returns (pair_energy (B,), pair_grad (B, L, 3)).
@@ -152,8 +235,6 @@ def _pairwise_energy_grad_batched(
         return jnp.pad(m, ((0, padn), (0, padn)))
 
     x = jnp.pad(coords.astype(jnp.float32), ((0, 0), (0, padn), (0, 0)))
-    lo = pad2(restraints.lo)
-    hi = pad2(restraints.hi)
     w = pad2(restraints.mask * restraints.weight)
     bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
     xt = jnp.swapaxes(x, 1, 2)                     # (B, 3, Lp)
@@ -171,35 +252,46 @@ def _pairwise_energy_grad_batched(
         ]
     )
 
-    grid = (Lp // TILE_M, B)
+    TM = _pick_tile(Lp, 2 if exact else 3)
+    tile_spec = pl.BlockSpec((TM, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
+    common_in = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                      # params
+        pl.BlockSpec((1, Lp, 3), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, Lp), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if exact:
+        kernel = _kernel_exact
+        # exact restraints: lo == hi == target, ONE restraint tensor
+        tensors = (pad2(restraints.lo), w)
+        n_restraint_tiles = 2
+    else:
+        kernel = _kernel
+        tensors = (pad2(restraints.lo), pad2(restraints.hi), w)
+        n_restraint_tiles = 3
+
+    grid = (Lp // TM, B)
     e_parts, grad = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                      # params
-            pl.BlockSpec((1, Lp, 3), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, Lp), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
+        in_specs=common_in + [tile_spec] * n_restraint_tiles + [
             pl.BlockSpec((1, Lp), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_M, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_M, 1), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M, 3), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, 1), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, 3), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, Lp, 3), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(40 * Lp) * Lp * B,
-            bytes_accessed=int(4 * Lp) * Lp * 3 + B * Lp * 4 * 10,
+            flops=int((22 if exact else 40) * Lp) * Lp * B,
+            bytes_accessed=int(4 * Lp) * Lp * n_restraint_tiles + B * Lp * 4 * 10,
             transcendentals=Lp * Lp * B,
         ),
         interpret=interpret,
-    )(params, x, xt, lo, hi, w, bm[None, :], bm[:, None])
+    )(params, x, xt, *tensors, bm[None, :], bm[:, None])
     return jnp.sum(e_parts[:, :, 0], axis=1), grad[:, :L, :]
 
 
@@ -209,10 +301,11 @@ def _pairwise_energy_grad(
     weights: EnergyWeights,
     bead_mask: jnp.ndarray,
     interpret: bool = False,
+    exact: bool = False,
 ):
     """Single-structure wrapper over the batched kernel."""
     e, g = _pairwise_energy_grad_batched(
-        coords[None], restraints, weights, bead_mask, interpret
+        coords[None], restraints, weights, bead_mask, interpret, exact
     )
     return e[0], g[0]
 
@@ -225,24 +318,29 @@ def _bond_energy(coords, weights, bead_mask):
     return weights.bond * jnp.sum(bond_valid * bdev * bdev)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def pallas_energy(
     coords: jnp.ndarray,
     restraints: DenseRestraints,
     weights: EnergyWeights,
     bead_mask: jnp.ndarray,
     interpret: bool = False,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Total energy (NOE + vdw fused kernel, + jnp bond term). Same contract
     as ops.energy.energy; differentiable in coords only (the annealer's
-    variables) — restraint/weight cotangents are structural zeros."""
-    e_pair, _ = _pairwise_energy_grad(coords, restraints, weights, bead_mask, interpret)
+    variables) — restraint/weight cotangents are structural zeros.
+    exact=True selects the exact-restraint kernel (valid only when
+    lo == hi and the well is pure quadratic; see _kernel_exact)."""
+    e_pair, _ = _pairwise_energy_grad(
+        coords, restraints, weights, bead_mask, interpret, exact
+    )
     return e_pair + _bond_energy(coords, weights, bead_mask)
 
 
-def _fwd(coords, restraints, weights, bead_mask, interpret=False):
+def _fwd(coords, restraints, weights, bead_mask, interpret=False, exact=False):
     e_pair, g_pair = _pairwise_energy_grad(
-        coords, restraints, weights, bead_mask, interpret
+        coords, restraints, weights, bead_mask, interpret, exact
     )
     e_bond = _bond_energy(coords, weights, bead_mask)
     g_bond = jax.grad(_bond_energy)(coords, weights, bead_mask)
@@ -250,7 +348,7 @@ def _fwd(coords, restraints, weights, bead_mask, interpret=False):
     return e_pair + e_bond, residuals
 
 
-def _bwd(interpret, residuals, ct):
+def _bwd(interpret, exact, residuals, ct):
     g, restraints, weights, bead_mask = residuals
     zero_r = jax.tree.map(jnp.zeros_like, restraints)
     zero_w = jax.tree.map(jnp.zeros_like, weights)
@@ -274,6 +372,7 @@ def pallas_energy_and_grad_batched(
     weights: EnergyWeights,
     bead_mask: jnp.ndarray,
     interpret: bool = False,
+    exact: bool = False,
 ):
     """Fused value-and-grad for a shared-restraint batch: the annealer's
     inner step. Returns (energies (B,), grads (B, L, 3)). Not an autodiff
@@ -281,7 +380,7 @@ def pallas_energy_and_grad_batched(
     optimizer consumes it directly (the custom_vjp wrapper exists for
     API parity; this path skips even that indirection)."""
     e_pair, g_pair = _pairwise_energy_grad_batched(
-        coords, restraints, weights, bead_mask, interpret
+        coords, restraints, weights, bead_mask, interpret, exact
     )
     e_bond = _bond_energy_batched(coords, weights, bead_mask)
     g_bond = jax.vmap(lambda c: jax.grad(_bond_energy)(c, weights, bead_mask))(coords)

@@ -269,7 +269,13 @@ def run_genome(
             f"({', '.join(j.name for j in bucket)}) on {mesh.devices.size} devices"
         )
         batched, bead_masks, matrices, raw = _stack_bucket(bucket, L_pad, cfg)
-        result = solve_bucket(batched, bead_masks, cfg, mesh)
+        # pipeline-generated restraints are always exact; use the fast kernel
+        from chromosome3d_tpu.pipeline import auto_exact
+
+        cfg_b = cfg
+        if all(not r.negdev.any() and not r.posdev.any() for r in raw):
+            cfg_b = auto_exact(cfg, raw[0])
+        result = solve_bucket(batched, bead_masks, cfg_b, mesh)
         coords = np.asarray(result.coords)
         for b, job in enumerate(bucket):
             L = job.length

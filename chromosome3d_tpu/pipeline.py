@@ -66,6 +66,21 @@ def _bucket_pad(L: int, cfg: PipelineConfig):
     return L_pad, bead_mask
 
 
+def auto_exact(cfg: PipelineConfig, restraints) -> PipelineConfig:
+    """Enable the exact-restraint Pallas kernel when provable from the data:
+    every deviation zero (the pipeline's own restraints always are) and the
+    pure-quadratic well active. No-op otherwise — the general kernel stays."""
+    an = cfg.anneal
+    if (
+        not an.exact_restraints
+        and an.noe_rswitch >= 1e8
+        and not np.asarray(restraints.negdev).any()
+        and not np.asarray(restraints.posdev).any()
+    ):
+        return cfg.replace(anneal=dataclasses_replace(an, exact_restraints=True))
+    return cfg
+
+
 def _padded_dense(restraints, rc, L_pad: int):
     """Device tensors padded to L_pad. The weight exponent and the mean-1
     normalization both come from the TRUE length (padding is masked), so the
@@ -80,18 +95,30 @@ def _padded_dense(restraints, rc, L_pad: int):
     ), p
 
 
+_ALT_FORMATS = (".cool", ".mcool", ".hic", ".matrix")
+
+
 def run_pipeline(
     file_if: str,
     dir_out: str,
     cfg: Optional[PipelineConfig] = None,
     wipe: bool = True,
     profile_dir: Optional[str] = None,
+    chrom: Optional[str] = None,
+    resolution: Optional[int] = None,
+    bed_path: Optional[str] = None,
 ) -> Dict:
     """Run one chromosome end to end. Returns a result summary dict.
 
     Mirrors `chromosome3D.pl -i file_if -o dir_out` semantics, including the
     outdir wipe (:56) and the stdout progress banners (:48-53, 100-107).
     profile_dir: if set, the solve runs under a jax.profiler trace.
+
+    Besides the reference's dense text format, file_if may be a cooler
+    .cool/.mcool, a juicer .hic, or a HiC-Pro .matrix (io.hic.load_any);
+    chrom/resolution/bed_path select the block for those formats. The loaded
+    matrix is materialized as `{ident}.txt` so the artifact tree matches a
+    native run.
     """
     cfg = cfg or PipelineConfig()
     t_start = time.time()
@@ -103,10 +130,19 @@ def run_pipeline(
             p = os.path.join(dir_out, name)
             if os.path.isfile(p):
                 os.remove(p)
-    ident = os.path.basename(file_if)
-    ident = ident[:-4] if ident.endswith(".txt") else ident
+    base = os.path.basename(file_if)
+    ident, ext = os.path.splitext(base)
+    if ext not in (".txt",) + _ALT_FORMATS:
+        ident = base  # unknown extension: keep the full name as the id
     local_if = os.path.join(dir_out, f"{ident}.txt")
-    if os.path.abspath(file_if) != os.path.abspath(local_if):
+    if ext in _ALT_FORMATS:
+        from chromosome3d_tpu.io.hic import load_any
+        from chromosome3d_tpu.io.matrix import write_if_matrix
+
+        loaded = load_any(file_if, chrom=chrom, resolution=resolution,
+                          bed_path=bed_path)
+        write_if_matrix(local_if, loaded)
+    elif os.path.abspath(file_if) != os.path.abspath(local_if):
         shutil.copy(file_if, local_if)
 
     rc = cfg.restraints
@@ -141,6 +177,7 @@ def run_pipeline(
         f"restraint-count mismatch: tensors {restraints.count} vs tbl {n_tbl}"
     )
     banner(log, f"Coverage   : {coverage_string(restraints)}")
+    cfg = auto_exact(cfg, restraints)
     dense = dense_restraints_from_numpy(restraints, rc.weighting, rc.weight_exponent)
     # solver tensors are padded to the length bucket, so different-L runs
     # share one compiled program (each distinct L otherwise costs a fresh
@@ -242,6 +279,7 @@ def run_restraints_pipeline(
     else:
         restraints, conf = read_rr(restraints_file, L, rc)
     banner(log, f"Restraints : {restraints.count} from {restraints_file} (L={restraints.length})")
+    cfg = auto_exact(cfg, restraints)
     Lr = restraints.length
     L_pad, bead_mask = _bucket_pad(Lr, cfg)
     dense, _ = _padded_dense(restraints, rc, L_pad)

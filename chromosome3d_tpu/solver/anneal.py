@@ -131,8 +131,10 @@ def _energy_fn(cfg: AnnealConfig):
     if cfg.use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy
 
+        exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
+
         def efn(x, restraints, weights, bead_mask):
-            return pallas_energy(x, restraints, weights, bead_mask)
+            return pallas_energy(x, restraints, weights, bead_mask, False, exact)
 
         return efn
     return energy
@@ -260,8 +262,13 @@ def solve_ensemble_impl(
     if cfg.use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
 
+        # the exact kernel's algebra requires the pure-quadratic well
+        exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
+
         def vag(x, weights):
-            return pallas_energy_and_grad_batched(x, restraints, weights, bead_mask)
+            return pallas_energy_and_grad_batched(
+                x, restraints, weights, bead_mask, exact=exact
+            )
     else:
         _single = jax.value_and_grad(energy)
 

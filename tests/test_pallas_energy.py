@@ -92,3 +92,95 @@ def test_pallas_vmap_grad():
     for k, c in enumerate(xs):
         g = jax.grad(lambda cc: pallas_energy(cc, dense, w, bead, True))(c)
         np.testing.assert_allclose(gs[k], np.asarray(g), rtol=2e-4, atol=2e-4)
+
+
+def make_exact_case(L=50, seed=0):
+    """Pipeline-realistic case: exact restraints (lo == hi), quadratic well."""
+    rng = np.random.RandomState(seed)
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    r = build_restraints(m, RestraintConfig(alpha=0.5))
+    assert not r.negdev.any() and not r.posdev.any()
+    dense = dense_restraints_from_numpy(r)
+    x = jnp.asarray(rng.randn(L, 3) * 10, jnp.float32)
+    w = EnergyWeights(
+        noe=jnp.float32(10.0),
+        bond=jnp.float32(10.0),
+        bond_length=jnp.float32(3.8),
+        vdw=jnp.float32(4.0),
+        vdw_radius=jnp.float32(3.06),
+        noe_rswitch=jnp.float32(1e9),
+    )
+    bead = jnp.ones((L,), jnp.float32)
+    return x, dense, w, bead
+
+
+@pytest.mark.parametrize("L", [16, 50, 130])
+def test_exact_kernel_matches_dense(L):
+    """The exact-restraint kernel == the jnp reference on exact restraints."""
+    x, dense, w, bead = make_exact_case(L)
+    e_ref = float(energy(x, dense, w, bead))
+    e_exact = float(pallas_energy(x, dense, w, bead, True, True))
+    assert e_exact == pytest.approx(e_ref, rel=2e-5)
+    g_ref = jax.grad(energy)(x, dense, w, bead)
+    g_exact = jax.grad(lambda c: pallas_energy(c, dense, w, bead, True, True))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_exact), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_exact_kernel_batched_matches_general():
+    from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
+
+    x, dense, w, bead = make_exact_case(40)
+    xb = jnp.stack([x, x * 0.7 + 1.0])
+    e_g, g_g = pallas_energy_and_grad_batched(xb, dense, w, bead, True, False)
+    e_x, g_x = pallas_energy_and_grad_batched(xb, dense, w, bead, True, True)
+    np.testing.assert_allclose(np.asarray(e_x), np.asarray(e_g), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_x), np.asarray(g_g), rtol=2e-4, atol=2e-4)
+
+
+def test_exact_solve_matches_general(tiny_matrix):
+    """solve_ensemble with exact_restraints=True reproduces the general-
+    kernel trajectories on pipeline restraints (same RNG, same schedule)."""
+    import dataclasses
+
+    from chromosome3d_tpu.config import AnnealConfig, fast_anneal
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+
+    r = build_restraints(tiny_matrix, RestraintConfig())
+    dense = dense_restraints_from_numpy(r)
+    # interpret-mode pallas on CPU: tiny schedule keeps this fast
+    base = dataclasses.replace(fast_anneal(AnnealConfig(), 0.05), use_pallas=False)
+    key = jax.random.PRNGKey(5)
+    ref = solve_ensemble(dense, base, key, 2)
+    cfgx = dataclasses.replace(base, exact_restraints=True)
+    got = solve_ensemble(dense, cfgx, key, 2)
+    # non-pallas path ignores the flag entirely -> bitwise equal
+    np.testing.assert_array_equal(np.asarray(got.coords), np.asarray(ref.coords))
+
+
+def test_auto_exact_detection(tiny_matrix):
+    from chromosome3d_tpu.config import PipelineConfig
+    from chromosome3d_tpu.pipeline import auto_exact
+    from chromosome3d_tpu.restraints import Restraints
+
+    r = build_restraints(tiny_matrix, RestraintConfig())
+    cfg = auto_exact(PipelineConfig(), r)
+    assert cfg.anneal.exact_restraints
+    # nonzero deviations -> stays off
+    r2 = Restraints(
+        target=r.target,
+        negdev=np.where(r.mask, 0.1, 0.0).astype(np.float32),
+        posdev=r.posdev,
+        mask=r.mask,
+    )
+    assert not auto_exact(PipelineConfig(), r2).anneal.exact_restraints
+    # soft-square tail active -> stays off
+    import dataclasses
+
+    from chromosome3d_tpu.config import AnnealConfig
+
+    cfg3 = PipelineConfig(anneal=AnnealConfig(noe_rswitch=2.0))
+    assert not auto_exact(cfg3, r).anneal.exact_restraints
