@@ -49,21 +49,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_tile(Lp: int, n_tensors: int) -> int:
+def _pick_tile(Lp: int, exact: bool) -> int:
     """Row-tile size: as large as the 16 MiB scoped-VMEM budget allows. The
     TPU grid runs SEQUENTIALLY on a core, so many small tiles pay
     per-iteration overhead that dwarfs their VPU work at the shipped sizes
     (L <= 512 padded: ONE row tile per structure; measured +11% end-to-end
-    vs fixed 128). Mosaic double-buffers the streamed blocks, so budget
-    2 x n_restraint_tensors x TM x Lp floats plus the (Lp, 3) coords and
-    intermediates; tile rows stay multiples of 128 for lane alignment."""
-    budget = 10 * 1024 * 1024  # leave headroom under the 16 MiB scoped limit
-    for t in (Lp, 512, 384, 320, 256, 128):
-        if t <= Lp and Lp % t == 0:
-            need = 2 * (n_tensors + 2) * t * Lp * 4  # tiles + d2/work arrays
-            if need <= budget:
-                return t
-    return TILE_M
+    vs fixed 128).
+
+    Cost model calibrated from Mosaic's own scoped-vmem reports: total
+    scoped bytes ~= u * TM * Lp * 4 with u ~= 8.3 for the exact kernel
+    (measured 34.86M at TM=512, Lp=2048) and u ~= 9.8 for the general one
+    (measured 20.01M at TM=128, Lp=4096) — double-buffered restraint tiles
+    plus the live (TM, Lp) work arrays. Budget 14 MiB for headroom."""
+    budget = 14 * 1024 * 1024
+    u = 8.5 if exact else 10.5
+    for t in (Lp, 512, 384, 320, 256, 128, 64, 32, 16, 8):
+        if t <= Lp and Lp % t == 0 and u * t * Lp * 4 <= budget:
+            return t
+    return 8
 
 
 def _kernel(
@@ -252,7 +255,7 @@ def _pairwise_energy_grad_batched(
         ]
     )
 
-    TM = _pick_tile(Lp, 2 if exact else 3)
+    TM = _pick_tile(Lp, exact)
     tile_spec = pl.BlockSpec((TM, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
     common_in = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                      # params

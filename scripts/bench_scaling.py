@@ -63,7 +63,11 @@ def main():
     from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
 
     platform = jax.devices()[0].platform
-    cfg = turbo_anneal(AnnealConfig(use_pallas=(platform == "tpu" and not args.sharded)))
+    # build_restraints always yields exact restraints -> fast kernel is valid
+    cfg = turbo_anneal(AnnealConfig(
+        use_pallas=(platform == "tpu" and not args.sharded),
+        exact_restraints=True,
+    ))
     rc = RestraintConfig()
 
     results = []
