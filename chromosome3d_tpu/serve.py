@@ -73,6 +73,9 @@ class SolverCache:
         L_pad = self.bucket_for(L)
         rc = cfg.restraints
         r = build_restraints(matrix, rc)
+        from chromosome3d_tpu.pipeline import auto_exact
+
+        cfg = auto_exact(cfg, r)  # matrix-derived restraints: fast kernel
         p = rc.weight_exponent
         if p is None:
             p = auto_weight_exponent(L)

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Production-path evidence on the real TPU: run the whole genome through
+`run_genome` (the chromosome3d genome CLI path) with the Pallas kernel, score
+every chromosome's rank01 model against the published reference model, and
+append the table to VALIDATION.md.
+
+  python scripts/tpu_evidence.py [--models 10] [--out /tmp/tpu_genome]
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+REF = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", type=int, default=10)
+    ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--out", default="/tmp/tpu_genome_r2")
+    ap.add_argument("--validation", default=os.path.join(REPO, "VALIDATION.md"))
+    args = ap.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+    from chromosome3d_tpu.io.pdb import read_ca_pdb
+    from chromosome3d_tpu.metrics import spearman_if_inv_d
+    from chromosome3d_tpu.parallel.genome import run_genome
+
+    cfg = PipelineConfig(
+        model_count=args.models,
+        restraints=RestraintConfig(alpha=args.alpha),
+        anneal=AnnealConfig(use_pallas=(platform == "tpu")),
+    )
+    t0 = time.time()
+    summaries = run_genome(os.path.join(REF, "input"), args.out, cfg)
+    wall = time.time() - t0
+
+    refs = {}
+    for p in glob.glob(os.path.join(REF, "output_models", "chr*_rank*_a11.pdb")):
+        m = re.match(r"(chr\d+_(?:1mb|500kb))_rank\d+_a11\.pdb", os.path.basename(p))
+        if m:
+            refs[m.group(1)] = p
+
+    rows, wins, total = [], 0, 0
+    for name in sorted(
+        summaries, key=lambda n: (int(re.match(r"chr(\d+)", n).group(1)), n)
+    ):
+        matrix = load_if_matrix(os.path.join(REF, "input", f"{name}_matrix.txt"))
+        ours = summaries[name]["best_spearman_if_inv_d"]
+        if name not in refs:
+            continue
+        ref_score = spearman_if_inv_d(matrix, read_ca_pdb(refs[name]))
+        win = ours > ref_score
+        wins += win
+        total += 1
+        rows.append((name, ref_score, ours, "WIN" if win else "LOSS"))
+        print(f"{name:14s} ref={ref_score:.4f} ours={ours:.4f} "
+              f"{'WIN' if win else 'LOSS'}", flush=True)
+
+    with open(args.validation, "a") as f:
+        f.write(
+            f"\n## TPU production-run evidence ({args.models} restarts, "
+            f"full schedule, alpha={args.alpha})\n\n"
+            f"Scores of the best models from an actual whole-genome run on "
+            f"one TPU v5e chip (the `chromosome3d genome --pallas` path — "
+            f"bucketed single-launch, Pallas exact kernel, enantiomer "
+            f"early-exit), {wall:.1f}s end-to-end for "
+            f"{len(summaries)} chromosome-resolution inputs, vs the "
+            f"published models:\n\n"
+            f"**{wins}/{total} inputs beat the published reference model "
+            f"from the TPU production path.**\n\n"
+            "| input | reference | ours (TPU run) | result |\n"
+            "|---|---|---|---|\n"
+        )
+        for name, ref_s, ours, verdict in rows:
+            f.write(f"| {name} | {ref_s:.4f} | {ours:.4f} | {verdict} |\n")
+    print(json.dumps({"wins": wins, "total": total,
+                      "genome_wall_seconds": round(wall, 1)}))
+    return 0 if wins == total else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
