@@ -39,6 +39,12 @@ def __getattr__(name):
         "solve_ensemble": ("chromosome3d_tpu.solver.anneal", "solve_ensemble"),
         "build_restraints": ("chromosome3d_tpu.restraints", "build_restraints"),
         "spearman_if_inv_d": ("chromosome3d_tpu.metrics", "spearman_if_inv_d"),
+        "solve_ensemble_sharded": ("chromosome3d_tpu.solver.sharded", "solve_ensemble_sharded"),
+        "solve_coinit": ("chromosome3d_tpu.similarity", "solve_coinit"),
+        "load_any": ("chromosome3d_tpu.io.hic", "load_any"),
+        "load_cooler": ("chromosome3d_tpu.io.hic", "load_cooler"),
+        "load_hic": ("chromosome3d_tpu.io.hic", "load_hic"),
+        "ice_balance": ("chromosome3d_tpu.io.hic", "ice_balance"),
     }
     if name in lazy:
         import importlib
@@ -58,7 +64,13 @@ __all__ = [
     "run_restraints_pipeline",
     "run_genome",
     "solve_ensemble",
+    "solve_ensemble_sharded",
+    "solve_coinit",
     "build_restraints",
     "spearman_if_inv_d",
+    "load_any",
+    "load_cooler",
+    "load_hic",
+    "ice_balance",
     "__version__",
 ]

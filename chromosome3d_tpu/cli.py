@@ -82,6 +82,8 @@ def main(argv=None) -> int:
                      help="bin size in bp (for .hic/.mcool inputs)")
     run.add_argument("--bed", default=None,
                      help="HiC-Pro .bed bin table (for .matrix inputs)")
+    run.add_argument("--ice", action="store_true",
+                     help="ICE-balance raw counts before restraint generation")
     _add_common(run)
 
     gen = sub.add_parser("genome", help="whole-genome single-launch run (replaces test.sh)")
@@ -164,7 +166,7 @@ def main(argv=None) -> int:
         summary = run_pipeline(
             args.input, args.output, _make_config(args),
             profile_dir=args.profile, chrom=args.chrom,
-            resolution=args.resolution, bed_path=args.bed,
+            resolution=args.resolution, bed_path=args.bed, ice=args.ice,
         )
         print(json.dumps(summary))
         return 0

@@ -265,6 +265,48 @@ def load_hic(
     return m
 
 
+def ice_balance(
+    m: np.ndarray,
+    max_iter: int = 200,
+    tol: float = 1e-5,
+    min_coverage_frac: float = 0.1,
+) -> np.ndarray:
+    """ICE (iterative correction / matrix balancing, Imakaev 2012) for raw
+    Hi-C counts: find a bias vector b so that the corrected matrix
+    m_ij / (b_i b_j) has equal row sums. Pure numpy, O(iter * L^2).
+
+    Bins with coverage below min_coverage_frac of the nonzero-bin mean are
+    masked out of the iteration (the standard low-coverage filter) and their
+    rows/cols come back zero. The corrected matrix is rescaled so its mean
+    matches the input's — if_to_dist's K * mean(IF^a) normalization then
+    behaves identically on balanced and raw inputs."""
+    m = np.asarray(m, dtype=np.float64)
+    L = m.shape[0]
+    cov = m.sum(axis=1)
+    nz = cov > 0
+    good = nz.copy()
+    if nz.any():
+        good &= cov >= min_coverage_frac * cov[nz].mean()
+    w = np.where(good[:, None] & good[None, :], m, 0.0)
+    bias = np.ones(L)
+    for _ in range(max_iter):
+        s = w.sum(axis=1)
+        s_nz = s[good]
+        if s_nz.size == 0:
+            break
+        d = np.ones(L)
+        d[good] = s[good] / s_nz.mean()
+        w = w / d[:, None] / d[None, :]
+        bias *= d
+        if np.abs(d[good] - 1.0).max() < tol:
+            break
+    # rescale to the input's overall intensity so downstream K scaling is
+    # unchanged in expectation
+    if w.sum() > 0:
+        w *= m[good][:, good].sum() / w.sum() if good.any() else 1.0
+    return w
+
+
 def load_any(
     path: str | os.PathLike,
     chrom: Optional[str] = None,

@@ -107,6 +107,7 @@ def run_pipeline(
     chrom: Optional[str] = None,
     resolution: Optional[int] = None,
     bed_path: Optional[str] = None,
+    ice: bool = False,
 ) -> Dict:
     """Run one chromosome end to end. Returns a result summary dict.
 
@@ -135,12 +136,16 @@ def run_pipeline(
     if ext not in (".txt",) + _ALT_FORMATS:
         ident = base  # unknown extension: keep the full name as the id
     local_if = os.path.join(dir_out, f"{ident}.txt")
-    if ext in _ALT_FORMATS:
-        from chromosome3d_tpu.io.hic import load_any
+    if ext in _ALT_FORMATS or ice:
+        from chromosome3d_tpu.io.hic import ice_balance, load_any
         from chromosome3d_tpu.io.matrix import write_if_matrix
 
         loaded = load_any(file_if, chrom=chrom, resolution=resolution,
                           bed_path=bed_path)
+        if ice:
+            # ICE matrix balancing for raw counts (Imakaev 2012); the
+            # materialized {ident}.txt carries the values the run used
+            loaded = ice_balance(loaded)
         write_if_matrix(local_if, loaded)
     elif os.path.abspath(file_if) != os.path.abspath(local_if):
         shutil.copy(file_if, local_if)

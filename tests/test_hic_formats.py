@@ -250,3 +250,55 @@ def test_run_pipeline_from_cooler(tmp_path):
     assert summary["L"] == 24
     assert os.path.exists(os.path.join(out, "chrT.txt"))
     assert os.path.exists(os.path.join(out, "chrT_model1.pdb"))
+
+
+def test_ice_balance():
+    from chromosome3d_tpu.io.hic import ice_balance
+
+    rng = np.random.RandomState(7)
+    L = 40
+    # true uniform contact matrix distorted by multiplicative per-bin biases
+    bias = np.exp(rng.normal(0, 0.5, L))
+    base = rng.poisson(50.0, size=(L, L)).astype(np.float64)
+    base = (base + base.T) / 2
+    m = base * bias[:, None] * bias[None, :]
+    # one dead bin (no coverage) must come back zero, not NaN
+    m[3, :] = m[:, 3] = 0.0
+    w = ice_balance(m)
+    assert np.isfinite(w).all()
+    np.testing.assert_allclose(w, w.T, rtol=1e-10)
+    assert (w[3, :] == 0).all() and (w[:, 3] == 0).all()
+    good = w.sum(1) > 0
+    sums = w[good].sum(axis=1)
+    # equal visibility: row sums within 1% of each other
+    assert sums.std() / sums.mean() < 0.01
+    # intensity preserved so if_to_dist's K scaling is comparable
+    assert w.sum() == pytest.approx(m[good][:, good].sum(), rel=1e-6)
+
+
+def test_run_pipeline_ice(tmp_path):
+    import os
+
+    from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig, fast_anneal
+    from chromosome3d_tpu.io.matrix import load_if_matrix, write_if_matrix
+    from chromosome3d_tpu.pipeline import run_pipeline
+
+    rng = np.random.RandomState(8)
+    L = 20
+    bias = np.exp(rng.normal(0, 0.4, L))
+    base = rng.poisson(30.0, size=(L, L)).astype(np.float64) + 1.0
+    m = ((base + base.T) / 2) * bias[:, None] * bias[None, :]
+    src = str(tmp_path / "raw.txt")
+    write_if_matrix(src, m)
+    cfg = PipelineConfig(
+        model_count=2,
+        restraints=RestraintConfig(separation=2),
+        anneal=fast_anneal(AnnealConfig(), 0.1),
+        length_buckets=(32,),
+    )
+    out = str(tmp_path / "out")
+    summary = run_pipeline(src, out, cfg, ice=True)
+    assert summary["L"] == L
+    balanced = load_if_matrix(os.path.join(out, "raw.txt"))
+    sums = balanced.sum(1)
+    assert sums.std() / sums.mean() < 0.01
