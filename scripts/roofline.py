@@ -81,15 +81,25 @@ def main():
             # consume the gradient so nothing is dead code; keep shapes static
             return c - 1e-6 * g, e
 
-        run = jax.jit(lambda c: jax.lax.scan(body, c, None, length=steps))
+        # differential timing: the remote-execution path carries a fixed
+        # per-call overhead (tens of ms through the tunnel) that would
+        # inflate per-step time; time scans of N and 5N steps and take the
+        # slope, which cancels the constant.
+        def make(n):
+            return jax.jit(lambda c: jax.lax.scan(body, c, None, length=n)[1])
 
-        np.asarray(run(x)[1])                       # compile + warm
-        times = []
-        for _ in range(5):
-            t0 = time.time()
-            np.asarray(run(x)[1])                   # host fence (axon-safe)
-            times.append(time.time() - t0)
-        per_step = min(times) / steps
+        run1, run5 = make(steps), make(5 * steps)
+        np.asarray(run1(x)); np.asarray(run5(x))    # compile + warm
+
+        def best(fn):
+            ts = []
+            for _ in range(5):
+                t0 = time.time()
+                np.asarray(fn(x))                   # host fence (axon-safe)
+                ts.append(time.time() - t0)
+            return min(ts)
+
+        per_step = (best(run5) - best(run1)) / (4 * steps)
 
         Lp = _round_up(max(L, 8), 128)
         pairs = B * Lp * Lp
