@@ -146,6 +146,19 @@ def main(argv=None) -> int:
     ren.add_argument("target", help="a PDB file or a run output directory")
     ren.add_argument("-o", "--output", default=None, help="output PNG (file mode)")
 
+    coi = sub.add_parser(
+        "coinit",
+        help="solve a LOW-resolution matrix co-initialized from a reduced "
+             "HIGH-resolution model (cross-resolution consistency workflow)",
+    )
+    coi.add_argument("-i", "--input", required=True, help="low-res IF matrix")
+    coi.add_argument("-p", "--hires-pdb", required=True,
+                     help="high-resolution model PDB to seed from")
+    coi.add_argument("-o", "--output", required=True)
+    coi.add_argument("--factor", type=int, default=2,
+                     help="hi-res -> lo-res bead reduction factor (default 2)")
+    _add_common(coi)
+
     sim = sub.add_parser(
         "similarity",
         help="cross-resolution similarity report + reduced models "
@@ -278,6 +291,40 @@ def main(argv=None) -> int:
 
             out = args.output or args.target.replace(".pdb", ".png")
             print(render_model(read_ca_pdb(args.target), out))
+        return 0
+
+    if args.command == "coinit":
+        import os
+
+        import numpy as np
+
+        from chromosome3d_tpu.io.matrix import load_if_matrix
+        from chromosome3d_tpu.io.pdb import read_ca_pdb, write_ca_pdb
+        from chromosome3d_tpu.metrics import cross_resolution_similarity
+        from chromosome3d_tpu.similarity import solve_coinit
+
+        cfg = _make_config(args)
+        lo_m = load_if_matrix(args.input)
+        hi = read_ca_pdb(args.hires_pdb)
+        coords, order, scores = solve_coinit(lo_m, hi, cfg, factor=args.factor)
+        os.makedirs(args.output, exist_ok=True)
+        ident = os.path.basename(args.input)
+        ident = ident[:-4] if ident.endswith(".txt") else ident
+        atag = f"a{cfg.restraints.alpha}".replace(".", "")
+        for rank, idx in enumerate(order, start=1):
+            write_ca_pdb(
+                os.path.join(args.output, f"{ident}_rank{rank:02d}_{atag}.pdb"),
+                coords[idx],
+                remarks={"spearman_if_inv_d": float(scores[idx])},
+            )
+        best = coords[order[0]]
+        rho, rmsd = cross_resolution_similarity(hi, best, args.factor)
+        print(json.dumps({
+            "best_spearman_if_inv_d": float(scores[order[0]]),
+            "cross_res_spearman": rho,
+            "cross_res_rmsd": rmsd,
+            "models": int(len(coords)),
+        }))
         return 0
 
     if args.command == "similarity":
