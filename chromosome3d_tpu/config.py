@@ -118,6 +118,13 @@ class AnnealConfig:
     # whole wall-selection branch logic. The pipeline auto-enables this when
     # provable; only set it manually if you know the restraints are exact.
     exact_restraints: bool = False
+    # fold the ENTIRE step (pair+bond gradient, Adam, Langevin noise,
+    # coordinate update) into one kernel invocation per row tile. Valid only
+    # on the exact-restraint Pallas path; measured: the unfused step spends
+    # ~half its time in XLA op-launch glue around the kernel (DESIGN.md).
+    # Noise comes from the on-core PRNG (statistically identical to the
+    # unfused threefry stream, bitwise different).
+    fuse_update: bool = True
 
     @property
     def cool_steps(self) -> int:

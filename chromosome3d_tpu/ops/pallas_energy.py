@@ -208,6 +208,274 @@ def _kernel_exact(
     e_ref[0] = e_noe + e_vdw
 
 
+def _kernel_fused_step(
+    params_ref,   # SMEM f32 (16,): see _FUSED_PARAMS
+    ints_ref,     # SMEM i32 (4,): seed, step, n_batch, unused
+    x_ref,        # (1, Lp, 3) full coords of this structure
+    xt_ref,       # (1, 3, Lp)
+    t_ref,        # (TM, Lp) exact restraint target tile
+    w_ref,        # (TM, Lp) mask-folded weights tile
+    bmrow_ref,    # (1, Lp)
+    bmcol_ref,    # (TM, 1)
+    mu_ref,       # (1, TM, 3) Adam first-moment rows (this tile)
+    nu_ref,       # (1, TM, 3) Adam second-moment rows
+    e_ref,        # out (1, TM, 1) energy row partials (noe+vdw+bond)
+    xo_ref,       # out (1, TM, 3) updated coordinate rows
+    muo_ref,      # out (1, TM, 3)
+    nuo_ref,      # out (1, TM, 3)
+    gb_ref,       # scratch VMEM (Lp, 3): full-chain bond gradient staging
+    eb_ref,       # scratch VMEM (Lp, 1): full-chain bond energy staging
+):
+    """The WHOLE annealing step in one kernel invocation per row tile:
+    pair energy+gradient (exact-restraint algebra), chain-bond energy+
+    gradient, per-bead clip, Adam moment update with bias correction,
+    Langevin noise from the on-core PRNG, and the coordinate update.
+
+    Motivation (measured, DESIGN.md): the fused energy kernel runs at
+    ~51 us/step (B=10, L=456) but the full scan step costs ~96 us — the
+    difference is XLA op-launch glue for optax/noise/weight construction.
+    Fusing the update removes those launches entirely; the per-step HBM
+    traffic becomes one read of the batch-invariant restraint tiles plus
+    O(B L) state. Semantics match the unfused path exactly except the
+    noise stream (Box-Muller over pltpu.prng_random_bits instead of
+    threefry normals — statistically identical, bitwise different)."""
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    TM = xo_ref.shape[1]
+    Lp = xt_ref.shape[2]
+
+    noe_w = params_ref[0]
+    vdw_w = params_ref[1]
+    vdw_radius = params_ref[2]
+    lr = params_ref[3]
+    sigma = params_ref[4]
+    b1 = params_ref[5]
+    b2 = params_ref[6]
+    eps_adam = params_ref[7]
+    bc1 = params_ref[8]          # 1 / (1 - b1^t)
+    bc2 = params_ref[9]          # 1 / (1 - b2^t)
+    bond_w = params_ref[10]
+    bond_len = params_ref[11]
+    clip = params_ref[12]        # per-bead grad-norm clip; <= 0 disables
+
+    x = x_ref[0]                                   # (Lp, 3)
+    a = x_ref[0, pl.ds(i * TM, TM), :]             # (TM, 3)
+
+    # ---- pair terms (exact-restraint algebra, see _kernel_exact) ----
+    d2 = jnp.zeros((TM, Lp), jnp.float32)
+    for c in range(3):
+        diff = a[:, c:c + 1] - xt_ref[0, c:c + 1, :]
+        d2 = d2 + diff * diff
+    rinv = jax.lax.rsqrt(d2 + _EPS)
+    d = (d2 + _EPS) * rinv
+    pair_valid = bmcol_ref[:] * bmrow_ref[:]
+    w = w_ref[:] * pair_valid
+    dev = d - t_ref[:]
+    e_noe = 0.5 * noe_w * jnp.sum(w * dev * dev, axis=1, keepdims=True)
+    c_noe = noe_w * w * (2.0 * dev)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 0) + i * TM
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 1)
+    nonbonded = (jnp.abs(rows - cols) >= 2).astype(jnp.float32) * pair_valid
+    overlap = jnp.maximum(vdw_radius - d, 0.0)
+    e_vdw = 0.5 * vdw_w * jnp.sum(nonbonded * overlap * overlap, axis=1, keepdims=True)
+    c_vdw = -2.0 * vdw_w * nonbonded * overlap
+    c = (c_noe + c_vdw) * rinv
+    crow = jnp.sum(c, axis=1, keepdims=True)
+    cx = jax.lax.dot_general(
+        c, x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    g = a * crow - cx                              # (TM, 3)
+
+    # ---- chain bond: energy row partials + gradient rows ----
+    # bond k joins beads (k, k+1). Expressed entirely with circular rolls +
+    # boundary masks over full (Lp, .) arrays — Mosaic lowers rolls cleanly
+    # where narrow concatenates hit tile-offset limits. Computed over the
+    # whole chain (O(Lp), cheap) then sliced to this tile's rows.
+    bead_c = bmrow_ref[0][:, None]                 # (Lp, 1)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
+    x_next = pltpu.roll(x, shift=Lp - 1, axis=0)   # row r -> x_{r+1} (wraps;
+    #                                                 pltpu.roll needs shift >= 0)
+    dn = x_next - x                                # bond r: x_{r+1} - x_r
+    db = jnp.sqrt(jnp.sum(dn * dn, axis=-1, keepdims=True) + _EPS)  # (Lp, 1)
+    v_next = (
+        bead_c * pltpu.roll(bead_c, shift=Lp - 1, axis=0)
+        * (ridx < Lp - 1).astype(jnp.float32)
+    )                                              # bond r exists
+    bdev = db - bond_len
+    fwd = (2.0 * bond_w * v_next * bdev / db) * dn  # c_r (x_{r+1} - x_r)
+    # dE/dx_i = +fwd_{i-1} (x_i is bond i-1's "+1" end) - fwd_i (base end)
+    fwd_prev = pltpu.roll(fwd, shift=1, axis=0) * (ridx > 0).astype(jnp.float32)
+    g_bond_full = fwd_prev - fwd
+    e_bond_full = bond_w * v_next * bdev * bdev    # (Lp, 1): bond r at row r
+    # Mosaic has no value-level dynamic_slice; stage the full-chain arrays
+    # through VMEM scratch and take the tile's rows with a ref-level pl.ds
+    gb_ref[:] = g_bond_full
+    eb_ref[:] = e_bond_full
+    g_bond = gb_ref[pl.ds(i * TM, TM), :]
+    e_bond = eb_ref[pl.ds(i * TM, TM), :]
+
+    g = g + g_bond
+    # per-bead gradient-norm clip (AnnealConfig.gradient_clip)
+    gnorm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-12)
+    scale = jnp.where(clip > 0.0, jnp.minimum(1.0, clip / gnorm), 1.0)
+    g = g * scale
+
+    # ---- Adam + Langevin update ----
+    mu = b1 * mu_ref[0] + (1.0 - b1) * g
+    nu = b2 * nu_ref[0] + (1.0 - b2) * g * g
+    upd = (mu * bc1) / (jnp.sqrt(nu * bc2) + eps_adam)
+
+    # noise ~ N(0,1) via Box-Muller over a counter-based hash RNG (murmur3
+    # finalizer over the element's global coordinates). Plain integer ops:
+    # identical bit streams on TPU and in interpret mode (pltpu.prng_* is a
+    # zero stub under the CPU interpreter), no cross-(step, structure, tile)
+    # collisions by construction, and Langevin noise needs statistical — not
+    # cryptographic — quality.
+    def mix(h):
+        h = h.astype(jnp.uint32)
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        return h
+
+    row_g = i * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, 3), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TM, 3), 1)
+    elem = (row_g * 3 + col).astype(jnp.uint32)
+    base = (
+        ints_ref[0].astype(jnp.uint32)
+        + ints_ref[1].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        + b * jnp.uint32(0x7FEB352D)
+    )
+    bits1 = mix(elem ^ base ^ jnp.uint32(0x68E31DA4))
+    bits2 = mix(elem ^ base ^ jnp.uint32(0xB5297A4D))
+    # Mosaic can't cast uint32->f32 directly; the >>8 keeps 24 bits, which
+    # round-trip exactly through int32
+    u1 = (bits1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+    u2 = (bits2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    noise = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * np.pi * u2)
+
+    bead_col = bmcol_ref[:]                        # (TM, 1)
+    xo_ref[0] = a + (-lr * upd + sigma * noise) * bead_col
+    muo_ref[0] = mu
+    nuo_ref[0] = nu
+    e_ref[0] = e_noe + e_vdw + e_bond
+
+
+def pallas_fused_step_batched(
+    coords: jnp.ndarray,       # (B, L, 3)
+    mu: jnp.ndarray,           # (B, L, 3)
+    nu: jnp.ndarray,           # (B, L, 3)
+    restraints: DenseRestraints,
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray,    # (L,)
+    lr, sigma,                 # schedule scalars
+    bc1, bc2,                  # Adam bias corrections 1/(1-b^t)
+    seed, step,                # int32 scalars for the noise stream
+    clip: float,               # per-bead grad clip (<=0 disables)
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps_adam: float = 1e-8,
+    interpret: bool = False,
+):
+    """One full annealing step for a shared-restraint batch, entirely inside
+    the fused kernel. Returns (energies (B,), x', mu', nu'). Exact-restraint
+    algebra only (the production path); semantics match the unfused
+    optax-based step except the noise bit stream."""
+    B, L, _ = coords.shape
+    Lp = _round_up(max(L, 8), TILE_M)
+    padn = Lp - L
+
+    def pad2(m):
+        return jnp.pad(m, ((0, padn), (0, padn)))
+
+    def pad3(m):
+        return jnp.pad(m, ((0, 0), (0, padn), (0, 0)))
+
+    x = pad3(coords.astype(jnp.float32))
+    mu_p = pad3(mu.astype(jnp.float32))
+    nu_p = pad3(nu.astype(jnp.float32))
+    t = pad2(restraints.lo)
+    w = pad2(restraints.mask * restraints.weight)
+    bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
+    xt = jnp.swapaxes(x, 1, 2)
+
+    params = jnp.stack([
+        weights.noe.astype(jnp.float32),
+        weights.vdw.astype(jnp.float32),
+        weights.vdw_radius.astype(jnp.float32),
+        jnp.asarray(lr, jnp.float32),
+        jnp.asarray(sigma, jnp.float32),
+        jnp.float32(b1),
+        jnp.float32(b2),
+        jnp.float32(eps_adam),
+        jnp.asarray(bc1, jnp.float32),
+        jnp.asarray(bc2, jnp.float32),
+        weights.bond.astype(jnp.float32),
+        weights.bond_length.astype(jnp.float32),
+        jnp.float32(clip if clip is not None else -1.0),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ])
+    ints = jnp.stack([
+        jnp.asarray(seed, jnp.int32),
+        jnp.asarray(step, jnp.int32),
+        jnp.int32(B),
+        jnp.int32(0),
+    ])
+
+    TM = _pick_tile(Lp, True)
+    grid = (Lp // TM, B)
+    tile_spec = pl.BlockSpec((TM, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((1, TM, 3), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM)
+    e_parts, x_new, mu_new, nu_new = pl.pallas_call(
+        _kernel_fused_step,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Lp, 3), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Lp), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
+            tile_spec,
+            tile_spec,
+            pl.BlockSpec((1, Lp), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TM, 1), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lp, 3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Lp, 3), jnp.float32),
+            pltpu.VMEM((Lp, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(24 * Lp) * Lp * B,
+            bytes_accessed=int(4 * Lp) * Lp * 2 + B * Lp * 4 * 16,
+            transcendentals=Lp * Lp * B,
+        ),
+        interpret=interpret,
+    )(params, ints, x, xt, t, w, bm[None, :], bm[:, None], mu_p, nu_p)
+    return (
+        jnp.sum(e_parts[:, :, 0], axis=1),
+        x_new[:, :L, :],
+        mu_new[:, :L, :],
+        nu_new[:, :L, :],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "exact"))
 def _pairwise_energy_grad_batched(
     coords: jnp.ndarray,       # (B, L, 3)

@@ -259,11 +259,10 @@ def solve_ensemble_impl(
     sched = build_schedule(cfg) if schedule is None else schedule
     base = _final_weights(cfg)
 
+    exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
+    fused = cfg.use_pallas and exact and cfg.fuse_update
     if cfg.use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
-
-        # the exact kernel's algebra requires the pure-quadratic well
-        exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
 
         def vag(x, weights):
             return pallas_energy_and_grad_batched(
@@ -275,13 +274,8 @@ def solve_ensemble_impl(
         def vag(x, weights):
             return jax.vmap(lambda c: _single(c, restraints, weights, bead_mask))(x)
 
-    opt = optax.scale_by_adam()
-    opt_state = opt.init(xs)
-
-    def step(carry, srow):
-        x, opt_state, k = carry
-        lr, sigma, vdw_w, repel = srow
-        weights = EnergyWeights(
+    def sched_weights(vdw_w, repel):
+        return EnergyWeights(
             noe=base.noe,
             bond=base.bond,
             bond_length=base.bond_length,
@@ -289,52 +283,80 @@ def solve_ensemble_impl(
             vdw_radius=repel * cfg.vdw_radius,
             noe_rswitch=base.noe_rswitch,
         )
-        e, g = vag(x, weights)
-        g = _clip_per_bead(g, cfg.gradient_clip)
-        updates, opt_state = opt.update(g, opt_state)
-        k, nkey = jax.random.split(k)
-        noise = sigma * jax.random.normal(nkey, x.shape)
-        x = x + (-lr * updates + noise) * bead_mask[None, :, None]
-        return (x, opt_state, k), e
+
+    if fused:
+        # the whole step runs inside ONE kernel invocation per row tile
+        # (ops.pallas_energy.pallas_fused_step_batched); the carry holds the
+        # Adam moments directly
+        from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
+
+        key, skey = jax.random.split(key)
+        seed = jax.random.randint(skey, (), 0, jnp.int32(2**31 - 1))
+        carry0 = (xs, jnp.zeros_like(xs), jnp.zeros_like(xs), jnp.int32(0))
+
+        def step(carry, srow):
+            x, mu, nu, count = carry
+            lr, sigma, vdw_w, repel = srow
+            t = (count + 1).astype(jnp.float32)
+            bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(0.9), t))
+            bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(0.999), t))
+            e, x, mu, nu = pallas_fused_step_batched(
+                x, mu, nu, restraints, sched_weights(vdw_w, repel), bead_mask,
+                lr, sigma, bc1, bc2, seed, count,
+                -1.0 if cfg.gradient_clip is None else cfg.gradient_clip,
+            )
+            return (x, mu, nu, count + 1), e
+
+        def select(carry, sel):
+            x, mu, nu, count = carry
+            return (x[sel], mu[sel], nu[sel], count)
+    else:
+        opt = optax.scale_by_adam()
+        carry0 = (xs, opt.init(xs), key)
+
+        def step(carry, srow):
+            x, opt_state, k = carry
+            lr, sigma, vdw_w, repel = srow
+            e, g = vag(x, sched_weights(vdw_w, repel))
+            g = _clip_per_bead(g, cfg.gradient_clip)
+            updates, opt_state = opt.update(g, opt_state)
+            k, nkey = jax.random.split(k)
+            noise = sigma * jax.random.normal(nkey, x.shape)
+            x = x + (-lr * updates + noise) * bead_mask[None, :, None]
+            return (x, opt_state, k), e
+
+        n_eff_sel = n_eff
+
+        def select(carry, sel):
+            x, opt_state, k = carry
+            opt_state = jax.tree.map(
+                lambda a: a[sel]
+                if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n_eff_sel)
+                else a,
+                opt_state,
+            )
+            return (x[sel], opt_state, k)
 
     srows = jnp.stack([sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1)
     if cfg.enantiomer:
         # hot phase on all 2n mirror-pair members
         hot = cfg.hot_steps
-        carry = (xs, opt_state, key)
-        carry, hist_hot = jax.lax.scan(step, carry, srows[:hot])
-        xs, opt_state, key = carry
+        carry, hist_hot = jax.lax.scan(step, carry0, srows[:hot])
         # pick handedness per pair by energy under the end-of-hot weights
         # (ref :1710-1727: CNS evaluates with the flags active at that point)
-        w_hot = EnergyWeights(
-            noe=base.noe,
-            bond=base.bond,
-            bond_length=base.bond_length,
-            vdw=sched.vdw_weight[hot - 1],
-            vdw_radius=sched.repel_scale[hot - 1] * cfg.vdw_radius,
-            noe_rswitch=base.noe_rswitch,
-        )
-        e_hot, _ = vag(xs, w_hot)                               # (2n,)
+        w_hot = sched_weights(sched.vdw_weight[hot - 1], sched.repel_scale[hot - 1])
+        e_hot, _ = vag(carry[0], w_hot)                         # (2n,)
         pick = jnp.argmin(e_hot.reshape(n_models, 2), axis=1)   # (n,)
         sel = jnp.arange(n_models) * 2 + pick
-        xs = xs[sel]
-        n_eff2 = n_eff
-        opt_state = jax.tree.map(
-            lambda a: a[sel]
-            if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n_eff2)
-            else a,
-            opt_state,
-        )
+        carry = select(carry, sel)
         hist_hot = hist_hot[:, sel]                             # (hot, n)
         # only the winners pay for slow-cool + final minimization
-        (xs, _, _), hist_rest = jax.lax.scan(
-            step, (xs, opt_state, key), srows[hot:]
-        )
+        carry, hist_rest = jax.lax.scan(step, carry, srows[hot:])
         history = jnp.concatenate([hist_hot, hist_rest], axis=0).T  # (n, T)
     else:
-        (xs, _, _), history = jax.lax.scan(step, (xs, opt_state, key), srows)
+        carry, history = jax.lax.scan(step, carry0, srows)
         history = history.T                        # (n_eff, T)
-    coords = xs
+    coords = carry[0]
 
     terms = jax.vmap(lambda c: energy_terms(c, restraints, base, bead_mask))(coords)
 

@@ -184,3 +184,92 @@ def test_auto_exact_detection(tiny_matrix):
 
     cfg3 = PipelineConfig(anneal=AnnealConfig(noe_rswitch=2.0))
     assert not auto_exact(cfg3, r).anneal.exact_restraints
+
+
+def _ref_adam_step(xb, mu, nu, g, lr, t, clip=None):
+    """Reference Adam update matching optax.scale_by_adam defaults."""
+    from chromosome3d_tpu.solver.anneal import _clip_per_bead
+
+    g = np.asarray(_clip_per_bead(jnp.asarray(g), clip))
+    mu2 = 0.9 * mu + 0.1 * g
+    nu2 = 0.999 * nu + 0.001 * g * g
+    bc1 = 1.0 / (1.0 - 0.9 ** t)
+    bc2 = 1.0 / (1.0 - 0.999 ** t)
+    upd = (mu2 * bc1) / (np.sqrt(nu2 * bc2) + 1e-8)
+    return xb - lr * upd, mu2, nu2, bc1, bc2
+
+
+@pytest.mark.parametrize("clip", [None, 0.5])
+def test_fused_step_matches_unfused(clip):
+    """pallas_fused_step_batched with sigma=0 == the unfused step exactly:
+    same energies, same Adam moments, same coordinates."""
+    from chromosome3d_tpu.ops.pallas_energy import (
+        pallas_energy_and_grad_batched,
+        pallas_fused_step_batched,
+    )
+
+    x, dense, w, bead = make_exact_case(40)
+    rng = np.random.RandomState(0)
+    xb = jnp.stack([x, x * 0.8 + 0.5, -x])
+    mu = rng.normal(0, 0.1, xb.shape).astype(np.float32)
+    nu = np.abs(rng.normal(0, 0.01, xb.shape)).astype(np.float32)
+    lr, t = 0.05, 7
+
+    e_ref, g = pallas_energy_and_grad_batched(xb, dense, w, bead, True, True)
+    x_ref, mu_ref, nu_ref, bc1, bc2 = _ref_adam_step(
+        np.asarray(xb), mu, nu, np.asarray(g), lr, t, clip
+    )
+    e_f, x_f, mu_f, nu_f = pallas_fused_step_batched(
+        xb, jnp.asarray(mu), jnp.asarray(nu), dense, w, bead,
+        lr, 0.0, bc1, bc2, 1, t - 1,
+        -1.0 if clip is None else clip, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(e_f), np.asarray(e_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(mu_f), mu_ref, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nu_f), nu_ref, rtol=2e-4, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(x_f), x_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_step_padded_beads_stay_zero():
+    from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
+
+    x, dense, w, bead = make_exact_case(30)
+    L = 30
+    bead2 = jnp.asarray(np.concatenate([np.ones(20), np.zeros(10)]), jnp.float32)
+    xb = jnp.stack([x * jnp.asarray(bead2)[:, None]])
+    z = jnp.zeros_like(xb)
+    e, x2, mu2, nu2 = pallas_fused_step_batched(
+        xb, z, z, dense, w, bead2, 0.05, 0.7, 1.0, 1.0, 3, 0, -1.0,
+        interpret=True,
+    )
+    x2 = np.asarray(x2)
+    assert np.isfinite(x2).all()
+    # padding rows get neither update nor noise
+    np.testing.assert_array_equal(x2[:, 20:, :], 0.0)
+    assert np.abs(x2[:, :20, :] - np.asarray(xb)[:, :20, :]).max() > 0
+
+
+def test_fused_step_noise_statistics():
+    """lr=0, sigma=1: the coordinate delta IS the noise — check it is
+    standard-normal-ish and differs across steps."""
+    from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
+
+    x, dense, w, bead = make_exact_case(130)
+    xb = jnp.stack([x, x])
+    z = jnp.zeros_like(xb)
+
+    def noise_at(step):
+        _, x2, _, _ = pallas_fused_step_batched(
+            xb, z, z, dense, w, bead, 0.0, 1.0, 1.0, 1.0, 42, step, -1.0,
+            interpret=True,
+        )
+        return np.asarray(x2 - xb).ravel()
+
+    n1, n2 = noise_at(0), noise_at(1)
+    assert abs(n1.mean()) < 0.06
+    assert 0.9 < n1.std() < 1.1
+    # skewness/extremes sane for a normal
+    assert np.abs(n1).max() < 6.0
+    assert not np.allclose(n1, n2)
+    # deterministic for the same (seed, step)
+    np.testing.assert_array_equal(n1, noise_at(0))
