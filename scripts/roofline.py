@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--shapes", default="456:20,1024:8,2048:4")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--exact", action="store_true", default=True)
+    ap.add_argument("--fused", action="store_true",
+                    help="measure the fully fused step (pallas_fused_step_"
+                         "batched) instead of the energy+grad kernel")
     args = ap.parse_args()
 
     import jax
@@ -61,6 +64,7 @@ def main():
     from chromosome3d_tpu.ops.pallas_energy import (
         _round_up,
         pallas_energy_and_grad_batched,
+        pallas_fused_step_batched,
     )
 
     w = weights_from_config(AnnealConfig())
@@ -74,19 +78,37 @@ def main():
 
         steps = args.steps if not interpret else 2
 
-        def body(c, _):
-            e, g = pallas_energy_and_grad_batched(
-                c, dense, w, bead, interpret, args.exact
-            )
-            # consume the gradient so nothing is dead code; keep shapes static
-            return c - 1e-6 * g, e
+        if args.fused:
+            def body(carry, _):
+                c, mu, nu, count = carry
+                e, c, mu, nu = pallas_fused_step_batched(
+                    c, mu, nu, dense, w, bead, 1e-6, 0.01,
+                    1.0, 1.0, 7, count, -1.0, interpret=interpret,
+                )
+                return (c, mu, nu, count + 1), e
+
+            def scan_fn(c, n):
+                z = jnp.zeros_like(c)
+                return jax.lax.scan(
+                    body, (c, z, z, jnp.int32(0)), None, length=n
+                )[1]
+        else:
+            def body(c, _):
+                e, g = pallas_energy_and_grad_batched(
+                    c, dense, w, bead, interpret, args.exact
+                )
+                # consume the gradient (no dead code); keep shapes static
+                return c - 1e-6 * g, e
+
+            def scan_fn(c, n):
+                return jax.lax.scan(body, c, None, length=n)[1]
 
         # differential timing: the remote-execution path carries a fixed
         # per-call overhead (tens of ms through the tunnel) that would
         # inflate per-step time; time scans of N and 5N steps and take the
         # slope, which cancels the constant.
         def make(n):
-            return jax.jit(lambda c: jax.lax.scan(body, c, None, length=n)[1])
+            return jax.jit(lambda c: scan_fn(c, n))
 
         run1, run5 = make(steps), make(5 * steps)
         np.asarray(run1(x)); np.asarray(run5(x))    # compile + warm
