@@ -209,8 +209,12 @@ def _kernel_exact(
 
 
 def _kernel_fused_step(
-    params_ref,   # SMEM f32 (16,): see _FUSED_PARAMS
-    ints_ref,     # SMEM i32 (4,): seed, step, n_batch, unused
+    params_ref,   # SMEM f32 (1, 16): schedule/weight scalars (identical
+    #               across any vmap lanes, so never batched)
+    ints_ref,     # VMEM i32 (1, 128): seed, step, n_batch — the seed IS
+    #               per-lane under the genome runner's vmap, and batched
+    #               SMEM blocks violate Mosaic's block-shape rules, so these
+    #               ride vector memory
     x_ref,        # (1, Lp, 3) full coords of this structure
     xt_ref,       # (1, 3, Lp)
     t_ref,        # (TM, Lp) exact restraint target tile
@@ -244,19 +248,19 @@ def _kernel_fused_step(
     TM = xo_ref.shape[1]
     Lp = xt_ref.shape[2]
 
-    noe_w = params_ref[0]
-    vdw_w = params_ref[1]
-    vdw_radius = params_ref[2]
-    lr = params_ref[3]
-    sigma = params_ref[4]
-    b1 = params_ref[5]
-    b2 = params_ref[6]
-    eps_adam = params_ref[7]
-    bc1 = params_ref[8]          # 1 / (1 - b1^t)
-    bc2 = params_ref[9]          # 1 / (1 - b2^t)
-    bond_w = params_ref[10]
-    bond_len = params_ref[11]
-    clip = params_ref[12]        # per-bead grad-norm clip; <= 0 disables
+    noe_w = params_ref[0, 0]
+    vdw_w = params_ref[0, 1]
+    vdw_radius = params_ref[0, 2]
+    lr = params_ref[0, 3]
+    sigma = params_ref[0, 4]
+    b1 = params_ref[0, 5]
+    b2 = params_ref[0, 6]
+    eps_adam = params_ref[0, 7]
+    bc1 = params_ref[0, 8]          # 1 / (1 - b1^t)
+    bc2 = params_ref[0, 9]          # 1 / (1 - b2^t)
+    bond_w = params_ref[0, 10]
+    bond_len = params_ref[0, 11]
+    clip = params_ref[0, 12]        # per-bead grad-norm clip; <= 0 disables
 
     x = x_ref[0]                                   # (Lp, 3)
     a = x_ref[0, pl.ds(i * TM, TM), :]             # (TM, 3)
@@ -346,8 +350,8 @@ def _kernel_fused_step(
     col = jax.lax.broadcasted_iota(jnp.int32, (TM, 3), 1)
     elem = (row_g * 3 + col).astype(jnp.uint32)
     base = (
-        ints_ref[0].astype(jnp.uint32)
-        + ints_ref[1].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        ints_ref[0, 0].astype(jnp.uint32)
+        + ints_ref[0, 1].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
         + b * jnp.uint32(0x7FEB352D)
     )
     # N(0,1)-like noise by CLT over 4 uniforms (Irwin-Hall, std sqrt(1/3),
@@ -427,13 +431,11 @@ def pallas_fused_step_batched(
         weights.bond_length.astype(jnp.float32),
         jnp.float32(clip if clip is not None else -1.0),
         jnp.float32(0), jnp.float32(0), jnp.float32(0),
-    ])
-    ints = jnp.stack([
-        jnp.asarray(seed, jnp.int32),
-        jnp.asarray(step, jnp.int32),
-        jnp.int32(B),
-        jnp.int32(0),
-    ])
+    ])[None, :]
+    ints = jnp.zeros((1, 128), jnp.int32)
+    ints = ints.at[0, 0].set(jnp.asarray(seed, jnp.int32))
+    ints = ints.at[0, 1].set(jnp.asarray(step, jnp.int32))
+    ints = ints.at[0, 2].set(jnp.int32(B))
 
     TM = _pick_tile(Lp, True)
     grid = (Lp // TM, B)
@@ -444,7 +446,7 @@ def pallas_fused_step_batched(
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Lp, 3), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, Lp), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
             tile_spec,

@@ -72,6 +72,17 @@ def main():
         print(f"{name:14s} ref={ref_score:.4f} ours={ours:.4f} "
               f"{'WIN' if win else 'LOSS'}", flush=True)
 
+    # replace any previous TPU-evidence section rather than appending a dup
+    if os.path.exists(args.validation):
+        text = open(args.validation).read()
+        marker = "\n## TPU production-run evidence"
+        if marker in text:
+            head, _, tail = text.partition(marker)
+            # the section runs to the next "## " heading or EOF
+            rest = tail.split("\n## ", 1)
+            text = head + ("\n## " + rest[1] if len(rest) > 1 else "")
+            with open(args.validation, "w") as f:
+                f.write(text)
     with open(args.validation, "a") as f:
         f.write(
             f"\n## TPU production-run evidence ({args.models} restarts, "

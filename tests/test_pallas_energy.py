@@ -273,3 +273,42 @@ def test_fused_step_noise_statistics():
     assert not np.allclose(n1, n2)
     # deterministic for the same (seed, step)
     np.testing.assert_array_equal(n1, noise_at(0))
+
+
+def test_fused_step_vmappable():
+    """The genome runner vmaps solve_ensemble_impl over chromosomes; the
+    fused step must batch cleanly (per-lane restraints AND per-lane noise
+    seeds — batched scalars cannot ride SMEM, see the (1, 128) ints block)."""
+    from chromosome3d_tpu.ops.energy import DenseRestraints
+    from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
+
+    cases = [make_exact_case(40, seed=s) for s in (0, 1)]
+    dense = DenseRestraints(
+        lo=jnp.stack([c[1].lo for c in cases]),
+        hi=jnp.stack([c[1].hi for c in cases]),
+        mask=jnp.stack([c[1].mask for c in cases]),
+        weight=jnp.stack([c[1].weight for c in cases]),
+    )
+    w = cases[0][2]
+    bead = jnp.stack([c[3] for c in cases])
+    xb = jnp.stack([jnp.stack([c[0], c[0] * 0.9]) for c in cases])  # (2, 2, L, 3)
+    z = jnp.zeros_like(xb)
+    seeds = jnp.asarray([3, 9], jnp.int32)
+
+    f = jax.vmap(
+        lambda d, x, m, n, b, s: pallas_fused_step_batched(
+            x, m, n, d, w, b, 0.05, 0.3, 1.0, 1.0, s, 0, -1.0, interpret=True
+        )
+    )
+    e, x2, mu2, nu2 = f(dense, xb, z, z, bead, seeds)
+    assert e.shape == (2, 2) and x2.shape == xb.shape
+    assert np.isfinite(np.asarray(x2)).all()
+    # per-lane results match the unvmapped call (including the seed routing)
+    for lane in range(2):
+        e1, x1, _, _ = pallas_fused_step_batched(
+            xb[lane], z[lane], z[lane],
+            DenseRestraints(*(t[lane] for t in dense)), w, bead[lane],
+            0.05, 0.3, 1.0, 1.0, seeds[lane], 0, -1.0, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(e[lane]), np.asarray(e1), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(x2[lane]), np.asarray(x1), rtol=1e-6)
