@@ -215,3 +215,25 @@ def test_mds_unknown_fill_modes(tiny_matrix):
                               mds_unknown_fill="max_target")
     res = solve_ensemble(dense, cfg, jax.random.PRNGKey(0), 2)
     assert np.isfinite(np.asarray(res.coords)).all()
+
+
+def test_landmark_init_quality_parity(chr21_1mb_matrix):
+    """The at-scale landmark init must land within noise of the full MDS
+    init after annealing (measured equal at L=455: 0.9466 both, see
+    DESIGN.md; this guards the small-L regime in CI)."""
+    import dataclasses
+
+    rc = RestraintConfig()
+    dense = dense_restraints_from_numpy(
+        build_restraints(chr21_1mb_matrix, rc), rc.weighting
+    )
+    base = fast_anneal(AnnealConfig())
+    scores = {}
+    for init in ("mds", "landmark"):
+        cfg = dataclasses.replace(base, init=init, landmark_count=16)
+        res = solve_ensemble(dense, cfg, jax.random.PRNGKey(82364), 4)
+        scores[init] = max(
+            spearman_if_inv_d(chr21_1mb_matrix, c)
+            for c in np.asarray(res.coords)
+        )
+    assert scores["landmark"] > scores["mds"] - 0.03, scores
