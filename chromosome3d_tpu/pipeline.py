@@ -402,6 +402,10 @@ def emit_artifacts(
     idx_to_rank = {int(idx): rank for rank, idx in enumerate(sp_order, start=1)}
     best = int(e_order[0])
     satisfied = total = 0
+    # the spec column is model-independent: format it once per chromosome
+    from chromosome3d_tpu.assess import restraint_spec_strings
+
+    specs = restraint_spec_strings(restraints)
     for n, idx in enumerate(np.argsort(-energies["noe"], kind="stable")):
         idx = int(idx)
         s, t = write_violation_report(
@@ -411,6 +415,7 @@ def emit_artifacts(
             cfg,
             pdb_name=f"{ident}_rank{idx_to_rank[idx]:02d}_{atag}.pdb",
             append=n > 0,
+            specs=specs,
         )
         if idx == best:
             satisfied, total = s, t
