@@ -215,37 +215,42 @@ def _kernel_fused_step(
     #               per-lane under the genome runner's vmap, and batched
     #               SMEM blocks violate Mosaic's block-shape rules, so these
     #               ride vector memory
-    x_ref,        # (1, Lp, 3) full coords of this structure
-    xt_ref,       # (1, 3, Lp)
+    x_ref,        # (1, Lp, 3) full coords, row layout (for the d2 columns)
+    xt_ref,       # (1, 3, Lp) full coords, T layout (lane-major)
     t_ref,        # (TM, Lp) exact restraint target tile
     w_ref,        # (TM, Lp) mask-folded weights tile
     bmrow_ref,    # (1, Lp)
     bmcol_ref,    # (TM, 1)
-    mu_ref,       # (1, TM, 3) Adam first-moment rows (this tile)
-    nu_ref,       # (1, TM, 3) Adam second-moment rows
-    e_ref,        # out (1, TM, 1) energy row partials (noe+vdw+bond)
-    xo_ref,       # out (1, TM, 3) updated coordinate rows
-    muo_ref,      # out (1, TM, 3)
-    nuo_ref,      # out (1, TM, 3)
-    gb_ref,       # scratch VMEM (Lp, 3): full-chain bond gradient staging
-    eb_ref,       # scratch VMEM (Lp, 1): full-chain bond energy staging
+    mu_ref,       # (1, 3, TM) Adam first moment, T layout (this tile's lanes)
+    nu_ref,       # (1, 3, TM) Adam second moment, T layout
+    e_ref,        # out (1, 1, TM) energy partials per bead (lane layout)
+    xo_ref,       # out (1, 3, TM) updated coords, T layout
+    muo_ref,      # out (1, 3, TM)
+    nuo_ref,      # out (1, 3, TM)
+    gb_ref,       # scratch VMEM (3, Lp): full-chain bond gradient staging
+    eb_ref,       # scratch VMEM (1, Lp): full-chain bond energy staging
 ):
     """The WHOLE annealing step in one kernel invocation per row tile:
     pair energy+gradient (exact-restraint algebra), chain-bond energy+
-    gradient, per-bead clip, Adam moment update with bias correction,
-    Langevin noise from the on-core PRNG, and the coordinate update.
+    gradient, per-bead clip, Adam with bias correction, Langevin noise, and
+    the coordinate update.
 
-    Motivation (measured, DESIGN.md): the fused energy kernel runs at
-    ~51 us/step (B=10, L=456) but the full scan step costs ~96 us — the
-    difference is XLA op-launch glue for optax/noise/weight construction.
-    Fusing the update removes those launches entirely; the per-step HBM
-    traffic becomes one read of the batch-invariant restraint tiles plus
-    O(B L) state. Semantics match the unfused path exactly except the
-    noise stream (Box-Muller over pltpu.prng_random_bits instead of
-    threefry normals — statistically identical, bitwise different)."""
+    All per-bead state lives in the TRANSPOSED (3, L) layout: a (TM, 3)
+    array occupies 3 of 128 VPU lanes, so every Adam/noise/bond op on it ran
+    at ~2% lane efficiency — in (3, TM) the same ops are full-lane. The pair
+    section's row reductions land directly in lane layout through matmuls
+    with a ones-row (rowsum(A) as ones(1,Lp) @ A^T on the MXU), so no
+    in-kernel transposes exist anywhere. Measured: the unfused scan step
+    cost ~96 us (B=10, L=456) of which ~45 us was XLA op-launch glue; the
+    row-layout fused step cut it to 67.5 us; this layout removes most of
+    the remaining per-bead overhead.
+
+    Semantics match the unfused optax step exactly except the noise stream
+    (CLT-4 over a counter-based murmur3-finalizer hash — backend-independent
+    bits, statistically interchangeable with threefry normals)."""
     i = pl.program_id(0)
     b = pl.program_id(1)
-    TM = xo_ref.shape[1]
+    TM = t_ref.shape[0]
     Lp = xt_ref.shape[2]
 
     noe_w = params_ref[0, 0]
@@ -263,80 +268,86 @@ def _kernel_fused_step(
     clip = params_ref[0, 12]        # per-bead grad-norm clip; <= 0 disables
 
     x = x_ref[0]                                   # (Lp, 3)
-    a = x_ref[0, pl.ds(i * TM, TM), :]             # (TM, 3)
+    a = x_ref[0, pl.ds(i * TM, TM), :]             # (TM, 3) — d2 columns only
+    aT = xt_ref[0, :, pl.ds(i * TM, TM)]           # (3, TM)
+    xtf = xt_ref[0]                                # (3, Lp)
+    ones_row = jnp.ones((1, Lp), jnp.float32)
+
+    def rowsum_T(m):
+        """Row sums of (TM, Lp) delivered in LANE layout (1, TM) via MXU."""
+        return jax.lax.dot_general(
+            ones_row, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     # ---- pair terms (exact-restraint algebra, see _kernel_exact) ----
     d2 = jnp.zeros((TM, Lp), jnp.float32)
     for c in range(3):
-        diff = a[:, c:c + 1] - xt_ref[0, c:c + 1, :]
+        diff = a[:, c:c + 1] - xtf[c:c + 1, :]
         d2 = d2 + diff * diff
     rinv = jax.lax.rsqrt(d2 + _EPS)
     d = (d2 + _EPS) * rinv
     pair_valid = bmcol_ref[:] * bmrow_ref[:]
     w = w_ref[:] * pair_valid
     dev = d - t_ref[:]
-    e_noe = 0.5 * noe_w * jnp.sum(w * dev * dev, axis=1, keepdims=True)
     c_noe = noe_w * w * (2.0 * dev)
     rows = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 0) + i * TM
     cols = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 1)
     nonbonded = (jnp.abs(rows - cols) >= 2).astype(jnp.float32) * pair_valid
     overlap = jnp.maximum(vdw_radius - d, 0.0)
-    e_vdw = 0.5 * vdw_w * jnp.sum(nonbonded * overlap * overlap, axis=1, keepdims=True)
     c_vdw = -2.0 * vdw_w * nonbonded * overlap
-    c = (c_noe + c_vdw) * rinv
-    crow = jnp.sum(c, axis=1, keepdims=True)
-    cx = jax.lax.dot_general(
-        c, x, (((1,), (0,)), ((), ())),
+    # one fused energy rowsum (the scan history only needs the TOTAL; the
+    # per-term breakdown is computed once at the end of the solve)
+    e_pairT = rowsum_T(
+        (0.5 * noe_w) * (w * dev * dev)
+        + (0.5 * vdw_w) * (nonbonded * overlap * overlap)
+    )                                              # (1, TM)
+    c = (c_noe + c_vdw) * rinv                     # (TM, Lp)
+    crowT = rowsum_T(c)                            # (1, TM)
+    cxT = jax.lax.dot_general(
+        xtf, c, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
+    )                                              # (3, TM)
+    gT = aT * crowT - cxT                          # (3, TM)
+
+    # ---- chain bond in T layout: rolls along LANES, full efficiency ----
+    bead_l = bmrow_ref[:]                          # (1, Lp)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+    x_nextT = pltpu.roll(xtf, shift=Lp - 1, axis=1)  # lane r -> x_{r+1}
+    dnT = x_nextT - xtf
+    dbT = jnp.sqrt(jnp.sum(dnT * dnT, axis=0, keepdims=True) + _EPS)  # (1, Lp)
+    v_nextT = (
+        bead_l * pltpu.roll(bead_l, shift=Lp - 1, axis=1)
+        * (lidx < Lp - 1).astype(jnp.float32)
     )
-    g = a * crow - cx                              # (TM, 3)
+    bdevT = dbT - bond_len
+    fwdT = (2.0 * bond_w * v_nextT * bdevT / dbT) * dnT      # (3, Lp)
+    fwd_prevT = pltpu.roll(fwdT, shift=1, axis=1) * (lidx > 0).astype(jnp.float32)
+    # dE/dx_i = +fwd_{i-1} (x_i is bond i-1's "+1" end) - fwd_i (base end);
+    # staged through scratch for the ref-level lane slice (Mosaic has no
+    # value-level dynamic_slice)
+    gb_ref[:] = fwd_prevT - fwdT
+    eb_ref[:] = bond_w * v_nextT * bdevT * bdevT
+    g_bondT = gb_ref[:, pl.ds(i * TM, TM)]         # (3, TM)
+    e_bondT = eb_ref[:, pl.ds(i * TM, TM)]         # (1, TM)
 
-    # ---- chain bond: energy row partials + gradient rows ----
-    # bond k joins beads (k, k+1). Expressed entirely with circular rolls +
-    # boundary masks over full (Lp, .) arrays — Mosaic lowers rolls cleanly
-    # where narrow concatenates hit tile-offset limits. Computed over the
-    # whole chain (O(Lp), cheap) then sliced to this tile's rows.
-    bead_c = bmrow_ref[0][:, None]                 # (Lp, 1)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
-    x_next = pltpu.roll(x, shift=Lp - 1, axis=0)   # row r -> x_{r+1} (wraps;
-    #                                                 pltpu.roll needs shift >= 0)
-    dn = x_next - x                                # bond r: x_{r+1} - x_r
-    db = jnp.sqrt(jnp.sum(dn * dn, axis=-1, keepdims=True) + _EPS)  # (Lp, 1)
-    v_next = (
-        bead_c * pltpu.roll(bead_c, shift=Lp - 1, axis=0)
-        * (ridx < Lp - 1).astype(jnp.float32)
-    )                                              # bond r exists
-    bdev = db - bond_len
-    fwd = (2.0 * bond_w * v_next * bdev / db) * dn  # c_r (x_{r+1} - x_r)
-    # dE/dx_i = +fwd_{i-1} (x_i is bond i-1's "+1" end) - fwd_i (base end)
-    fwd_prev = pltpu.roll(fwd, shift=1, axis=0) * (ridx > 0).astype(jnp.float32)
-    g_bond_full = fwd_prev - fwd
-    e_bond_full = bond_w * v_next * bdev * bdev    # (Lp, 1): bond r at row r
-    # Mosaic has no value-level dynamic_slice; stage the full-chain arrays
-    # through VMEM scratch and take the tile's rows with a ref-level pl.ds
-    gb_ref[:] = g_bond_full
-    eb_ref[:] = e_bond_full
-    g_bond = gb_ref[pl.ds(i * TM, TM), :]
-    e_bond = eb_ref[pl.ds(i * TM, TM), :]
-
-    g = g + g_bond
+    gT = gT + g_bondT
     # per-bead gradient-norm clip (AnnealConfig.gradient_clip)
-    gnorm = jnp.sqrt(jnp.sum(g * g, axis=-1, keepdims=True) + 1e-12)
-    scale = jnp.where(clip > 0.0, jnp.minimum(1.0, clip / gnorm), 1.0)
-    g = g * scale
+    gnormT = jnp.sqrt(jnp.sum(gT * gT, axis=0, keepdims=True) + 1e-12)
+    scaleT = jnp.where(clip > 0.0, jnp.minimum(1.0, clip / gnormT), 1.0)
+    gT = gT * scaleT
 
-    # ---- Adam + Langevin update ----
-    mu = b1 * mu_ref[0] + (1.0 - b1) * g
-    nu = b2 * nu_ref[0] + (1.0 - b2) * g * g
+    # ---- Adam + Langevin update (all (3, TM), full-lane) ----
+    mu = b1 * mu_ref[0] + (1.0 - b1) * gT
+    nu = b2 * nu_ref[0] + (1.0 - b2) * gT * gT
     upd = (mu * bc1) / (jnp.sqrt(nu * bc2) + eps_adam)
 
-    # noise ~ N(0,1) via Box-Muller over a counter-based hash RNG (murmur3
-    # finalizer over the element's global coordinates). Plain integer ops:
-    # identical bit streams on TPU and in interpret mode (pltpu.prng_* is a
-    # zero stub under the CPU interpreter), no cross-(step, structure, tile)
-    # collisions by construction, and Langevin noise needs statistical — not
-    # cryptographic — quality.
+    # noise: CLT over 4 hashed uniforms (murmur3 finalizer over the
+    # element's global (bead, coord) index — identical values to the row
+    # layout, just arranged (coord, bead)). Backend-independent bits; tails
+    # bounded at +-3.46 sigma; zero transcendentals.
     def mix(h):
         h = h.astype(jnp.uint32)
         h = h ^ (h >> 16)
@@ -346,20 +357,15 @@ def _kernel_fused_step(
         h = h ^ (h >> 16)
         return h
 
-    row_g = i * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, 3), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (TM, 3), 1)
-    elem = (row_g * 3 + col).astype(jnp.uint32)
+    coord_s = jax.lax.broadcasted_iota(jnp.int32, (3, TM), 0)
+    row_l = i * TM + jax.lax.broadcasted_iota(jnp.int32, (3, TM), 1)
+    elem = (row_l * 3 + coord_s).astype(jnp.uint32)
     base = (
         ints_ref[0, 0].astype(jnp.uint32)
         + ints_ref[0, 1].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
         + b * jnp.uint32(0x7FEB352D)
     )
-    # N(0,1)-like noise by CLT over 4 uniforms (Irwin-Hall, std sqrt(1/3),
-    # rescaled): zero transcendentals — the per-bead arrays occupy 3 of 128
-    # lanes, so every transcendental here would run at ~2% lane efficiency;
-    # bounded tails (+-3.46 sigma) are if anything kinder to the annealer
-    # than true Gaussian kicks. Mosaic can't cast uint32->f32 directly; the
-    # >>8 keeps 24 bits, which round-trip exactly through int32.
+
     def uniform(salt):
         bits = mix(elem ^ base ^ jnp.uint32(salt))
         return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (
@@ -371,17 +377,17 @@ def _kernel_fused_step(
         + uniform(0x7C15BD3F) - 2.0
     ) * np.float32(np.sqrt(3.0))
 
-    bead_col = bmcol_ref[:]                        # (TM, 1)
-    xo_ref[0] = a + (-lr * upd + sigma * noise) * bead_col
+    bead_lane = bmrow_ref[0:1, pl.ds(i * TM, TM)]  # (1, TM)
+    xo_ref[0] = aT + (-lr * upd + sigma * noise) * bead_lane
     muo_ref[0] = mu
     nuo_ref[0] = nu
-    e_ref[0] = e_noe + e_vdw + e_bond
+    e_ref[0] = e_pairT + e_bondT
 
 
 def pallas_fused_step_batched(
-    coords: jnp.ndarray,       # (B, L, 3)
-    mu: jnp.ndarray,           # (B, L, 3)
-    nu: jnp.ndarray,           # (B, L, 3)
+    coords_T: jnp.ndarray,     # (B, 3, L) — T layout (lane-major beads)
+    mu_T: jnp.ndarray,         # (B, 3, L)
+    nu_T: jnp.ndarray,         # (B, 3, L)
     restraints: DenseRestraints,
     weights: EnergyWeights,
     bead_mask: jnp.ndarray,    # (L,)
@@ -395,26 +401,28 @@ def pallas_fused_step_batched(
     interpret: bool = False,
 ):
     """One full annealing step for a shared-restraint batch, entirely inside
-    the fused kernel. Returns (energies (B,), x', mu', nu'). Exact-restraint
-    algebra only (the production path); semantics match the unfused
-    optax-based step except the noise bit stream."""
-    B, L, _ = coords.shape
+    the fused kernel. State rides the TRANSPOSED (B, 3, L) layout (see
+    _kernel_fused_step); the one op outside the kernel is the row-layout
+    view of x that the pair section's column broadcasts need. Returns
+    (energies (B,), xT', muT', nuT'). Exact-restraint algebra only (the
+    production path)."""
+    B, _, L = coords_T.shape
     Lp = _round_up(max(L, 8), TILE_M)
     padn = Lp - L
 
     def pad2(m):
         return jnp.pad(m, ((0, padn), (0, padn)))
 
-    def pad3(m):
-        return jnp.pad(m, ((0, 0), (0, padn), (0, 0)))
+    def padT(m):
+        return jnp.pad(m, ((0, 0), (0, 0), (0, padn)))
 
-    x = pad3(coords.astype(jnp.float32))
-    mu_p = pad3(mu.astype(jnp.float32))
-    nu_p = pad3(nu.astype(jnp.float32))
+    xt = padT(coords_T.astype(jnp.float32))
+    mu_p = padT(mu_T.astype(jnp.float32))
+    nu_p = padT(nu_T.astype(jnp.float32))
     t = pad2(restraints.lo)
     w = pad2(restraints.mask * restraints.weight)
     bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
-    xt = jnp.swapaxes(x, 1, 2)
+    x = jnp.swapaxes(xt, 1, 2)                     # (B, Lp, 3) row view
 
     params = jnp.stack([
         weights.noe.astype(jnp.float32),
@@ -440,7 +448,7 @@ def pallas_fused_step_batched(
     TM = _pick_tile(Lp, True)
     grid = (Lp // TM, B)
     tile_spec = pl.BlockSpec((TM, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
-    state_spec = pl.BlockSpec((1, TM, 3), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM)
+    stateT_spec = pl.BlockSpec((1, 3, TM), lambda i, b: (b, 0, i), memory_space=pltpu.VMEM)
     e_parts, x_new, mu_new, nu_new = pl.pallas_call(
         _kernel_fused_step,
         grid=grid,
@@ -453,24 +461,24 @@ def pallas_fused_step_batched(
             tile_spec,
             pl.BlockSpec((1, Lp), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
-            state_spec,
-            state_spec,
+            stateT_spec,
+            stateT_spec,
         ],
         out_specs=[
-            pl.BlockSpec((1, TM, 1), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
-            state_spec,
-            state_spec,
-            state_spec,
+            pl.BlockSpec((1, 1, TM), lambda i, b: (b, 0, i), memory_space=pltpu.VMEM),
+            stateT_spec,
+            stateT_spec,
+            stateT_spec,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Lp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, Lp, 3), jnp.float32),
-            jax.ShapeDtypeStruct((B, Lp, 3), jnp.float32),
-            jax.ShapeDtypeStruct((B, Lp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, Lp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Lp, 3), jnp.float32),
-            pltpu.VMEM((Lp, 1), jnp.float32),
+            pltpu.VMEM((3, Lp), jnp.float32),
+            pltpu.VMEM((1, Lp), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(24 * Lp) * Lp * B,
@@ -480,10 +488,10 @@ def pallas_fused_step_batched(
         interpret=interpret,
     )(params, ints, x, xt, t, w, bm[None, :], bm[:, None], mu_p, nu_p)
     return (
-        jnp.sum(e_parts[:, :, 0], axis=1),
-        x_new[:, :L, :],
-        mu_new[:, :L, :],
-        nu_new[:, :L, :],
+        jnp.sum(e_parts[:, 0, :], axis=1),
+        x_new[:, :, :L],
+        mu_new[:, :, :L],
+        nu_new[:, :, :L],
     )
 
 

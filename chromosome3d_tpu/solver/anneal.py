@@ -287,29 +287,33 @@ def solve_ensemble_impl(
     if fused:
         # the whole step runs inside ONE kernel invocation per row tile
         # (ops.pallas_energy.pallas_fused_step_batched); the carry holds the
-        # Adam moments directly
+        # Adam moments directly, in the kernel's lane-major (B, 3, L) layout
         from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
 
         key, skey = jax.random.split(key)
         seed = jax.random.randint(skey, (), 0, jnp.int32(2**31 - 1))
-        carry0 = (xs, jnp.zeros_like(xs), jnp.zeros_like(xs), jnp.int32(0))
+        xsT = jnp.swapaxes(xs, 1, 2)
+        carry0 = (xsT, jnp.zeros_like(xsT), jnp.zeros_like(xsT), jnp.int32(0))
 
         def step(carry, srow):
-            x, mu, nu, count = carry
+            xT, muT, nuT, count = carry
             lr, sigma, vdw_w, repel = srow
             t = (count + 1).astype(jnp.float32)
             bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(0.9), t))
             bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(0.999), t))
-            e, x, mu, nu = pallas_fused_step_batched(
-                x, mu, nu, restraints, sched_weights(vdw_w, repel), bead_mask,
-                lr, sigma, bc1, bc2, seed, count,
+            e, xT, muT, nuT = pallas_fused_step_batched(
+                xT, muT, nuT, restraints, sched_weights(vdw_w, repel),
+                bead_mask, lr, sigma, bc1, bc2, seed, count,
                 -1.0 if cfg.gradient_clip is None else cfg.gradient_clip,
             )
-            return (x, mu, nu, count + 1), e
+            return (xT, muT, nuT, count + 1), e
 
         def select(carry, sel):
-            x, mu, nu, count = carry
-            return (x[sel], mu[sel], nu[sel], count)
+            xT, muT, nuT, count = carry
+            return (xT[sel], muT[sel], nuT[sel], count)
+
+        def carry_coords(carry):
+            return jnp.swapaxes(carry[0], 1, 2)
     else:
         opt = optax.scale_by_adam()
         carry0 = (xs, opt.init(xs), key)
@@ -337,6 +341,9 @@ def solve_ensemble_impl(
             )
             return (x[sel], opt_state, k)
 
+        def carry_coords(carry):
+            return carry[0]
+
     srows = jnp.stack([sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1)
     if cfg.enantiomer:
         # hot phase on all 2n mirror-pair members
@@ -345,7 +352,7 @@ def solve_ensemble_impl(
         # pick handedness per pair by energy under the end-of-hot weights
         # (ref :1710-1727: CNS evaluates with the flags active at that point)
         w_hot = sched_weights(sched.vdw_weight[hot - 1], sched.repel_scale[hot - 1])
-        e_hot, _ = vag(carry[0], w_hot)                         # (2n,)
+        e_hot, _ = vag(carry_coords(carry), w_hot)              # (2n,)
         pick = jnp.argmin(e_hot.reshape(n_models, 2), axis=1)   # (n,)
         sel = jnp.arange(n_models) * 2 + pick
         carry = select(carry, sel)
@@ -356,7 +363,7 @@ def solve_ensemble_impl(
     else:
         carry, history = jax.lax.scan(step, carry0, srows)
         history = history.T                        # (n_eff, T)
-    coords = carry[0]
+    coords = carry_coords(carry)
 
     terms = jax.vmap(lambda c: energy_terms(c, restraints, base, bead_mask))(coords)
 

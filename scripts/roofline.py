@@ -80,17 +80,18 @@ def main():
 
         if args.fused:
             def body(carry, _):
-                c, mu, nu, count = carry
-                e, c, mu, nu = pallas_fused_step_batched(
-                    c, mu, nu, dense, w, bead, 1e-6, 0.01,
+                cT, muT, nuT, count = carry
+                e, cT, muT, nuT = pallas_fused_step_batched(
+                    cT, muT, nuT, dense, w, bead, 1e-6, 0.01,
                     1.0, 1.0, 7, count, -1.0, interpret=interpret,
                 )
-                return (c, mu, nu, count + 1), e
+                return (cT, muT, nuT, count + 1), e
 
             def scan_fn(c, n):
-                z = jnp.zeros_like(c)
+                cT = jnp.swapaxes(c, 1, 2)      # state rides the T layout
+                z = jnp.zeros_like(cT)
                 return jax.lax.scan(
-                    body, (c, z, z, jnp.int32(0)), None, length=n
+                    body, (cT, z, z, jnp.int32(0)), None, length=n
                 )[1]
         else:
             def body(c, _):

@@ -186,6 +186,23 @@ def test_auto_exact_detection(tiny_matrix):
     assert not auto_exact(cfg3, r).anneal.exact_restraints
 
 
+def _fused_step_rowapi(xb, mu, nu, *args, **kw):
+    """Row-layout adapter over the T-layout fused step (tests compare
+    against row-layout references)."""
+    from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
+
+    def T(a):
+        return jnp.swapaxes(jnp.asarray(a, jnp.float32), 1, 2)
+
+    e, xT, muT, nuT = pallas_fused_step_batched(T(xb), T(mu), T(nu), *args, **kw)
+    return (
+        e,
+        jnp.swapaxes(xT, 1, 2),
+        jnp.swapaxes(muT, 1, 2),
+        jnp.swapaxes(nuT, 1, 2),
+    )
+
+
 def _ref_adam_step(xb, mu, nu, g, lr, t, clip=None):
     """Reference Adam update matching optax.scale_by_adam defaults."""
     from chromosome3d_tpu.solver.anneal import _clip_per_bead
@@ -203,10 +220,7 @@ def _ref_adam_step(xb, mu, nu, g, lr, t, clip=None):
 def test_fused_step_matches_unfused(clip):
     """pallas_fused_step_batched with sigma=0 == the unfused step exactly:
     same energies, same Adam moments, same coordinates."""
-    from chromosome3d_tpu.ops.pallas_energy import (
-        pallas_energy_and_grad_batched,
-        pallas_fused_step_batched,
-    )
+    from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
 
     x, dense, w, bead = make_exact_case(40)
     rng = np.random.RandomState(0)
@@ -219,26 +233,26 @@ def test_fused_step_matches_unfused(clip):
     x_ref, mu_ref, nu_ref, bc1, bc2 = _ref_adam_step(
         np.asarray(xb), mu, nu, np.asarray(g), lr, t, clip
     )
-    e_f, x_f, mu_f, nu_f = pallas_fused_step_batched(
-        xb, jnp.asarray(mu), jnp.asarray(nu), dense, w, bead,
+    e_f, x_f, mu_f, nu_f = _fused_step_rowapi(
+        xb, mu, nu, dense, w, bead,
         lr, 0.0, bc1, bc2, 1, t - 1,
         -1.0 if clip is None else clip, interpret=True,
     )
+    # rowsums ride the MXU in the T-layout kernel; reduction reassociation
+    # shifts a handful of elements by ~2e-4 relative
     np.testing.assert_allclose(np.asarray(e_f), np.asarray(e_ref), rtol=2e-5)
-    np.testing.assert_allclose(np.asarray(mu_f), mu_ref, rtol=2e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(nu_f), nu_ref, rtol=2e-4, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(x_f), x_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mu_f), mu_ref, rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nu_f), nu_ref, rtol=5e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x_f), x_ref, rtol=5e-4, atol=5e-4)
 
 
 def test_fused_step_padded_beads_stay_zero():
-    from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
-
     x, dense, w, bead = make_exact_case(30)
     L = 30
     bead2 = jnp.asarray(np.concatenate([np.ones(20), np.zeros(10)]), jnp.float32)
     xb = jnp.stack([x * jnp.asarray(bead2)[:, None]])
     z = jnp.zeros_like(xb)
-    e, x2, mu2, nu2 = pallas_fused_step_batched(
+    e, x2, mu2, nu2 = _fused_step_rowapi(
         xb, z, z, dense, w, bead2, 0.05, 0.7, 1.0, 1.0, 3, 0, -1.0,
         interpret=True,
     )
@@ -252,14 +266,12 @@ def test_fused_step_padded_beads_stay_zero():
 def test_fused_step_noise_statistics():
     """lr=0, sigma=1: the coordinate delta IS the noise — check it is
     standard-normal-ish and differs across steps."""
-    from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
-
     x, dense, w, bead = make_exact_case(130)
     xb = jnp.stack([x, x])
     z = jnp.zeros_like(xb)
 
     def noise_at(step):
-        _, x2, _, _ = pallas_fused_step_batched(
+        _, x2, _, _ = _fused_step_rowapi(
             xb, z, z, dense, w, bead, 0.0, 1.0, 1.0, 1.0, 42, step, -1.0,
             interpret=True,
         )
@@ -280,7 +292,6 @@ def test_fused_step_vmappable():
     fused step must batch cleanly (per-lane restraints AND per-lane noise
     seeds — batched scalars cannot ride SMEM, see the (1, 128) ints block)."""
     from chromosome3d_tpu.ops.energy import DenseRestraints
-    from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
 
     cases = [make_exact_case(40, seed=s) for s in (0, 1)]
     dense = DenseRestraints(
@@ -296,7 +307,7 @@ def test_fused_step_vmappable():
     seeds = jnp.asarray([3, 9], jnp.int32)
 
     f = jax.vmap(
-        lambda d, x, m, n, b, s: pallas_fused_step_batched(
+        lambda d, x, m, n, b, s: _fused_step_rowapi(
             x, m, n, d, w, b, 0.05, 0.3, 1.0, 1.0, s, 0, -1.0, interpret=True
         )
     )
@@ -305,7 +316,7 @@ def test_fused_step_vmappable():
     assert np.isfinite(np.asarray(x2)).all()
     # per-lane results match the unvmapped call (including the seed routing)
     for lane in range(2):
-        e1, x1, _, _ = pallas_fused_step_batched(
+        e1, x1, _, _ = _fused_step_rowapi(
             xb[lane], z[lane], z[lane],
             DenseRestraints(*(t[lane] for t in dense)), w, bead[lane],
             0.05, 0.3, 1.0, 1.0, seeds[lane], 0, -1.0, interpret=True,
