@@ -288,10 +288,15 @@ def solve_ensemble_impl(
         # the whole step runs inside ONE kernel invocation per row tile
         # (ops.pallas_energy.pallas_fused_step_batched); the carry holds the
         # Adam moments directly, in the kernel's lane-major (B, 3, L) layout
-        from chromosome3d_tpu.ops.pallas_energy import pallas_fused_step_batched
+        from chromosome3d_tpu.ops.pallas_energy import (
+            fused_step_tiles,
+            pallas_fused_step_batched,
+        )
 
         key, skey = jax.random.split(key)
         seed = jax.random.randint(skey, (), 0, jnp.int32(2**31 - 1))
+        # static per solve: masked weight/vdw tiles, folded ONCE (not per step)
+        tiles = fused_step_tiles(restraints, bead_mask)
         xsT = jnp.swapaxes(xs, 1, 2)
         carry0 = (xsT, jnp.zeros_like(xsT), jnp.zeros_like(xsT), jnp.int32(0))
 
@@ -305,6 +310,7 @@ def solve_ensemble_impl(
                 xT, muT, nuT, restraints, sched_weights(vdw_w, repel),
                 bead_mask, lr, sigma, bc1, bc2, seed, count,
                 -1.0 if cfg.gradient_clip is None else cfg.gradient_clip,
+                masked_tiles=tiles,
             )
             return (xT, muT, nuT, count + 1), e
 

@@ -230,6 +230,18 @@ def test_genome_resume_skips_finished(tmp_path):
     for name, s in resumed.items():
         assert s["best_spearman_if_inv_d"] == first[name]["best_spearman_if_inv_d"]
 
+    # PARTIAL resume (ADVICE r1): delete one checkpoint — the returned dict
+    # must still cover EVERY job, finished ones from the checkpoint store
+    for suffix in (".npz", ".json"):
+        os.remove(os.path.join(out, "checkpoint", f"chr21_1mb{suffix}"))
+    partial = run_genome(REF_INPUT, out, cfg, jobs=jobs(), resume=True)
+    assert set(partial) == {"chr22_1mb", "chr21_1mb"}
+    assert (
+        partial["chr22_1mb"]["best_spearman_if_inv_d"]
+        == first["chr22_1mb"]["best_spearman_if_inv_d"]
+    )
+    assert -1.0 <= partial["chr21_1mb"]["best_spearman_if_inv_d"] <= 1.0
+
 
 def test_turbo_preset():
     from chromosome3d_tpu.config import AnnealConfig, turbo_anneal
