@@ -277,17 +277,42 @@ def run_genome(
             cfg_b = auto_exact(cfg, raw[0])
         result = solve_bucket(batched, bead_masks, cfg_b, mesh)
         coords = np.asarray(result.coords)
+        energies_all = {k: np.asarray(v) for k, v in result.energies.items()}
+        alphas = [cfg.restraints.alpha] * coords.shape[1]
+        # hyperparameter-ensemble quality mode, same as run_pipeline: extra
+        # alpha variants pool into the Spearman ranking (bucket shapes are
+        # identical, so each extra alpha reuses the compiled program)
+        for extra_alpha in cfg.alpha_ensemble:
+            if extra_alpha == cfg.restraints.alpha:
+                continue
+            rc_x = dataclasses.replace(cfg.restraints, alpha=extra_alpha)
+            cfg_x = cfg.replace(restraints=rc_x)
+            batched_x, masks_x, _, raw_x = _stack_bucket(bucket, L_pad, cfg_x)
+            cfg_bx = cfg_x
+            if all(not r.negdev.any() and not r.posdev.any() for r in raw_x):
+                cfg_bx = auto_exact(cfg_x, raw_x[0])
+            res_x = solve_bucket(
+                batched_x, masks_x, cfg_bx, mesh,
+                base_seed=cfg.seed + hash(extra_alpha) % 10000,
+            )
+            coords = np.concatenate([coords, np.asarray(res_x.coords)], axis=1)
+            energies_all = {
+                k: np.concatenate([v, np.asarray(res_x.energies[k])], axis=1)
+                for k, v in energies_all.items()
+            }
+            alphas += [extra_alpha] * res_x.coords.shape[1]
         for b, job in enumerate(bucket):
             L = job.length
             out = os.path.join(output_dir, job.name)
             os.makedirs(out, exist_ok=True)
             c = coords[b, :, :L, :]
-            energies = {k: np.asarray(v[b]) for k, v in result.energies.items()}
+            energies = {k: v[b] for k, v in energies_all.items()}
             dense_b = dense_restraints_from_numpy(
                 raw[b], cfg.restraints.weighting, cfg.restraints.weight_exponent
             )
             summary = emit_artifacts(
-                out, job.name, c, energies, matrices[b], raw[b], dense_b, cfg
+                out, job.name, c, energies, matrices[b], raw[b], dense_b, cfg,
+                alphas=alphas,
             )
             summary["bucket"] = L_pad
             summaries[job.name] = summary

@@ -44,3 +44,34 @@ def test_cli_alpha_ensemble_parsing():
     )
     cfg = _make_config(ns)
     assert cfg.alpha_ensemble == (0.7, 0.9)
+
+
+def test_genome_alpha_ensemble(tmp_path):
+    """run_genome pools extra-alpha models into the Spearman ranking, same
+    as run_pipeline (quality mode on the mesh path)."""
+    import os
+
+    from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig, fast_anneal
+    from chromosome3d_tpu.parallel.genome import GenomeJob, run_genome
+
+    src = "/root/reference/input/chr22_1mb_matrix.txt"
+    if not os.path.exists(src):
+        pytest.skip("reference not available")
+    cfg = PipelineConfig(
+        model_count=2,
+        restraints=RestraintConfig(alpha=0.5),
+        anneal=fast_anneal(AnnealConfig()),
+        alpha_ensemble=(0.7,),
+        length_buckets=(64,),
+    )
+    out = str(tmp_path / "g")
+    summaries = run_genome(
+        "/root/reference/input", out,
+        cfg, jobs=[GenomeJob("chr22_1mb", src)],
+    )
+    s = summaries["chr22_1mb"]
+    assert s["models"] == 4          # 2 base + 2 extra-alpha models pooled
+    ranks = [
+        n for n in os.listdir(os.path.join(out, "chr22_1mb")) if "_rank" in n
+    ]
+    assert len(ranks) == 4
