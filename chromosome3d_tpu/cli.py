@@ -296,8 +296,6 @@ def main(argv=None) -> int:
     if args.command == "coinit":
         import os
 
-        import numpy as np
-
         from chromosome3d_tpu.io.matrix import load_if_matrix
         from chromosome3d_tpu.io.pdb import read_ca_pdb, write_ca_pdb
         from chromosome3d_tpu.metrics import cross_resolution_similarity

@@ -25,7 +25,6 @@ def render_model(
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    from matplotlib.collections import LineCollection
     from mpl_toolkits.mplot3d.art3d import Line3DCollection
 
     coords = np.asarray(coords, dtype=float)

@@ -24,12 +24,11 @@ import json
 import os
 import socket
 import socketserver
-from dataclasses import replace as dataclasses_replace
 from typing import Dict, Optional
 
 import numpy as np
 
-from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig, turbo_anneal
+from chromosome3d_tpu.config import PipelineConfig, RestraintConfig, turbo_anneal
 from chromosome3d_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -62,7 +61,6 @@ class SolverCache:
         import jax.numpy as jnp
 
         from chromosome3d_tpu.ops.energy import (
-            DenseRestraints,
             auto_weight_exponent,
             dense_restraints_from_numpy,
         )

@@ -112,7 +112,6 @@ def solve_coinit(
     import numpy as np
 
     from chromosome3d_tpu.assess import rank_by_spearman
-    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
     from chromosome3d_tpu.pipeline import _bucket_pad, _padded_dense
     from chromosome3d_tpu.restraints import build_restraints
     from chromosome3d_tpu.solver.anneal import solve_ensemble

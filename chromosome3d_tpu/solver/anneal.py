@@ -18,7 +18,6 @@ restarts and keeps the lower-energy member of each pair.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, NamedTuple, Optional
 
 import jax
