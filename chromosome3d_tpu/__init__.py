@@ -45,6 +45,8 @@ def __getattr__(name):
         "load_cooler": ("chromosome3d_tpu.io.hic", "load_cooler"),
         "load_hic": ("chromosome3d_tpu.io.hic", "load_hic"),
         "ice_balance": ("chromosome3d_tpu.io.hic", "ice_balance"),
+        "read_contact_tbl_full": ("chromosome3d_tpu.restraints", "read_contact_tbl_full"),
+        "or_group_energy": ("chromosome3d_tpu.ops.energy", "or_group_energy"),
     }
     if name in lazy:
         import importlib

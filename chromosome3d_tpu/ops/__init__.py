@@ -1,15 +1,21 @@
 from chromosome3d_tpu.ops.energy import (
     DenseRestraints,
     EnergyWeights,
+    OrGroupRestraints,
     energy,
     energy_terms,
+    or_group_energy,
     dense_restraints_from_numpy,
+    dense_or_groups_from_numpy,
 )
 
 __all__ = [
     "DenseRestraints",
     "EnergyWeights",
+    "OrGroupRestraints",
     "energy",
     "energy_terms",
+    "or_group_energy",
     "dense_restraints_from_numpy",
+    "dense_or_groups_from_numpy",
 ]

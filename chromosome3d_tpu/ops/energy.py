@@ -48,6 +48,63 @@ class DenseRestraints(NamedTuple):
     weight: jnp.ndarray  # (L, L) float32
 
 
+class OrGroupRestraints(NamedTuple):
+    """Ambiguous (`or`-group) NOE restraints on device.
+
+    CNS tbl files may restrain the MINIMUM distance over a set of alternative
+    atom pairs (the 4 `or`-group layouts the reference's assessor tolerates,
+    chromosome3D.pl:487-554). The reference only ever *assesses* such rows
+    (its own generated tbl has none), but CNS itself solves them, so external
+    tbl inputs are first-class solver inputs here.
+
+    Each of the R group restraints carries up to G alternative (i, j) bead
+    pairs (the flattened cross product of its two atom groups). The energy
+    wells the minimum distance over the alternatives — identical semantics
+    to ssnoe_tbl_min_pdb_dist's assessment metric, and the correct ambiguous
+    generalization of the pair well (the gradient flows to the argmin pair,
+    pulling the closest alternative toward the target).
+
+    Shapes are padded static: (R, G) index/validity tensors, (R,) bounds.
+    This is O(R*G) gather work — tiny next to the O(L^2) dense term — and
+    stays in jnp (XLA fuses it around the Pallas pair kernel)."""
+
+    idx_i: jnp.ndarray    # (R, G) int32 bead index of each alternative
+    idx_j: jnp.ndarray    # (R, G) int32
+    member: jnp.ndarray   # (R, G) float32, 1.0 for real alternatives
+    lo: jnp.ndarray       # (R,) float32 lower well bound
+    hi: jnp.ndarray       # (R,) float32 upper well bound
+    weight: jnp.ndarray   # (R,) float32 per-restraint weight (0 = padding row)
+
+
+def or_group_energy(
+    coords: jnp.ndarray,
+    og: OrGroupRestraints,
+    weights: "EnergyWeights",
+    bead_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """NOE energy of the or-group restraints for one structure.
+
+    Same soft-square well as the dense pair term, applied to the minimum
+    distance over each restraint's alternatives. Counted ONCE per restraint
+    (the dense term's 1/2 compensates its symmetric double storage; groups
+    are stored once). Invalid alternatives are pushed to +inf so they never
+    win the min; an all-invalid row contributes 0 via its zero weight."""
+    xi = coords[og.idx_i]                          # (R, G, 3)
+    xj = coords[og.idx_j]
+    diff = xi - xj
+    d = jnp.sqrt((diff * diff).sum(-1) + _EPS)     # (R, G)
+    valid = og.member
+    if bead_mask is not None:
+        valid = valid * bead_mask[og.idx_i] * bead_mask[og.idx_j]
+    dmin = jnp.min(jnp.where(valid > 0.0, d, jnp.inf), axis=1)
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+    row_ok = (valid.max(axis=1) > 0.0).astype(coords.dtype)
+    viol = jnp.maximum(dmin - og.hi, 0.0) + jnp.maximum(og.lo - dmin, 0.0)
+    s = weights.noe_rswitch
+    well = jnp.where(viol <= s, viol * viol, s * s + 2.0 * s * (viol - s))
+    return weights.noe * (og.weight * row_ok * well).sum()
+
+
 class EnergyWeights(NamedTuple):
     """Per-step energy weights (the anneal schedule mutates these)."""
 
@@ -116,6 +173,18 @@ def dense_restraints_from_numpy(
     )
 
 
+def dense_or_groups_from_numpy(og) -> OrGroupRestraints:
+    """restraints.OrGroups (host numpy) -> device OrGroupRestraints."""
+    return OrGroupRestraints(
+        idx_i=jnp.asarray(og.idx_i, jnp.int32),
+        idx_j=jnp.asarray(og.idx_j, jnp.int32),
+        member=jnp.asarray(og.member, jnp.float32),
+        lo=jnp.asarray(og.lo, jnp.float32),
+        hi=jnp.asarray(og.hi, jnp.float32),
+        weight=jnp.asarray(og.weight, jnp.float32),
+    )
+
+
 _EPS = 1e-12
 
 
@@ -136,11 +205,13 @@ def energy_terms(
     restraints: DenseRestraints,
     weights: EnergyWeights,
     bead_mask: jnp.ndarray | None = None,
+    or_groups: OrGroupRestraints | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """All energy terms for one structure. coords: (L, 3) float32.
 
     bead_mask: (L,) float32, 1.0 for real beads, 0.0 for padding. None means
     all beads are real.
+    or_groups: optional ambiguous restraints; their well joins the noe term.
     """
     L = coords.shape[0]
     if bead_mask is None:
@@ -156,6 +227,8 @@ def energy_terms(
     s = weights.noe_rswitch
     well = jnp.where(viol <= s, viol * viol, s * s + 2.0 * s * (viol - s))
     e_noe = 0.5 * weights.noe * (noe_mask * restraints.weight * well).sum()
+    if or_groups is not None:
+        e_noe = e_noe + or_group_energy(coords, or_groups, weights, bead_mask)
 
     # --- chain bonds ---
     bond_vec = coords[1:] - coords[:-1]
@@ -179,8 +252,9 @@ def energy(
     restraints: DenseRestraints,
     weights: EnergyWeights,
     bead_mask: jnp.ndarray | None = None,
+    or_groups: OrGroupRestraints | None = None,
 ) -> jnp.ndarray:
-    return energy_terms(coords, restraints, weights, bead_mask)["overall"]
+    return energy_terms(coords, restraints, weights, bead_mask, or_groups)["overall"]
 
 
 energy_value_and_grad = jax.value_and_grad(energy)

@@ -264,7 +264,7 @@ def run_restraints_pipeline(
     point (the reference only reaches CNS through its own generated tbl;
     here external restraint sets are first-class). Spearman ranking needs a
     matrix, so models rank by NOE energy only."""
-    from chromosome3d_tpu.restraints import read_contact_tbl, read_rr
+    from chromosome3d_tpu.restraints import read_contact_tbl_full, read_rr
 
     cfg = cfg or PipelineConfig()
     t_start = time.time()
@@ -273,17 +273,19 @@ def run_restraints_pipeline(
     ident = ident.rsplit(".", 1)[0]
     rc = cfg.restraints
 
+    or_groups_np = None
     if restraints_file.endswith(".tbl"):
-        if L is None:
-            rows = open(restraints_file).read()
-            import re as _re
-
-            L = max(int(x) for x in _re.findall(r"resid\s+(\d+)", rows))
-        restraints = read_contact_tbl(restraints_file, L)
+        restraints, or_groups_np = read_contact_tbl_full(restraints_file, L)
         conf = None
     else:
         restraints, conf = read_rr(restraints_file, L, rc)
-    banner(log, f"Restraints : {restraints.count} from {restraints_file} (L={restraints.length})")
+    n_groups = 0 if or_groups_np is None else or_groups_np.count
+    banner(
+        log,
+        f"Restraints : {restraints.count} from {restraints_file} "
+        f"(L={restraints.length}"
+        + (f", +{n_groups} or-groups)" if n_groups else ")"),
+    )
     cfg = auto_exact(cfg, restraints)
     Lr = restraints.length
     L_pad, bead_mask = _bucket_pad(Lr, cfg)
@@ -300,7 +302,14 @@ def run_restraints_pipeline(
 
     key = jax.random.PRNGKey(cfg.seed)
     bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
-    result = solve_ensemble(dense, cfg.anneal, key, cfg.model_count, bm)
+    or_groups = None
+    if or_groups_np is not None:
+        from chromosome3d_tpu.ops.energy import dense_or_groups_from_numpy
+
+        or_groups = dense_or_groups_from_numpy(or_groups_np)
+    result = solve_ensemble(
+        dense, cfg.anneal, key, cfg.model_count, bm, or_groups=or_groups
+    )
     coords = np.asarray(result.coords)[:, :Lr, :]
     energies = {k: np.asarray(v) for k, v in result.energies.items()}
 
@@ -317,10 +326,19 @@ def run_restraints_pipeline(
         coords[best], restraints, cfg, pdb_name=f"{ident}_model1.pdb",
         tbl_name=os.path.basename(restraints_file),
     )
+    if or_groups_np is not None:
+        # ambiguous rows aren't in the dense report; the host-side tbl
+        # assessor covers every row (incl. group-min, ref :487-554)
+        from chromosome3d_tpu.assess import assess_pdb_vs_tbl
+
+        satisfied, total, _ = assess_pdb_vs_tbl(
+            coords[best], restraints_file, cfg
+        )
     summary = {
         "id": ident,
         "L": int(restraints.length),
         "restraints": int(restraints.count),
+        "or_groups": int(n_groups),
         "models": int(cfg.model_count),
         "best_noe_energy": float(energies["noe"][best]),
         "satisfied": int(satisfied),

@@ -29,8 +29,10 @@ from chromosome3d_tpu.config import AnnealConfig
 from chromosome3d_tpu.ops.energy import (
     DenseRestraints,
     EnergyWeights,
+    OrGroupRestraints,
     energy,
     energy_terms,
+    or_group_energy,
 )
 from chromosome3d_tpu.solver.init import (
     landmark_init,
@@ -146,6 +148,7 @@ def solve_single(
     x0: jnp.ndarray,
     bead_mask: Optional[jnp.ndarray] = None,
     schedule: Optional[Schedule] = None,
+    or_groups: Optional[OrGroupRestraints] = None,
 ):
     """Anneal one structure from x0 (+ per-restart jitter). Returns
     (final coords (L, 3), per-step total-energy history (T,)).
@@ -157,6 +160,12 @@ def solve_single(
         bead_mask = jnp.ones((L,), dtype=jnp.float32)
     sched = build_schedule(cfg) if schedule is None else schedule
     efn = _energy_fn(cfg)
+    if or_groups is not None:
+        _base_efn = efn
+
+        def efn(x, r, w, bm):
+            return _base_efn(x, r, w, bm) + or_group_energy(x, or_groups, w, bm)
+
     grad_fn = jax.value_and_grad(efn)
 
     key, jkey = jax.random.split(key)
@@ -199,9 +208,16 @@ def solve_ensemble_impl(
     bead_mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     schedule: Optional[Schedule] = None,
+    or_groups: Optional[OrGroupRestraints] = None,
 ) -> AnnealResult:
     """Build n_models structures: one batched scan over all restarts
     (+ enantiomer pairs) at once.
+
+    or_groups: optional ambiguous (`or`-group) restraints; their group-min
+    well joins the energy (ops.energy.or_group_energy). The fully fused
+    Pallas step covers the dense pair terms only, so group solves run the
+    unfused scan (the group term is O(R*G), tiny; the pair kernel still
+    carries the O(L^2) work).
 
     Replaces the reference's `loop dgsa` over 20 models
     (chromosome3D.pl:1574-1829) with one compiled program. The batch shares
@@ -259,19 +275,35 @@ def solve_ensemble_impl(
     base = _final_weights(cfg)
 
     exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
-    fused = cfg.use_pallas and exact and cfg.fuse_update
+    fused = cfg.use_pallas and exact and cfg.fuse_update and or_groups is None
     if cfg.use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
 
-        def vag(x, weights):
-            return pallas_energy_and_grad_batched(
-                x, restraints, weights, bead_mask, exact=exact
-            )
+        if or_groups is None:
+            def vag(x, weights):
+                return pallas_energy_and_grad_batched(
+                    x, restraints, weights, bead_mask, exact=exact
+                )
+        else:
+            # group-min term rides OUTSIDE the kernel as an additive jnp
+            # value-and-grad (O(R*G) gathers, fused by XLA around the call)
+            _og_vg = jax.value_and_grad(or_group_energy)
+
+            def vag(x, weights):
+                e, g = pallas_energy_and_grad_batched(
+                    x, restraints, weights, bead_mask, exact=exact
+                )
+                e_og, g_og = jax.vmap(
+                    lambda c: _og_vg(c, or_groups, weights, bead_mask)
+                )(x)
+                return e + e_og, g + g_og
     else:
         _single = jax.value_and_grad(energy)
 
         def vag(x, weights):
-            return jax.vmap(lambda c: _single(c, restraints, weights, bead_mask))(x)
+            return jax.vmap(
+                lambda c: _single(c, restraints, weights, bead_mask, or_groups)
+            )(x)
 
     def sched_weights(vdw_w, repel):
         return EnergyWeights(
@@ -370,7 +402,9 @@ def solve_ensemble_impl(
         history = history.T                        # (n_eff, T)
     coords = carry_coords(carry)
 
-    terms = jax.vmap(lambda c: energy_terms(c, restraints, base, bead_mask))(coords)
+    terms = jax.vmap(
+        lambda c: energy_terms(c, restraints, base, bead_mask, or_groups)
+    )(coords)
 
     # centroid to origin (ref :1805-1816), padding excluded
     nvalid = bead_mask.sum()
