@@ -71,7 +71,10 @@ def _pick_tile(Lp: int, exact: bool) -> int:
 
 def _kernel(
     params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, rswitch, L_real (unused pad..)
-    x_ref,        # (1, L, 3) this structure's coords
+    row0_ref,     # SMEM (1,) int32: global index of this block's first row
+    #               (0 for whole-matrix calls; the shard's row_start when the
+    #               (L, L) tensors are row-sharded over a mesh axis)
+    x_ref,        # (1, L, 3) this structure's coords (FULL row range)
     xt_ref,       # (1, 3, L) coords transposed (lane-aligned row views)
     lo_ref,       # (TM, L) restraint tile (shared across the batch)
     hi_ref,       # (TM, L) tile
@@ -83,6 +86,7 @@ def _kernel(
 ):
     i = pl.program_id(0)
     TM = g_ref.shape[1]
+    row0 = row0_ref[0] + i * TM
 
     noe_w = params_ref[0]
     vdw_w = params_ref[1]
@@ -90,7 +94,7 @@ def _kernel(
     rswitch = params_ref[3]
 
     x = x_ref[0]                                   # (L, 3)
-    a = x_ref[0, pl.ds(i * TM, TM), :]             # (TM, 3)
+    a = x_ref[0, pl.ds(row0, TM), :]               # (TM, 3)
 
     # pairwise distances by direct differencing ((TM,1)-(1,L) per coordinate,
     # full-lane VPU work). Differencing rather than the Gram identity keeps
@@ -124,7 +128,7 @@ def _kernel(
 
     # --- vdw soft sphere on |i-j| >= 2 ---
     Lp = xt_ref.shape[2]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 0) + i * TM
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 1)
     nonbonded = (jnp.abs(rows - cols) >= 2).astype(jnp.float32) * pair_valid
     overlap = jnp.maximum(vdw_radius - d, 0.0)
@@ -145,6 +149,7 @@ def _kernel(
 
 def _kernel_exact(
     params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, ...
+    row0_ref,     # SMEM (1,) int32: global first-row index (see _kernel)
     x_ref,        # (1, L, 3)
     xt_ref,       # (1, 3, L)
     t_ref,        # (TM, L) exact restraint TARGET tile (lo == hi == t)
@@ -168,13 +173,14 @@ def _kernel_exact(
     auto-enabled by the pipeline when provable)."""
     i = pl.program_id(0)
     TM = g_ref.shape[1]
+    row0 = row0_ref[0] + i * TM
 
     noe_w = params_ref[0]
     vdw_w = params_ref[1]
     vdw_radius = params_ref[2]
 
     x = x_ref[0]
-    a = x_ref[0, pl.ds(i * TM, TM), :]
+    a = x_ref[0, pl.ds(row0, TM), :]
 
     d2 = jnp.zeros((TM, xt_ref.shape[2]), jnp.float32)
     for c in range(3):
@@ -190,7 +196,7 @@ def _kernel_exact(
     c_noe = noe_w * w * (2.0 * dev)
 
     Lp = xt_ref.shape[2]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 0) + i * TM
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 0) + row0
     cols = jax.lax.broadcasted_iota(jnp.int32, (TM, Lp), 1)
     nonbonded = (jnp.abs(rows - cols) >= 2).astype(jnp.float32) * pair_valid
     overlap = jnp.maximum(vdw_radius - d, 0.0)
@@ -218,7 +224,8 @@ def _kernel_fused_step(
     x_ref,        # (1, Lp, 3) full coords, row layout (for the d2 columns)
     xt_ref,       # (1, 3, Lp) full coords, T layout (lane-major)
     t_ref,        # (TM, Lp) exact restraint target tile
-    w_ref,        # (TM, Lp) weights tile, pre-masked (mask*weight*pair_valid)
+    w_ref,        # (TM, Lp) weights tile, pre-masked and pre-scaled
+    #               (2*noe_w * mask * weight * pair_valid)
     nb_ref,       # (TM, Lp) vdw tile, pre-masked (|i-j|>=2 and pair_valid)
     bmrow_ref,    # (1, Lp)
     mu_ref,       # (1, 3, TM) Adam first moment, T layout (this tile's lanes)
@@ -253,7 +260,6 @@ def _kernel_fused_step(
     TM = t_ref.shape[0]
     Lp = xt_ref.shape[2]
 
-    noe_w = params_ref[0, 0]
     vdw_w = params_ref[0, 1]
     vdw_radius = params_ref[0, 2]
     lr = params_ref[0, 3]
@@ -281,29 +287,32 @@ def _kernel_fused_step(
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    # ---- pair terms (exact-restraint algebra, see _kernel_exact) ----
-    d2 = jnp.zeros((TM, Lp), jnp.float32)
+    # ---- pair terms: exact-restraint algebra in RSQRT SPACE ----
+    # Substituting d = s*rinv (s = d2+eps, rinv = rsqrt(s)) collapses the
+    # well to quantities that never materialize d:
+    #     (d - t)*rinv          = 1 - t*rinv                  =: u
+    #     max(r0 - d, 0)*rinv   = max(r0*rinv - 1, 0)         =: v
+    #     dev^2 = u^2*d^2 = u^2*s,  overlap^2 = v^2*s
+    # so the force coefficient is c = wt*u - 2*vdw_w*nb*v with NO trailing
+    # *rinv, and the energy is s*(wt*u^2/4 + vdw_w*nb*v^2/2). The w tile
+    # arrives PRE-SCALED by 2*noe_w (constant over the schedule) and
+    # PRE-MASKED (bead validity, |i-j| >= 2 for vdw) — fused_step_tiles
+    # folds both host-side once per solve. Net: ~25 -> ~18 VPU slots/pair.
+    s = jnp.full((TM, Lp), _EPS, jnp.float32)
     for c in range(3):
         diff = a[:, c:c + 1] - xtf[c:c + 1, :]
-        d2 = d2 + diff * diff
-    rinv = jax.lax.rsqrt(d2 + _EPS)
-    d = (d2 + _EPS) * rinv
-    # w/vdw tiles arrive PRE-MASKED (bead-mask validity and the |i-j| >= 2
-    # nonbonded predicate are static per solve, folded host-side once before
-    # the scan): ~6 per-pair VPU ops removed vs in-kernel mask construction
-    w = w_ref[:]
-    dev = d - t_ref[:]
-    c_noe = noe_w * w * (2.0 * dev)
-    nonbonded = nb_ref[:]
-    overlap = jnp.maximum(vdw_radius - d, 0.0)
-    c_vdw = -2.0 * vdw_w * nonbonded * overlap
+        s = s + diff * diff
+    rinv = jax.lax.rsqrt(s)
+    u = 1.0 - t_ref[:] * rinv
+    wtu = w_ref[:] * u                             # w tile carries 2*noe_w
+    v = jnp.maximum(vdw_radius * rinv - 1.0, 0.0)
+    nv = nb_ref[:] * v
     # one fused energy rowsum (the scan history only needs the TOTAL; the
     # per-term breakdown is computed once at the end of the solve)
     e_pairT = rowsum_T(
-        (0.5 * noe_w) * (w * dev * dev)
-        + (0.5 * vdw_w) * (nonbonded * overlap * overlap)
+        s * (0.25 * (wtu * u) + (0.5 * vdw_w) * (nv * v))
     )                                              # (1, TM)
-    c = (c_noe + c_vdw) * rinv                     # (TM, Lp)
+    c = wtu - (2.0 * vdw_w) * nv                   # (TM, Lp)
     crowT = rowsum_T(c)                            # (1, TM)
     cxT = jax.lax.dot_general(
         xtf, c, (((1,), (1,)), ((), ())),
@@ -384,11 +393,15 @@ def _kernel_fused_step(
     e_ref[0] = e_pairT + e_bondT
 
 
-def fused_step_tiles(restraints: DenseRestraints, bead_mask: jnp.ndarray):
+def fused_step_tiles(
+    restraints: DenseRestraints, bead_mask: jnp.ndarray, noe_weight
+):
     """The fused step's static (L, L) tiles: restraint target, pre-masked
-    weights (mask * weight * pair_valid), and the pre-masked vdw predicate
+    pre-scaled weights (2 * noe_weight * mask * weight * pair_valid — the
+    NOE weight is constant over the schedule, so the kernel's force
+    coefficient is just w_tile * u), and the pre-masked vdw predicate
     (|i-j| >= 2 AND both beads real). Computed ONCE per solve (outside the
-    scan) — folding these saves ~6 per-pair VPU ops every step."""
+    scan) — folding these saves ~7 per-pair VPU ops every step."""
     L = restraints.lo.shape[0]
     bm = bead_mask.astype(jnp.float32)
     pair_valid = bm[:, None] * bm[None, :]
@@ -396,7 +409,8 @@ def fused_step_tiles(restraints: DenseRestraints, bead_mask: jnp.ndarray):
     nonbonded = (jnp.abs(idx[:, None] - idx[None, :]) >= 2).astype(jnp.float32)
     return (
         restraints.lo,
-        restraints.mask * restraints.weight * pair_valid,
+        (2.0 * jnp.asarray(noe_weight, jnp.float32))
+        * restraints.mask * restraints.weight * pair_valid,
         nonbonded * pair_valid,
     )
 
@@ -443,7 +457,7 @@ def pallas_fused_step_batched(
     nu_p = padT(nu_T.astype(jnp.float32))
     bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
     if masked_tiles is None:
-        masked_tiles = fused_step_tiles(restraints, bead_mask)
+        masked_tiles = fused_step_tiles(restraints, bead_mask, weights.noe)
     t, w, nb = (pad2(m) for m in masked_tiles)
     x = jnp.swapaxes(xt, 1, 2)                     # (B, Lp, 3) row view
 
@@ -569,6 +583,7 @@ def _pairwise_energy_grad_batched(
     tile_spec = pl.BlockSpec((TM, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
     common_in = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                      # params
+        pl.BlockSpec(memory_space=pltpu.SMEM),                      # row0
         pl.BlockSpec((1, Lp, 3), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 3, Lp), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
@@ -604,8 +619,110 @@ def _pairwise_energy_grad_batched(
             transcendentals=Lp * Lp * B,
         ),
         interpret=interpret,
-    )(params, x, xt, *tensors, bm[None, :], bm[:, None])
+    )(params, jnp.zeros((1,), jnp.int32), x, xt, *tensors, bm[None, :], bm[:, None])
     return jnp.sum(e_parts[:, :, 0], axis=1), grad[:, :L, :]
+
+
+def _pick_tile_rows(Lb: int, Lp: int, exact: bool) -> int:
+    """Row-tile size for a ROW-BLOCK call: must divide the block height Lb
+    (so no row padding is needed and every x slice stays in bounds), sized
+    to the same scoped-VMEM budget as _pick_tile."""
+    budget = 14 * 1024 * 1024
+    u = 8.5 if exact else 10.5
+    for t in (Lb, 512, 384, 320, 256, 128, 64, 32, 16, 8):
+        if t <= Lb and Lb % t == 0 and u * t * Lp * 4 <= budget:
+            return t
+    return 8
+
+
+def pallas_row_block_energy_grad_batched(
+    coords: jnp.ndarray,       # (B, L, 3) REPLICATED full coords
+    lo: jnp.ndarray,           # (Lb, L) this shard's restraint row block
+    hi: jnp.ndarray,           # (Lb, L) (ignored when exact=True)
+    w: jnp.ndarray,            # (Lb, L) mask-folded weights block
+    bead_mask: jnp.ndarray,    # (L,) replicated
+    bm_rows: jnp.ndarray,      # (Lb,) this block's row-bead validity
+    row_start: jnp.ndarray,    # traced int32 scalar: global first row
+    weights: EnergyWeights,
+    interpret: bool = False,
+    exact: bool = False,
+):
+    """The sequence-parallel (sp) shard's step kernel: pair energy partial +
+    gradient ROWS for one row block of the (L, L) tensors, batched over B
+    structures sharing the block. This is the whole-matrix kernel's row-tile
+    decomposition handed its shard's global row offset — called inside
+    shard_map, it gives the row-sharded solver (solver/sharded.py) the same
+    fused VMEM pass the single-chip path has; callers psum the energy and
+    all-gather the (B, Lb, 3) rows (full-row convention: gradient rows never
+    move). Returns (pair-energy partial (B,), grad rows (B, Lb, 3))."""
+    B, L, _ = coords.shape
+    Lb = lo.shape[0]
+    Lp = _round_up(max(L, 8), 128)
+    padc = Lp - L
+
+    def padcols(m):
+        return jnp.pad(m, ((0, 0), (0, padc)))
+
+    x = jnp.pad(coords.astype(jnp.float32), ((0, 0), (0, padc), (0, 0)))
+    xt = jnp.swapaxes(x, 1, 2)                     # (B, 3, Lp)
+    bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padc))
+
+    params = jnp.stack(
+        [
+            weights.noe.astype(jnp.float32),
+            weights.vdw.astype(jnp.float32),
+            weights.vdw_radius.astype(jnp.float32),
+            weights.noe_rswitch.astype(jnp.float32),
+            jnp.float32(L),
+            jnp.float32(0),
+            jnp.float32(0),
+            jnp.float32(0),
+        ]
+    )
+    row0 = jnp.full((1,), row_start, jnp.int32)
+
+    TM = _pick_tile_rows(Lb, Lp, exact)
+    tile_spec = pl.BlockSpec((TM, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
+    common_in = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, Lp, 3), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, Lp), lambda i, b: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if exact:
+        kernel = _kernel_exact
+        tensors = (padcols(lo), padcols(w))
+    else:
+        kernel = _kernel
+        tensors = (padcols(lo), padcols(hi), padcols(w))
+
+    grid = (Lb // TM, B)
+    e_parts, grad = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=common_in + [tile_spec] * len(tensors) + [
+            pl.BlockSpec((1, Lp), lambda i, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, b: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TM, 1), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, 3), lambda i, b: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lb, 3), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int((22 if exact else 40) * Lp) * Lb * B,
+            bytes_accessed=int(4 * Lp) * Lb * len(tensors) + B * Lp * 4 * 10,
+            transcendentals=Lb * Lp * B,
+        ),
+        interpret=interpret,
+    )(
+        params, row0, x, xt, *tensors,
+        bm[None, :], bm_rows.astype(jnp.float32)[:, None],
+    )
+    return jnp.sum(e_parts[:, :, 0], axis=1), grad
 
 
 def _pairwise_energy_grad(

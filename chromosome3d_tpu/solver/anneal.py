@@ -326,8 +326,9 @@ def solve_ensemble_impl(
 
         key, skey = jax.random.split(key)
         seed = jax.random.randint(skey, (), 0, jnp.int32(2**31 - 1))
-        # static per solve: masked weight/vdw tiles, folded ONCE (not per step)
-        tiles = fused_step_tiles(restraints, bead_mask)
+        # static per solve: masked (and 2*noe_w-scaled) weight/vdw tiles,
+        # folded ONCE (not per step; the noe weight is schedule-constant)
+        tiles = fused_step_tiles(restraints, bead_mask, base.noe)
         xsT = jnp.swapaxes(xs, 1, 2)
         carry0 = (xsT, jnp.zeros_like(xsT), jnp.zeros_like(xsT), jnp.int32(0))
 

@@ -16,7 +16,11 @@ Two entry points:
     batch, hot phase, CNS-style enantiomer pick, cool + final on the
     winners — the sharded counterpart of solver.anneal.solve_ensemble_impl.
     Per step the only collectives are one psum (scalars) and one
-    all-gather of (n, L, 3) gradient rows, both riding the ICI.
+    all-gather of (n, L, 3) gradient rows, both riding the ICI. With
+    cfg.use_pallas the per-shard hot loop runs the fused row-block Pallas
+    kernel (ops.pallas_energy.pallas_row_block_energy_grad_batched) — the
+    same VMEM pass the single-chip path has, handed the shard's global row
+    offset.
 """
 
 from __future__ import annotations
@@ -193,6 +197,13 @@ def solve_ensemble_sharded(
     n_eff = n_models * 2 if cfg.enantiomer else n_models
     hot = cfg.hot_steps
     k_land = min(cfg.landmark_count, L)
+    # hot-loop kernel selection: the Pallas row-block kernel gives each shard
+    # the same fused VMEM pass the single-chip path has (interpret mode off
+    # TPU, e.g. the CPU-mesh tests). The exact specialization mirrors
+    # solver.anneal's condition.
+    use_pallas = cfg.use_pallas and (L // n_dev) % 8 == 0  # sublane-tileable blocks
+    exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
+    interpret = jax.default_backend() != "tpu"
 
     def shard_fn(lo, hi, w, bead, key, srows):
         """Everything below runs per device on its (Lb, L) restraint rows;
@@ -259,13 +270,33 @@ def solve_ensemble_sharded(
             g = jax.lax.all_gather(g_rows, axis, axis=1, tiled=True)  # (n, L, 3)
             return e_noe, e_vdw, g
 
+        if use_pallas:
+            from chromosome3d_tpu.ops.pallas_energy import (
+                pallas_row_block_energy_grad_batched,
+            )
+
+            bm_rows_blk = jax.lax.dynamic_slice(bead, (row_start,), (Lb,))
+
+            def pair_total_and_grad(x, weights):
+                e_p, g_rows = pallas_row_block_energy_grad_batched(
+                    x, lo, hi, w, bead, bm_rows_blk, row_start, weights,
+                    interpret=interpret, exact=exact,
+                )
+                e = jax.lax.psum(e_p, axis)
+                g = jax.lax.all_gather(g_rows, axis, axis=1, tiled=True)
+                return e, g
+        else:
+            def pair_total_and_grad(x, weights):
+                e_noe, e_vdw, g = pair_terms(x, weights)
+                return e_noe + e_vdw, g
+
         def step(carry, srow):
             x, opt_state, k = carry
             lr, sigma, vdw_w, repel = srow
             weights = _schedule_weights(cfg, base, vdw_w, repel)
-            e_noe, e_vdw, g = pair_terms(x, weights)
+            e_pair, g = pair_total_and_grad(x, weights)
             e_bond, g_bond = bond_vg(x)
-            e = e_noe + e_vdw + e_bond
+            e = e_pair + e_bond
             g = _clip_per_bead(g + g_bond, cfg.gradient_clip)
             updates, opt_state = opt.update(g, opt_state)
             k, nkey = jax.random.split(k)

@@ -118,3 +118,41 @@ def test_sharded_ensemble_padded_bead_mask():
     assert np.isfinite(coords).all()
     assert (coords[:, L:, :] == 0).all()
     assert np.abs(coords[:, :L, :]).max() > 1.0
+
+
+def test_sharded_ensemble_pallas_matches_jnp():
+    """use_pallas=True routes the sharded hot loop through the row-block
+    Pallas kernel (interpret mode on this CPU mesh); trajectories must track
+    the jnp row-block path on the same key."""
+    import dataclasses
+
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+
+    L = 16 * 8
+    dense = make_case(L)
+    base_cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig()), init="landmark", landmark_count=16
+    )
+    key = jax.random.PRNGKey(11)
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    r_jnp = jax.jit(
+        lambda d, k: solve_ensemble_sharded(
+            mesh, d, dataclasses.replace(base_cfg, use_pallas=False), k, 2
+        )
+    )(dense, key)
+    r_pal = jax.jit(
+        lambda d, k: solve_ensemble_sharded(
+            mesh, d, dataclasses.replace(base_cfg, use_pallas=True), k, 2
+        )
+    )(dense, key)
+    np.testing.assert_allclose(
+        np.asarray(r_pal.history), np.asarray(r_jnp.history), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_pal.coords), np.asarray(r_jnp.coords), atol=5e-3
+    )
+    for k2 in ("noe", "bon", "vdw", "overall"):
+        np.testing.assert_allclose(
+            np.asarray(r_pal.energies[k2]), np.asarray(r_jnp.energies[k2]),
+            rtol=2e-3,
+        )
