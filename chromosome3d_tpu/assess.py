@@ -4,8 +4,12 @@ TPU-native rebuild of the reference's L0 layer: assess_dgsa
 (chromosome3D.pl:769-829) plus its helpers (count_satisfied_tbl_rows :447-485,
 sum_noe_dev :581-600, get_cns_energy :602-618, noe violation report :478-484).
 
-The statistics are computed in one vmapped jnp pass (ops.energy.violation_stats);
-this module handles ranking semantics and the text artifacts:
+Everything here is deliberately HOST-side numpy (CLAUDE.md invariant):
+assessment runs per chromosome at the real (unpadded) length, so a device
+implementation would pay one accelerator compile per distinct shape — the
+solver-side twin of the satisfied/sum-dev math, ops.energy.violation_stats,
+stays jnp for in-scan use and is cross-tested against assess_ensemble.
+This module handles statistics, ranking semantics, and the text artifacts:
   * `<tbl>_violation.txt` — per-restraint flag/deviation/actual rows
   * `model_info.log`      — REMARK (energy) rows backed up per model
   * NOE-energy ranking     — 20 built -> top-5 kept as `{ID}_model1..5.pdb`
@@ -16,13 +20,11 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from chromosome3d_tpu.config import PipelineConfig
-from chromosome3d_tpu.metrics import pairwise_distances, spearman_if_inv_d
-from chromosome3d_tpu.ops.energy import DenseRestraints, violation_stats
+from chromosome3d_tpu.metrics import spearman_if_inv_d
+from chromosome3d_tpu.ops.energy import DenseRestraints
 from chromosome3d_tpu.restraints import Restraints
 
 
@@ -32,16 +34,41 @@ def assess_ensemble(
     cfg: PipelineConfig,
     bead_mask=None,
 ) -> Dict[str, np.ndarray]:
-    """Vectorized satisfied-count / sum-dev for (n, L, 3) coords."""
-    stats = jax.vmap(
-        lambda c: violation_stats(
-            c, restraints, cfg.dist_relax, cfg.sum_dev_margin, bead_mask
-        )
-    )(jnp.asarray(coords, dtype=jnp.float32))
-    satisfied, total, sum_dev = (np.asarray(s) for s in stats)
+    """Vectorized satisfied-count / sum-dev for (n, L, 3) coords.
+
+    Pure HOST-side numpy over the restrained pairs only. Assessment runs
+    once per chromosome at artifact-emission time with the chromosome's
+    REAL (unpadded) length — a device implementation pays one accelerator
+    compile per distinct (L, n) shape right there (minutes each through
+    this environment's remote-compile tunnel, 46 distinct lengths per
+    genome) for O(R) scalar work. Semantics identical to
+    ops.energy.violation_stats (tested against it)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    lo = np.asarray(restraints.lo, dtype=np.float64)
+    hi = np.asarray(restraints.hi, dtype=np.float64)
+    mask = np.asarray(restraints.mask) > 0
+    if bead_mask is not None:
+        bm = np.asarray(bead_mask) > 0
+        mask = mask & bm[:, None] & bm[None, :]
+    mask = np.triu(mask, k=1)
+    ii, jj = np.nonzero(mask)
+    lo_r, hi_r = lo[ii, jj], hi[ii, jj]
+    n = coords.shape[0]
+    satisfied = np.zeros(n, dtype=int)
+    sum_dev = np.zeros(n, dtype=np.float64)
+    relax, margin = cfg.dist_relax, cfg.sum_dev_margin
+    for k, c in enumerate(coords):
+        diff = c[ii] - c[jj]
+        d = np.sqrt((diff * diff).sum(-1) + 1e-12)
+        # count_satisfied semantics (ref :447-485): +1 under the relaxed hi,
+        # -1 again when too short (credit cancels)
+        satisfied[k] = int((d < hi_r + relax).sum()) - int((d < lo_r - relax).sum())
+        over = d > hi_r + margin
+        under = d < lo_r - margin
+        sum_dev[k] = float(((d - hi_r) * over).sum() + ((lo_r - d) * under).sum())
     return {
-        "satisfied": satisfied.astype(int),
-        "total": total.astype(int),
+        "satisfied": satisfied,
+        "total": np.full(n, len(ii), dtype=int),
         "sum_dev": sum_dev,
     }
 
@@ -261,8 +288,10 @@ def violation_coverage_string(
 ) -> str:
     """Per-bead violation map (ref noe_tbl_violation_coverage :556-579):
     'x' where the bead participates in a violated restraint, '-' otherwise."""
-    coords = np.asarray(coords)
-    d = np.asarray(pairwise_distances(jnp.asarray(coords, jnp.float32)))
+    coords = np.asarray(coords, dtype=np.float64)
+    # host-side numpy (not the jnp pairwise op): this runs per emitted model
+    # with the chromosome's real length — see assess_ensemble's rationale
+    d = np.sqrt(((coords[:, None] - coords[None, :]) ** 2).sum(-1))
     ii, jj = np.nonzero(np.triu(r.mask, k=1))
     flags = np.zeros(r.length, dtype=bool)
     for i, j in zip(ii, jj):

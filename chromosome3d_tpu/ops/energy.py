@@ -133,9 +133,11 @@ def auto_weight_exponent(L: int) -> float:
 
 
 def dense_restraints_from_numpy(
-    r, weighting: str = "relative", weight_exponent: Optional[float] = None
+    r, weighting: str = "relative", weight_exponent: Optional[float] = None,
+    as_numpy: bool = False,
 ) -> DenseRestraints:
-    """chromosome3d_tpu.restraints.Restraints -> device tensors.
+    """chromosome3d_tpu.restraints.Restraints -> device tensors
+    (or host numpy tensors with as_numpy=True, for batch assemblers).
 
     weighting:
       "relative" — per-restraint weight 1/target^p (p = weight_exponent,
@@ -154,23 +156,29 @@ def dense_restraints_from_numpy(
     """
     target = np.asarray(r.target, dtype=np.float64)
     mask_np = np.asarray(r.mask)
-    mask = jnp.asarray(mask_np, dtype=jnp.float32)
+    mask = mask_np.astype(np.float32)
     if weight_exponent is None:
         weight_exponent = auto_weight_exponent(target.shape[0])
     if weighting == "relative":
         w = np.where(mask_np, 1.0 / np.maximum(target, 1.0) ** weight_exponent, 0.0)
         denom = w[mask_np].mean() if mask_np.any() else 1.0
-        weight = jnp.asarray(w / max(denom, 1e-30), dtype=jnp.float32)
+        weight = (w / max(denom, 1e-30)).astype(np.float32)
     elif weighting == "absolute":
         weight = mask
     else:
         raise ValueError(f"unknown weighting {weighting!r}")
-    return DenseRestraints(
-        lo=jnp.asarray(target - np.asarray(r.negdev), dtype=jnp.float32),
-        hi=jnp.asarray(target + np.asarray(r.posdev), dtype=jnp.float32),
+    out = DenseRestraints(
+        lo=(target - np.asarray(r.negdev)).astype(np.float32),
+        hi=(target + np.asarray(r.posdev)).astype(np.float32),
         mask=mask,
         weight=weight,
     )
+    if as_numpy:
+        # host tensors: batch assemblers stack many chromosomes host-side
+        # and pay ONE device upload per tensor, not one per chromosome
+        # (each transfer is a round-trip on a remote-device tunnel)
+        return out
+    return DenseRestraints(*(jnp.asarray(t) for t in out))
 
 
 def dense_or_groups_from_numpy(og) -> OrGroupRestraints:

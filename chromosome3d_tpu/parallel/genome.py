@@ -108,16 +108,20 @@ def _stack_bucket(
 
             p = auto_weight_exponent(r.length)
         denses.append(
-            dense_restraints_from_numpy(r.padded(L_pad), rc.weighting, p)
+            dense_restraints_from_numpy(
+                r.padded(L_pad), rc.weighting, p, as_numpy=True
+            )
         )
         bead = np.zeros(L_pad, dtype=np.float32)
         bead[: m.shape[0]] = 1.0
         masks.append(bead)
+    # stack on the HOST, upload once per tensor: 4 device transfers for the
+    # whole bucket instead of 4 per chromosome (tunnel round-trips)
     batched = DenseRestraints(
-        lo=jnp.stack([d.lo for d in denses]),
-        hi=jnp.stack([d.hi for d in denses]),
-        mask=jnp.stack([d.mask for d in denses]),
-        weight=jnp.stack([d.weight for d in denses]),
+        lo=jnp.asarray(np.stack([d.lo for d in denses])),
+        hi=jnp.asarray(np.stack([d.hi for d in denses])),
+        mask=jnp.asarray(np.stack([d.mask for d in denses])),
+        weight=jnp.asarray(np.stack([d.weight for d in denses])),
     )
     return batched, jnp.asarray(np.stack(masks)), matrices, raw
 
@@ -211,6 +215,17 @@ def solve_bucket(
             batch_sharding,
         ),
         out_shardings=batch_sharding,
+    )
+    # with CHROM3D_AOT_CACHE set, the bucket program round-trips through the
+    # serialized-executable cache: later PROCESSES skip the (minutes-long,
+    # remote) compile entirely (utils/aot.py)
+    from chromosome3d_tpu.utils.aot import load_or_compile
+
+    solve = load_or_compile(
+        solve,
+        (batched, keys, bead_masks),
+        tag="genome_bucket",
+        statics=f"{cfg!r}|models_per={models_per}",
     )
     result = solve(batched, keys, bead_masks)
 

@@ -45,6 +45,11 @@ class SolverCache:
     def __init__(self, base: Optional[PipelineConfig] = None):
         self.base = base or PipelineConfig()
         self.warm: set = set()
+        # (L_pad, anneal cfg, n_models) -> compiled/jitted solve; with
+        # CHROM3D_AOT_CACHE set these round-trip through the on-disk
+        # serialized-executable cache, so even a FRESH server process skips
+        # the remote compile (utils/aot.py)
+        self._programs: dict = {}
 
     def bucket_for(self, L: int) -> int:
         fit = [b for b in self.base.length_buckets if b >= L]
@@ -65,7 +70,6 @@ class SolverCache:
             dense_restraints_from_numpy,
         )
         from chromosome3d_tpu.restraints import build_restraints
-        from chromosome3d_tpu.solver.anneal import solve_ensemble
 
         L = matrix.shape[0]
         L_pad = self.bucket_for(L)
@@ -81,9 +85,22 @@ class SolverCache:
         bead = jnp.asarray(
             np.pad(np.ones(L, np.float32), (0, L_pad - L)), jnp.float32
         )
-        result = solve_ensemble(
-            dense, cfg.anneal, jax.random.PRNGKey(cfg.seed), cfg.model_count, bead
-        )
+        key = jax.random.PRNGKey(cfg.seed)
+        prog_key = (L_pad, cfg.anneal, cfg.model_count)
+        solve = self._programs.get(prog_key)
+        if solve is None:
+            from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+            from chromosome3d_tpu.utils.aot import load_or_compile
+
+            an, n_models = cfg.anneal, cfg.model_count
+            solve = load_or_compile(
+                jax.jit(lambda d, k, b: solve_ensemble_impl(d, an, k, n_models, b)),
+                (dense, key, bead),
+                tag="serve_bucket",
+                statics=f"{an!r}|n={n_models}",
+            )
+            self._programs[prog_key] = solve
+        result = solve(dense, key, bead)
         self.warm.add((L_pad, cfg.model_count, cfg.anneal.total_steps))
         coords = np.asarray(result.coords)[:, :L, :]
         energies = {k: np.asarray(v) for k, v in result.energies.items()}

@@ -1,0 +1,95 @@
+"""AOT serialized-executable cache (utils/aot.py): compile-once semantics,
+cross-instance reload, graceful fallback on corrupt entries. Runs on CPU —
+the serialize/deserialize path is backend-generic (verified on the real
+remote-TPU backend separately; see DESIGN.md)."""
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chromosome3d_tpu.utils.aot import cache_key, load_or_compile
+
+
+def _f():
+    return jax.jit(lambda x, y: (x @ y).sum(axis=0) + 2.0 * x.sum())
+
+
+def test_disabled_without_dir(monkeypatch):
+    monkeypatch.delenv("CHROM3D_AOT_CACHE", raising=False)
+    f = _f()
+    out = load_or_compile(f, (jnp.ones((4, 4)), jnp.ones((4, 4))), tag="t")
+    assert out is f  # passthrough: plain jitted callable
+
+
+def test_save_then_load(tmp_path):
+    """A fresh load_or_compile over the same dir resolves through the cached
+    blob. (XLA:CPU may reject the blob at dispatch — machine-feature
+    strictness — in which case the _GuardedExec fallback recompiles; either
+    way the call must succeed with identical results. The fast-reload path
+    itself is verified on the real TPU backend: 0.06 s load.)"""
+    x, y = jnp.ones((8, 8)), jnp.full((8, 8), 2.0)
+    c1 = load_or_compile(_f(), (x, y), tag="mm", cache_dir=str(tmp_path))
+    files = [p for p in os.listdir(tmp_path) if p.endswith(".aotx")]
+    assert len(files) == 1 and files[0].startswith("mm-")
+    r1 = np.asarray(c1(x, y))
+
+    c2 = load_or_compile(_f(), (x, y), tag="mm", cache_dir=str(tmp_path))
+    r2 = np.asarray(c2(x, y))
+    np.testing.assert_allclose(r1, r2)
+
+
+def test_key_separates_shapes_and_statics(tmp_path):
+    x8 = (jnp.ones((8, 8)), jnp.ones((8, 8)))
+    x4 = (jnp.ones((4, 4)), jnp.ones((4, 4)))
+    k1 = cache_key("t", x8, "cfgA")
+    assert cache_key("t", x4, "cfgA") != k1
+    assert cache_key("t", x8, "cfgB") != k1
+    assert cache_key("u", x8, "cfgA") != k1
+    assert cache_key("t", x8, "cfgA") == k1  # deterministic
+
+
+def test_corrupt_entry_falls_back(tmp_path):
+    x, y = jnp.ones((8, 8)), jnp.ones((8, 8))
+    load_or_compile(_f(), (x, y), tag="mm", cache_dir=str(tmp_path))
+    (entry,) = [p for p in os.listdir(tmp_path) if p.endswith(".aotx")]
+    with open(tmp_path / entry, "wb") as f:
+        pickle.dump(("garbage",), f)
+    c = load_or_compile(_f(), (x, y), tag="mm", cache_dir=str(tmp_path))
+    np.testing.assert_allclose(np.asarray(c(x, y)), np.asarray(_f()(x, y)))
+
+
+def test_genome_bucket_roundtrip(tmp_path, monkeypatch):
+    """run_genome with CHROM3D_AOT_CACHE writes a bucket executable and a
+    second run loads it — end to end through the production runner."""
+    from chromosome3d_tpu.config import AnnealConfig, PipelineConfig
+    from chromosome3d_tpu.parallel.genome import run_genome
+
+    rng = np.random.RandomState(0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for name in ("chr1_1mb", "chr2_1mb"):
+        L = 24
+        base = rng.gamma(2.0, 50.0, size=(L, L))
+        m = (base + base.T) / 2
+        np.fill_diagonal(m, 5000.0)
+        np.savetxt(in_dir / f"{name}_matrix.txt", m, fmt="%.4f")
+    cfg = PipelineConfig(
+        model_count=2, top_k=1, length_buckets=(32,),
+        anneal=AnnealConfig(
+            hot_steps=10, cool_cycles=4, cool_steps_per_cycle=2,
+            final_steps=10, enantiomer=False, init="spiral",
+        ),
+    )
+    aot_dir = tmp_path / "aot"
+    monkeypatch.setenv("CHROM3D_AOT_CACHE", str(aot_dir))
+    s1 = run_genome(str(in_dir), str(tmp_path / "out1"), cfg)
+    blobs = [p for p in os.listdir(aot_dir) if p.endswith(".aotx")]
+    assert len(blobs) == 1 and blobs[0].startswith("genome_bucket-")
+    s2 = run_genome(str(in_dir), str(tmp_path / "out2"), cfg)
+    for k in s1:
+        assert (
+            s1[k]["best_spearman_if_inv_d"] == s2[k]["best_spearman_if_inv_d"]
+        )

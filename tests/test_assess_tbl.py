@@ -81,3 +81,39 @@ def test_assess_matches_pipeline_tbl(tmp_path, tiny_matrix):
     )
     assert (sat, total) == (int(s2), int(t2))
     assert dev == pytest.approx(float(d2), rel=1e-3)
+
+
+def test_assess_ensemble_matches_violation_stats():
+    """The host-side numpy assess_ensemble must equal the jnp solver twin
+    ops.energy.violation_stats on the same ensemble (incl. bead masking)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chromosome3d_tpu.assess import assess_ensemble
+    from chromosome3d_tpu.config import PipelineConfig, RestraintConfig
+    from chromosome3d_tpu.ops.energy import (
+        dense_restraints_from_numpy,
+        violation_stats,
+    )
+    from chromosome3d_tpu.restraints import build_restraints
+
+    rng = np.random.RandomState(5)
+    L = 40
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    dense = dense_restraints_from_numpy(build_restraints(m, RestraintConfig()))
+    coords = rng.normal(0, 20, (4, L, 3)).astype(np.float32)
+    bead = np.concatenate([np.ones(34, np.float32), np.zeros(6, np.float32)])
+    cfg = PipelineConfig()
+
+    host = assess_ensemble(coords, dense, cfg, bead_mask=bead)
+    dev = jax.vmap(
+        lambda c: violation_stats(
+            c, dense, cfg.dist_relax, cfg.sum_dev_margin, jnp.asarray(bead)
+        )
+    )(jnp.asarray(coords))
+    np.testing.assert_array_equal(host["satisfied"], np.asarray(dev[0]).astype(int))
+    np.testing.assert_array_equal(host["total"], np.asarray(dev[1]).astype(int))
+    np.testing.assert_allclose(host["sum_dev"], np.asarray(dev[2]), rtol=1e-4)
