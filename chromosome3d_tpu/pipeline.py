@@ -51,6 +51,26 @@ from chromosome3d_tpu.utils.logging import banner, get_logger, profile_trace
 log = get_logger(__name__)
 
 
+def _aot_solve(dense, anneal_cfg, key, n_models, bm):
+    """solve_ensemble, routed through the AOT executable cache when
+    CHROM3D_AOT_CACHE is set (utils/aot.py): a later process re-running the
+    same bucket/config skips the remote compile entirely. Without the env
+    var this is exactly solve_ensemble (in-process jit cache applies)."""
+    from chromosome3d_tpu.utils.aot import cache_dir_from_env, load_or_compile
+
+    if cache_dir_from_env() is None:
+        return solve_ensemble(dense, anneal_cfg, key, n_models, bm)
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+
+    solve = load_or_compile(
+        jax.jit(lambda d, k, b: solve_ensemble_impl(d, anneal_cfg, k, n_models, b)),
+        (dense, key, bm),
+        tag="pipeline_bucket",
+        statics=f"{anneal_cfg!r}|n={n_models}",
+    )
+    return solve(dense, key, bm)
+
+
 def _bucket_pad(L: int, cfg: PipelineConfig):
     """Padded length + (L_pad,) bead mask for a single-chromosome solve.
     Falls back to exact L when bucketing is off or L exceeds every bucket."""
@@ -202,7 +222,7 @@ def run_pipeline(
         key = jax.random.PRNGKey(cfg.seed)
         bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
         with profile_trace(profile_dir):
-            result = solve_ensemble(
+            result = _aot_solve(
                 dense_solve, cfg.anneal, key, cfg.model_count, bm
             )
             coords = np.asarray(result.coords)[:, :L, :]
@@ -223,7 +243,7 @@ def run_pipeline(
                 dist_to_restraints(if_to_dist(if_matrix, rc_x), rc_x), rc_x, L_pad
             )
             key, sub = jax.random.split(key)
-            res_x = solve_ensemble(dense_x, cfg.anneal, sub, cfg.model_count, bm)
+            res_x = _aot_solve(dense_x, cfg.anneal, sub, cfg.model_count, bm)
             coords = np.concatenate([coords, np.asarray(res_x.coords)[:, :L, :]])
             # energies under a different restraint set are not comparable;
             # recorded for REMARKs but excluded from the NOE ranking below
@@ -307,9 +327,12 @@ def run_restraints_pipeline(
         from chromosome3d_tpu.ops.energy import dense_or_groups_from_numpy
 
         or_groups = dense_or_groups_from_numpy(or_groups_np)
-    result = solve_ensemble(
-        dense, cfg.anneal, key, cfg.model_count, bm, or_groups=or_groups
-    )
+    if or_groups is None:
+        result = _aot_solve(dense, cfg.anneal, key, cfg.model_count, bm)
+    else:
+        result = solve_ensemble(
+            dense, cfg.anneal, key, cfg.model_count, bm, or_groups=or_groups
+        )
     coords = np.asarray(result.coords)[:, :Lr, :]
     energies = {k: np.asarray(v) for k, v in result.energies.items()}
 

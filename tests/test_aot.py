@@ -93,3 +93,31 @@ def test_genome_bucket_roundtrip(tmp_path, monkeypatch):
         assert (
             s1[k]["best_spearman_if_inv_d"] == s2[k]["best_spearman_if_inv_d"]
         )
+
+
+def test_run_pipeline_aot_roundtrip(tmp_path, monkeypatch):
+    """run_pipeline with CHROM3D_AOT_CACHE saves the bucket executable and a
+    second process-equivalent run loads it with identical results."""
+    from chromosome3d_tpu.config import AnnealConfig, PipelineConfig
+    from chromosome3d_tpu.pipeline import run_pipeline
+
+    rng = np.random.RandomState(2)
+    L = 20
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    matrix = tmp_path / "chrT_1mb_matrix.txt"
+    np.savetxt(matrix, m, fmt="%.4f")
+    cfg = PipelineConfig(
+        model_count=2, top_k=1, length_buckets=(32,),
+        anneal=AnnealConfig(
+            hot_steps=10, cool_cycles=4, cool_steps_per_cycle=2,
+            final_steps=10, enantiomer=False, init="spiral",
+        ),
+    )
+    monkeypatch.setenv("CHROM3D_AOT_CACHE", str(tmp_path / "aot"))
+    s1 = run_pipeline(str(matrix), str(tmp_path / "o1"), cfg)
+    blobs = [p for p in os.listdir(tmp_path / "aot") if p.endswith(".aotx")]
+    assert len(blobs) == 1 and blobs[0].startswith("pipeline_bucket-")
+    s2 = run_pipeline(str(matrix), str(tmp_path / "o2"), cfg)
+    assert s1["best_spearman_if_inv_d"] == s2["best_spearman_if_inv_d"]
