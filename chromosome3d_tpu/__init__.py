@@ -40,6 +40,7 @@ def __getattr__(name):
         "build_restraints": ("chromosome3d_tpu.restraints", "build_restraints"),
         "spearman_if_inv_d": ("chromosome3d_tpu.metrics", "spearman_if_inv_d"),
         "solve_ensemble_sharded": ("chromosome3d_tpu.solver.sharded", "solve_ensemble_sharded"),
+        "solve_genome_sharded": ("chromosome3d_tpu.solver.sharded", "solve_genome_sharded"),
         "solve_coinit": ("chromosome3d_tpu.similarity", "solve_coinit"),
         "load_any": ("chromosome3d_tpu.io.hic", "load_any"),
         "load_cooler": ("chromosome3d_tpu.io.hic", "load_cooler"),

@@ -190,10 +190,36 @@ def solve_ensemble_sharded(
     if bead_mask is None:
         bead_mask = jnp.ones((L,), dtype=jnp.float32)
     sched = build_schedule(cfg) if schedule is None else schedule
-    base = _final_weights(cfg)
     srows = jnp.stack(
         [sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1
     )
+    shard_fn = _ensemble_shard_fn(cfg, n_models, L, n_dev, sched, axis)
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(), {"noe": P(), "bon": P(), "vdw": P(), "overall": P()}, P()),
+        check_vma=False,
+    )
+    coords, terms, history = mapped(
+        restraints.lo,
+        restraints.hi,
+        restraints.mask * restraints.weight,
+        bead_mask,
+        key,
+        srows,
+    )
+    return ShardedEnsembleResult(coords=coords, energies=terms, history=history)
+
+
+def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
+                       sched: Schedule, axis: str):
+    """Build the per-device ensemble shard body shared by the 1-D sp solver
+    (solve_ensemble_sharded) and the 2-D chrom x beads genome solver
+    (solve_genome_sharded, which vmaps it over chromosomes — the collectives
+    inside batch cleanly under vmap)."""
+    base = _final_weights(cfg)
     n_eff = n_models * 2 if cfg.enantiomer else n_models
     hot = cfg.hot_steps
     k_land = min(cfg.landmark_count, L)
@@ -345,19 +371,63 @@ def solve_ensemble_sharded(
         xs = (xs - centroid) * bead[None, :, None]
         return xs, terms, history
 
+    return shard_fn
+
+
+def solve_genome_sharded(
+    mesh: Mesh,
+    batched: DenseRestraints,
+    cfg: AnnealConfig,
+    keys: jax.Array,
+    n_models: int,
+    bead_masks: Optional[jnp.ndarray] = None,
+    schedule: Optional[Schedule] = None,
+    chrom_axis: str = "chrom",
+    beads_axis: str = "beads",
+) -> ShardedEnsembleResult:
+    """Many chromosomes, each beyond one chip, in ONE program: the full
+    sharded ensemble solve over a 2-D (chrom x beads) mesh. Chromosomes
+    split over `chrom_axis` (data parallel, zero collectives between them);
+    each chromosome's O(L^2) restraint rows split over `beads_axis` exactly
+    as solve_ensemble_sharded does (the same shard body, vmapped over the
+    device-local chromosomes — its psum/pmin/all_gather batch under vmap).
+
+    This composes the genome runner's dp axis with the sp axis: the
+    reference's whole-genome story is 46 independent processes
+    (test.sh:4-11) capped at 663 beads each (chromosome3D.pl:93-94); here
+    one mesh covers arbitrarily many chromosomes of one-chip-exceeding
+    length. batched: (B, L, L) tensors; keys: (B, 2) one PRNG key per
+    chromosome; B must divide the chrom axis, L the beads axis.
+    Returns batched results with a leading chromosome axis."""
+    B, L = batched.lo.shape[0], batched.lo.shape[1]
+    nc, nb = mesh.shape[chrom_axis], mesh.shape[beads_axis]
+    if B % nc:
+        raise ValueError(f"B={B} must be a multiple of the {chrom_axis} axis {nc}")
+    if L % nb:
+        raise ValueError(f"L={L} must be a multiple of the {beads_axis} axis {nb}")
+    if bead_masks is None:
+        bead_masks = jnp.ones((B, L), dtype=jnp.float32)
+    sched = build_schedule(cfg) if schedule is None else schedule
+    srows = jnp.stack(
+        [sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1
+    )
+    shard_fn = _ensemble_shard_fn(cfg, n_models, L, nb, sched, beads_axis)
+    vshard = jax.vmap(shard_fn, in_axes=(0, 0, 0, 0, 0, None))
+
+    Pc, Pcb = P(chrom_axis), P(chrom_axis, beads_axis, None)
     mapped = jax.shard_map(
-        shard_fn,
+        vshard,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P(), P()),
-        out_specs=(P(), {"noe": P(), "bon": P(), "vdw": P(), "overall": P()}, P()),
+        in_specs=(Pcb, Pcb, Pcb, P(chrom_axis, None), P(chrom_axis, None), P()),
+        out_specs=(Pc, {"noe": Pc, "bon": Pc, "vdw": Pc, "overall": Pc}, Pc),
         check_vma=False,
     )
     coords, terms, history = mapped(
-        restraints.lo,
-        restraints.hi,
-        restraints.mask * restraints.weight,
-        bead_mask,
-        key,
+        batched.lo,
+        batched.hi,
+        batched.mask * batched.weight,
+        bead_masks,
+        keys,
         srows,
     )
     return ShardedEnsembleResult(coords=coords, energies=terms, history=history)

@@ -156,3 +156,63 @@ def test_sharded_ensemble_pallas_matches_jnp():
             np.asarray(r_pal.energies[k2]), np.asarray(r_jnp.energies[k2]),
             rtol=2e-3,
         )
+
+
+def test_genome_sharded_2d_matches_1d():
+    """solve_genome_sharded on a (2 chrom x 4 beads) mesh must reproduce
+    each chromosome's solve_ensemble_sharded result from a 4-device beads
+    mesh — the same shard body, vmapped and data-parallel over chromosomes."""
+    import dataclasses
+
+    from chromosome3d_tpu.ops.energy import DenseRestraints
+    from chromosome3d_tpu.solver.sharded import (
+        solve_ensemble_sharded,
+        solve_genome_sharded,
+    )
+
+    L = 16 * 4
+    d1 = make_case(L)
+    rng = np.random.RandomState(9)
+    base2 = rng.gamma(2.0, 40.0, size=(L, L))
+    m2 = (base2 + base2.T) / 2
+    np.fill_diagonal(m2, 4000.0)
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.restraints import build_restraints
+
+    d2 = dense_restraints_from_numpy(build_restraints(m2, RestraintConfig()))
+    cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig()), init="landmark", landmark_count=16
+    )
+    keys = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(4)])
+    batched = DenseRestraints(
+        lo=jnp.stack([d1.lo, d2.lo]),
+        hi=jnp.stack([d1.hi, d2.hi]),
+        mask=jnp.stack([d1.mask, d2.mask]),
+        weight=jnp.stack([d1.weight, d2.weight]),
+    )
+
+    devs = np.array(jax.devices()).reshape(2, 4)
+    mesh2d = Mesh(devs, ("chrom", "beads"))
+    res2d = jax.jit(
+        lambda b, k: solve_genome_sharded(mesh2d, b, cfg, k, 2)
+    )(batched, keys)
+    assert res2d.coords.shape[0] == 2
+
+    mesh1d = Mesh(np.array(jax.devices()[:4]), ("beads",))
+    for i, d in enumerate((d1, d2)):
+        ref = jax.jit(
+            lambda dd, kk: solve_ensemble_sharded(mesh1d, dd, cfg, kk, 2)
+        )(d, keys[i])
+        np.testing.assert_allclose(
+            np.asarray(res2d.history[i]), np.asarray(ref.history), rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(res2d.coords[i]), np.asarray(ref.coords), atol=5e-3
+        )
+        for k2 in ("noe", "bon", "vdw", "overall"):
+            np.testing.assert_allclose(
+                np.asarray(res2d.energies[k2][i]),
+                np.asarray(ref.energies[k2]),
+                rtol=2e-3,
+            )
