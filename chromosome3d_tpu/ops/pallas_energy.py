@@ -553,8 +553,16 @@ def _pairwise_energy_grad_batched(
 
     Pads L up to a TILE_M multiple; padded beads carry zero mask/weight so
     they contribute nothing (the same masking contract as ops.energy).
+
+    Exact restraints at large L dispatch to the triangular kernel
+    (pallas_energy_grad_tri_batched): once the matrix spans >= 3 blocks,
+    computing each unordered tile pair once saves 33-45% of the pair math.
     """
     B, L, _ = coords.shape
+    if exact and use_triangular(L):
+        return pallas_energy_grad_tri_batched(
+            coords, restraints, weights, bead_mask, interpret
+        )
     Lp = _round_up(max(L, 8), TILE_M)
     padn = Lp - L
 
@@ -621,6 +629,215 @@ def _pairwise_energy_grad_batched(
         interpret=interpret,
     )(params, jnp.zeros((1,), jnp.int32), x, xt, *tensors, bm[None, :], bm[:, None])
     return jnp.sum(e_parts[:, :, 0], axis=1), grad[:, :L, :]
+
+
+def _kernel_exact_tri(
+    params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, ...
+    xrow_ref,     # (1, TM, 3) row-block coords (block i)
+    xcolT_ref,    # (1, 3, TM) col-block coords, T layout (block tj)
+    t_ref,        # (TM, TM) exact restraint target block (i, tj)
+    w_ref,        # (TM, TM) mask-folded weights block
+    bmr_ref,      # (TM, 1) row-block bead mask
+    bmc_ref,      # (1, TM) col-block bead mask
+    e_ref,        # out (1, 1, TM, 1): row-block energy partials of THIS s
+    grow_ref,     # out (1, 1, TM, 3): row-block gradient of THIS s
+    gcolT_ref,    # out (1, 1, 3, TM): col-block gradient of THIS s (T layout)
+):
+    """SYMMETRY-EXPLOITING exact-restraint energy+gradient: each unordered
+    TILE PAIR is computed once. The grid walks (i, s, b) — batch FASTEST, so
+    the (TM, TM) restraint blocks stay VMEM-resident across all B structures
+    — with the col block tj = (i + s) % T, the classic round-robin pairing:
+    s = 0 is the diagonal block (every intra-block pair appears in both
+    orders, so it keeps the ordered-pair 1/2), 0 < s <= T//2 are distinct
+    block pairs (scale 2), and for even T the last shell s = T/2 pairs each
+    {i, i+T/2} twice, so only i < T/2 computes (the twin writes zeros).
+    Each block computed once yields BOTH endpoints' gradients:
+
+        g_row_i  = a_i * rowsum(c) - c @ x_j       (slot (b, s, i))
+        g_colT_j = x_j^T * colsum(c) - a_i^T @ c   (slot (b, s, tj))
+
+    Every output slot is written exactly once (no revisit accumulation —
+    the s-axis sums happen outside in XLA, O(S·L) work). vs the full-matrix
+    kernel this does ~T(T+1)/2 blocks instead of T^2: ~33% less pair math
+    at T=3, ~45% at T=11. Same rsqrt-space algebra as _kernel_fused_step;
+    the total keeps _kernel_exact's double-count convention."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    T = pl.num_programs(0)
+    S = pl.num_programs(1)
+    TM = t_ref.shape[0]
+    tj = (i + s) % T
+
+    noe_w = params_ref[0]
+    vdw_w = params_ref[1]
+    vdw_radius = params_ref[2]
+
+    a = xrow_ref[0]                                # (TM, 3)
+    xjT = xcolT_ref[0]                             # (3, TM)
+
+    live = jnp.float32(1.0)
+    if T % 2 == 0:
+        # even T: shell s = T/2 double-covers; the i >= T/2 twin contributes 0
+        live = jnp.where((s == S - 1) & (i >= T // 2), 0.0, 1.0)
+
+    s2 = jnp.full((TM, TM), _EPS, jnp.float32)
+    for c in range(3):
+        diff = a[:, c:c + 1] - xjT[c:c + 1, :]
+        s2 = s2 + diff * diff
+    rinv = jax.lax.rsqrt(s2)
+    u = 1.0 - t_ref[:] * rinv
+    pv = bmr_ref[:] * bmc_ref[:]                   # (TM, TM)
+    w = w_ref[:] * pv
+    wu = w * u
+    v = jnp.maximum(vdw_radius * rinv - 1.0, 0.0)
+    rows_g = i * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, TM), 0)
+    cols_g = tj * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, TM), 1)
+    nb = (jnp.abs(rows_g - cols_g) >= 2).astype(jnp.float32) * pv
+    nv = nb * v
+
+    c_blk = ((2.0 * noe_w) * wu - (2.0 * vdw_w) * nv) * live   # (TM, TM)
+    # e_blk carries the full kernel's per-ORDERED-pair 0.5; the diagonal
+    # block holds both orders of its pairs (scale 1), an off-diagonal block
+    # holds each unordered pair once (scale 2) — row sums then add up to the
+    # same total as the full-matrix kernel
+    e_scale = jnp.where(s == 0, 1.0, 2.0) * live
+    e_blk = s2 * (
+        (0.5 * noe_w) * (wu * u) + (0.5 * vdw_w) * (nv * v)
+    )
+    e_contrib = e_scale * jnp.sum(e_blk, axis=1, keepdims=True)   # (TM, 1)
+
+    crow = jnp.sum(c_blk, axis=1, keepdims=True)   # (TM, 1)
+    cxj = jax.lax.dot_general(
+        c_blk, xjT, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (TM, 3)
+    e_ref[0, 0] = e_contrib
+    grow_ref[0, 0] = a * crow - cxj
+
+    # col-block gradient: zero on the diagonal shell (g_row already carries
+    # the complete intra-block gradient there — the block is symmetric)
+    col_live = jnp.where(s == 0, 0.0, 1.0)
+    ccol = jnp.sum(c_blk, axis=0, keepdims=True)   # (1, TM)
+    aTc = jax.lax.dot_general(
+        a, c_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (3, TM)
+    gcolT_ref[0, 0] = (xjT * ccol - aTc) * col_live
+
+
+def _pick_tile_tri(L: int) -> int:
+    """Block size for the triangular kernel: (TM, TM) restraint blocks, so
+    VMEM scales with TM^2 — much larger tiles than the (TM, L) layout.
+    Picks the candidate minimizing TOTAL pair work (live blocks x TM^2),
+    which trades tile size against padding waste and shell coverage."""
+    budget = 14 * 1024 * 1024
+    best, best_work = 128, None
+    for t in (512, 384, 256, 128):
+        if 22 * t * t * 4 > budget:
+            continue
+        Lp = _round_up(max(L, 8), t)
+        T = Lp // t
+        S = T // 2 + 1
+        live = T * S - (T // 2 if T % 2 == 0 else 0)
+        work = live * t * t
+        # candidates iterate LARGEST first; a smaller tile must cut the pair
+        # work by >15% to win (more grid steps = more per-block overhead)
+        if best_work is None or work < 0.85 * best_work:
+            best, best_work = t, work
+    return best
+
+
+def use_triangular(L: int) -> bool:
+    """True when the symmetry-exploiting kernel pays at this length: the
+    padded matrix spans >= 3 blocks AND the per-step pair work dominates
+    the unfused scan's XLA update glue (~45 us measured) that the fully
+    fused whole-matrix step avoids — at the shipped genome sizes (L <= 512)
+    the fused step wins; the crossover sits near L = 1024.
+    CHROM3D_NO_TRI=1 disables the dispatch (A/B measurement)."""
+    import os
+
+    if os.environ.get("CHROM3D_NO_TRI"):
+        return False
+    if L < 1024:
+        return False
+    TM = _pick_tile_tri(L)
+    return _round_up(max(L, 8), TM) // TM >= 3
+
+
+def pallas_energy_grad_tri_batched(
+    coords: jnp.ndarray,       # (B, L, 3)
+    restraints: DenseRestraints,
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray,    # (L,)
+    interpret: bool = False,
+    tile: int | None = None,
+):
+    """Batched exact-restraint pair energy+grad via the triangular kernel
+    (valid only when lo == hi and the well is pure quadratic — the same
+    contract as _kernel_exact). Drop-in for the exact path of
+    _pairwise_energy_grad_batched; pays off once L spans several blocks
+    (the dispatch in that function picks it for large L)."""
+    B, L, _ = coords.shape
+    TM = tile or _pick_tile_tri(L)
+    Lp = _round_up(max(L, 8), TM)
+    padn = Lp - L
+    T = Lp // TM
+    S = T // 2 + 1
+
+    x = jnp.pad(coords.astype(jnp.float32), ((0, 0), (0, padn), (0, 0)))
+    xt = jnp.swapaxes(x, 1, 2)
+    t = jnp.pad(restraints.lo, ((0, padn), (0, padn)))
+    w = jnp.pad(restraints.mask * restraints.weight, ((0, padn), (0, padn)))
+    bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
+
+    params = jnp.stack([
+        weights.noe.astype(jnp.float32),
+        weights.vdw.astype(jnp.float32),
+        weights.vdw_radius.astype(jnp.float32),
+        jnp.float32(0), jnp.float32(L),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ])
+
+    # batch FASTEST: the restraint blocks' index maps are b-independent, so
+    # each (TM, TM) block is fetched once and consumed by all B structures
+    grid = (T, S, B)
+
+    def tj(i, s, b):
+        return (i + s) % T
+
+    e_parts, g_row, g_colT = pl.pallas_call(
+        _kernel_exact_tri,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TM, 3), lambda i, s, b: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TM), lambda i, s, b: (b, 0, tj(i, s, b)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TM), lambda i, s, b: (i, tj(i, s, b)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TM), lambda i, s, b: (i, tj(i, s, b)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, s, b: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda i, s, b: (0, tj(i, s, b)), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TM, 1), lambda i, s, b: (b, s, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TM, 3), lambda i, s, b: (b, s, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, TM), lambda i, s, b: (b, s, 0, tj(i, s, b)), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, Lp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, Lp, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, 3, Lp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(18 * TM) * TM * B * (T * S),
+            bytes_accessed=int(8 * TM) * TM * (T * S) + B * Lp * 4 * 16,
+            transcendentals=TM * TM * B * (T * S),
+        ),
+        interpret=interpret,
+    )(params, x, xt, t, w, bm[:, None], bm[None, :])
+    g = g_row.sum(axis=1) + jnp.swapaxes(g_colT.sum(axis=1), 1, 2)
+    return jnp.sum(e_parts[:, :, :, 0], axis=(1, 2)), g[:, :L, :]
 
 
 def _pick_tile_rows(Lb: int, Lp: int, exact: bool) -> int:

@@ -316,24 +316,43 @@ def run_genome(
                 for k, v in energies_all.items()
             }
             alphas += [extra_alpha] * res_x.coords.shape[1]
-        for b, job in enumerate(bucket):
+        def emit_one(b, job):
+            """Assessment + artifact emission for one chromosome — pure
+            HOST work (numpy/scipy/file IO; dense tensors stay numpy), so
+            chromosomes emit concurrently on host threads while nothing
+            touches the device."""
             L = job.length
             out = os.path.join(output_dir, job.name)
             os.makedirs(out, exist_ok=True)
             c = coords[b, :, :L, :]
             energies = {k: v[b] for k, v in energies_all.items()}
             dense_b = dense_restraints_from_numpy(
-                raw[b], cfg.restraints.weighting, cfg.restraints.weight_exponent
+                raw[b], cfg.restraints.weighting, cfg.restraints.weight_exponent,
+                as_numpy=True,
             )
             summary = emit_artifacts(
                 out, job.name, c, energies, matrices[b], raw[b], dense_b, cfg,
                 alphas=alphas,
             )
             summary["bucket"] = L_pad
-            summaries[job.name] = summary
             ckpt.save(job.name, c, energies, summary)
             log.info(
                 f"  {job.name}: best Spearman(IF,1/d) = "
                 f"{summary['best_spearman_if_inv_d']:.4f}"
             )
+            return job.name, summary
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(8, os.cpu_count() or 1, len(bucket))
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for name, summary in pool.map(
+                    emit_one, range(len(bucket)), bucket
+                ):
+                    summaries[name] = summary
+        else:
+            for b, job in enumerate(bucket):
+                name, summary = emit_one(b, job)
+                summaries[name] = summary
     return summaries

@@ -323,3 +323,59 @@ def test_fused_step_vmappable():
         )
         np.testing.assert_allclose(np.asarray(e[lane]), np.asarray(e1), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(x2[lane]), np.asarray(x1), rtol=1e-6)
+
+
+def test_triangular_kernel_matches_full():
+    """The symmetry-exploiting triangular kernel must reproduce the full
+    exact kernel (energies + gradients) across odd/even block counts,
+    padded lengths, and bead masks."""
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.ops.pallas_energy import (
+        _pairwise_energy_grad_batched,
+        pallas_energy_grad_tri_batched,
+    )
+    from chromosome3d_tpu.ops.energy import EnergyWeights
+    from chromosome3d_tpu.restraints import build_restraints
+
+    wts = EnergyWeights(
+        noe=jnp.float32(7.0), bond=jnp.float32(0.0),
+        bond_length=jnp.float32(3.8), vdw=jnp.float32(1.3),
+        vdw_radius=jnp.float32(2.0), noe_rswitch=jnp.float32(1e9),
+    )
+    rng = np.random.RandomState(0)
+    for L, tile, bead_cut in (
+        (40, 16, None),   # T=3 (odd shells)
+        (50, 16, 44),     # T=4 (even: duplicated last shell) + padding + mask
+        (33, 8, 30),      # T=5, ragged pad
+        (16, 16, None),   # T=1 (single diagonal block)
+    ):
+        base = rng.gamma(2.0, 50.0, size=(L, L))
+        m = (base + base.T) / 2
+        np.fill_diagonal(m, 5000.0)
+        dense = dense_restraints_from_numpy(build_restraints(m, RestraintConfig()))
+        bead = np.ones(L, np.float32)
+        if bead_cut:
+            bead[bead_cut:] = 0.0
+        x = jnp.asarray(rng.normal(0, 5, (3, L, 3)), jnp.float32)
+        e_t, g_t = pallas_energy_grad_tri_batched(
+            x, dense, wts, jnp.asarray(bead), interpret=True, tile=tile
+        )
+        e_f, g_f = _pairwise_energy_grad_batched(
+            x, dense, wts, jnp.asarray(bead), True, True
+        )
+        np.testing.assert_allclose(np.asarray(e_t), np.asarray(e_f), rtol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_t), np.asarray(g_f), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_triangular_dispatch_threshold():
+    """Small (shipped-genome) lengths stay on the fused whole-matrix path;
+    the triangular kernel engages past the L=1024 crossover."""
+    from chromosome3d_tpu.ops.pallas_energy import use_triangular
+
+    assert not use_triangular(456)
+    assert not use_triangular(512)
+    assert use_triangular(1024)
+    assert use_triangular(4096)
