@@ -166,6 +166,43 @@ def write_violation_report(
     return satisfied, len(lines)
 
 
+def append_group_violation_rows(
+    path: str | os.PathLike,
+    coords: np.ndarray,
+    tbl_path: str | os.PathLike,
+    cfg: PipelineConfig,
+) -> Tuple[int, int]:
+    """Append one report row per `or`-group restraint in the tbl (the
+    reference's assessor covers every tbl row; group rows use the MINIMUM
+    distance over alternatives, ssnoe_tbl_min_pdb_dist :487-554). Call
+    after write_violation_report has written the simple rows. Returns
+    (satisfied, count) for the group rows only."""
+    coords = np.asarray(coords, dtype=np.float64)
+    satisfied, lines = 0, []
+    for g1, g2, dt, neg, pos in parse_tbl_rows(tbl_path):
+        if len(g1) == 1 and len(g2) == 1:
+            continue
+        pd_ = min_group_distance(coords, g1, g2)
+        lo, hi = dt - neg, dt + pos
+        under_hi = pd_ < hi + cfg.dist_relax
+        under_lo = pd_ < lo - cfg.dist_relax
+        flag = 0 if (under_hi and not under_lo) else 1
+        satisfied += int(under_hi) - int(under_lo)
+        dev = -(lo - pd_) if under_lo else (0.0 if under_hi else pd_ - hi)
+        spec = (
+            "assign ("
+            + " or ".join(f"resid {r1:3d} and name {a1}" for r1, a1 in g1)
+            + ") ("
+            + " or ".join(f"resid {r2:3d} and name {a2}" for r2, a2 in g2)
+            + f") {dt:.2f} {neg:.2f} {pos:.2f}"
+        )
+        lines.append(f"{flag:3d}\t{dev:.2f}\t{pd_:.2f} # {spec}\n")
+    if lines:
+        with open(path, "a") as f:
+            f.writelines(lines)
+    return satisfied, len(lines)
+
+
 def append_model_info(
     path: str | os.PathLike, pdb_path: str, remarks: Dict[str, float]
 ) -> None:

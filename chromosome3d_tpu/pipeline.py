@@ -350,13 +350,17 @@ def run_restraints_pipeline(
         tbl_name=os.path.basename(restraints_file),
     )
     if or_groups_np is not None:
-        # ambiguous rows aren't in the dense report; the host-side tbl
-        # assessor covers every row (incl. group-min, ref :487-554)
-        from chromosome3d_tpu.assess import assess_pdb_vs_tbl
+        # the dense report covers the simple rows; group rows append their
+        # own flag/dev/min-distance rows (ref assesses EVERY tbl row,
+        # group-min semantics :487-554)
+        from chromosome3d_tpu.assess import append_group_violation_rows
 
-        satisfied, total, _ = assess_pdb_vs_tbl(
-            coords[best], restraints_file, cfg
+        sat_g, n_g = append_group_violation_rows(
+            os.path.join(dir_out, f"{ident}_violation.txt"),
+            coords[best], restraints_file, cfg,
         )
+        satisfied += sat_g
+        total += n_g
     summary = {
         "id": ident,
         "L": int(restraints.length),

@@ -272,3 +272,38 @@ def test_dense_or_groups_roundtrip(tmp_path):
     og = dense_or_groups_from_numpy(og_np)
     assert og.idx_i.dtype == jnp.int32
     assert og.lo.shape == (2,)
+
+
+def test_violation_report_includes_group_rows(tmp_path):
+    """The violation report covers EVERY tbl row: simple rows from the dense
+    writer plus appended group-min rows (ref :447-485, :487-554)."""
+    from chromosome3d_tpu.config import PipelineConfig
+    from chromosome3d_tpu.pipeline import run_restraints_pipeline
+
+    L = 12
+    lines = [
+        f"assign45 (resid {i:3d} and name ca) (resid {i + 1:3d} and name ca)"
+        f"  3.80 0.00 0.00"
+        for i in range(1, L)
+    ]
+    lines.append(
+        "assign ((resid 1 and name ca) or (resid 2 and name ca)) "
+        "(resid 9 and name ca) 5.00 0.00 0.00"
+    )
+    p = tmp_path / "amb.tbl"
+    p.write_text("\n".join(lines) + "\n")
+    cfg = PipelineConfig(
+        model_count=2, top_k=1,
+        anneal=AnnealConfig(
+            hot_steps=30, cool_cycles=10, cool_steps_per_cycle=2,
+            final_steps=40, use_pallas=False, enantiomer=False, init="spiral",
+        ),
+        length_buckets=(L,),
+    )
+    out = tmp_path / "out"
+    summary = run_restraints_pipeline(str(p), str(out), cfg, L=L)
+    report = (out / "amb_violation.txt").read_text()
+    rows = [ln for ln in report.splitlines() if not ln.startswith("#")]
+    assert len(rows) == L  # 11 simple + 1 group
+    assert sum(" or " in ln for ln in rows) == 1
+    assert summary["total"] == L
