@@ -69,6 +69,25 @@ def _pick_tile(Lp: int, exact: bool) -> int:
     return 8
 
 
+def _pick_tile_fused(Lp: int):
+    """Row-tile size for the FUSED step. Its T-layout state blocks are
+    (1, 3, TM), so Mosaic's lane rule forces TM % 128 == 0 (a (3, 64) block
+    of a (3, 4096) array does not lower) — which also bounds the fused
+    step's reach: past Lp ~= 3840 no 128-multiple tile fits the scoped-VMEM
+    budget and the caller must use the triangular/unfused path instead
+    (solver.anneal picks that automatically). Returns None when infeasible."""
+    budget = 14 * 1024 * 1024
+    for t in (Lp, 512, 384, 256, 128):
+        if t <= Lp and Lp % t == 0 and t % 128 == 0 and 8.5 * t * Lp * 4 <= budget:
+            return t
+    return None
+
+
+def fused_step_feasible(L: int) -> bool:
+    """Whether pallas_fused_step_batched can lower at this length."""
+    return _pick_tile_fused(_round_up(max(L, 8), TILE_M)) is not None
+
+
 def _kernel(
     params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, rswitch, L_real (unused pad..)
     row0_ref,     # SMEM (1,) int32: global index of this block's first row
@@ -482,7 +501,13 @@ def pallas_fused_step_batched(
     ints = ints.at[0, 1].set(jnp.asarray(step, jnp.int32))
     ints = ints.at[0, 2].set(jnp.int32(B))
 
-    TM = _pick_tile(Lp, True)
+    TM = _pick_tile_fused(Lp)
+    if TM is None:
+        raise ValueError(
+            f"fused step infeasible at Lp={Lp} (no 128-multiple row tile "
+            "fits VMEM); use the triangular/unfused path "
+            "(solver.anneal dispatches it automatically)"
+        )
     grid = (Lp // TM, B)
     tile_spec = pl.BlockSpec((TM, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
     stateT_spec = pl.BlockSpec((1, 3, TM), lambda i, b: (b, 0, i), memory_space=pltpu.VMEM)
@@ -753,14 +778,16 @@ def use_triangular(L: int) -> bool:
     """True when the symmetry-exploiting kernel pays at this length: the
     padded matrix spans >= 3 blocks AND the per-step pair work dominates
     the unfused scan's XLA update glue (~45 us measured) that the fully
-    fused whole-matrix step avoids — at the shipped genome sizes (L <= 512)
-    the fused step wins; the crossover sits near L = 1024.
+    fused whole-matrix step avoids. Measured A/B on the real chip (276-step
+    turbo, 4 models): L=1024 fused 0.111 s vs tri 0.131-0.139 (fused wins),
+    L=2048 0.221 vs 0.217-0.224 (tie) — and past Lp ~= 3840 the fused step
+    cannot lower at all (fused_step_feasible), so the crossover is 2048.
     CHROM3D_NO_TRI=1 disables the dispatch (A/B measurement)."""
     import os
 
     if os.environ.get("CHROM3D_NO_TRI"):
         return False
-    if L < 1024:
+    if L < 2048:
         return False
     TM = _pick_tile_tri(L)
     return _round_up(max(L, 8), TM) // TM >= 3

@@ -283,9 +283,12 @@ def solve_ensemble_impl(
         # update glue that motivated full fusion is amortized by the
         # O(L^2) kernel cost. _pairwise_energy_grad_batched dispatches to
         # it automatically; here we just pick the unfused scan shape.
-        from chromosome3d_tpu.ops.pallas_energy import use_triangular
+        from chromosome3d_tpu.ops.pallas_energy import (
+            fused_step_feasible,
+            use_triangular,
+        )
 
-        fused = not use_triangular(L)
+        fused = not use_triangular(L) and fused_step_feasible(L)
     if cfg.use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
 

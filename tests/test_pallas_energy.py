@@ -377,5 +377,6 @@ def test_triangular_dispatch_threshold():
 
     assert not use_triangular(456)
     assert not use_triangular(512)
-    assert use_triangular(1024)
+    assert not use_triangular(1024)
+    assert use_triangular(2048)
     assert use_triangular(4096)
