@@ -307,3 +307,23 @@ def test_violation_report_includes_group_rows(tmp_path):
     assert len(rows) == L  # 11 simple + 1 group
     assert sum(" or " in ln for ln in rows) == 1
     assert summary["total"] == L
+
+
+def test_parser_tolerates_malformed_lines(tmp_path):
+    """Robustness: junk lines, comments, blank lines, missing tails, and
+    unbalanced parens must not crash the parser or corrupt parsed rows."""
+    p = tmp_path / "junk.tbl"
+    p.write_text(
+        "! comment line\n"
+        "\n"
+        "assign (resid 1 and name ca) (resid 5 and name ca) 7.00 0.00 0.00\n"
+        "assign (resid 2 and name ca) (resid 6 and name ca)\n"          # no tail
+        "assign (resid 3 and name ca\n"                                  # unbalanced
+        "garbage that is not a restraint\n"
+        "assign ((resid 4 and name ca) or (resid 7 and name ca)) "
+        "(resid 9 and name ca) 6.00 0.00 0.00\n"
+    )
+    r, og = read_contact_tbl_full(p)
+    assert r.count == 1
+    assert og is not None and og.count == 1
+    assert r.target[0, 4] == pytest.approx(7.0)
