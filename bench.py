@@ -23,6 +23,10 @@ REF = "/root/reference"
 # persistent compilation cache: the remote-TPU platform here compiles via a
 # tunnel (minutes for the full solve program); cache across processes.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# ...and the AOT serialized-executable cache, which DOES reliably reload
+# across processes on this backend (utils/aot.py): a fresh bench process
+# skips the compile entirely once any prior run has populated it
+os.environ.setdefault("CHROM3D_AOT_CACHE", "/root/.chrom3d_aot")
 
 
 def main() -> int:
@@ -39,7 +43,8 @@ def main() -> int:
     from chromosome3d_tpu.metrics import spearman_if_inv_d
     from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
     from chromosome3d_tpu.restraints import build_restraints
-    from chromosome3d_tpu.solver.anneal import solve_ensemble
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+    from chromosome3d_tpu.utils.aot import load_or_compile
 
     platform = jax.devices()[0].platform
     use_pallas = platform == "tpu"
@@ -53,8 +58,18 @@ def main() -> int:
     cfg = AnnealConfig(use_pallas=use_pallas, exact_restraints=True)
     n_models = 10
 
+    def make_solve(c):
+        return load_or_compile(
+            jax.jit(lambda d, k: solve_ensemble_impl(d, c, k, n_models)),
+            (dense, jax.random.PRNGKey(0)),
+            tag="bench_headline",
+            statics=f"{c!r}|n={n_models}",
+        )
+
+    solve = make_solve(cfg)
+
     def run(seed):
-        res = solve_ensemble(dense, cfg, jax.random.PRNGKey(seed), n_models)
+        res = solve(dense, jax.random.PRNGKey(seed))
         # device_get rather than block_until_ready: on this remote-TPU
         # platform block_until_ready returns before execution finishes; the
         # host transfer is the reliable fence (and is part of the job anyway)
@@ -70,6 +85,7 @@ def main() -> int:
         # to lower on this backend (keeps the benchmark alive on new stacks)
         use_pallas = False
         cfg = AnnealConfig(use_pallas=False, exact_restraints=True)
+        solve = make_solve(cfg)
         run(0)
     t0 = time.time()
     result, coords_np = run(82364)
