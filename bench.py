@@ -66,7 +66,7 @@ def main() -> int:
             statics=f"{c!r}|n={n_models}",
         )
 
-    solve = make_solve(cfg)
+    solve = None
 
     def run(seed):
         res = solve(dense, jax.random.PRNGKey(seed))
@@ -77,7 +77,8 @@ def main() -> int:
         return res, coords
 
     try:
-        run(0)  # compile
+        solve = make_solve(cfg)  # compile (or AOT-cache load)
+        run(0)  # warm + prove the executable
     except Exception:
         if not use_pallas:
             raise

@@ -171,15 +171,19 @@ def append_group_violation_rows(
     coords: np.ndarray,
     tbl_path: str | os.PathLike,
     cfg: PipelineConfig,
+    rows=None,
 ) -> Tuple[int, int]:
     """Append one report row per `or`-group restraint in the tbl (the
     reference's assessor covers every tbl row; group rows use the MINIMUM
     distance over alternatives, ssnoe_tbl_min_pdb_dist :487-554). Call
     after write_violation_report has written the simple rows. Returns
-    (satisfied, count) for the group rows only."""
+    (satisfied, count) for the group rows only. rows: pre-parsed
+    parse_tbl_rows output (avoids re-reading the file)."""
     coords = np.asarray(coords, dtype=np.float64)
     satisfied, lines = 0, []
-    for g1, g2, dt, neg, pos in parse_tbl_rows(tbl_path):
+    if rows is None:
+        rows = parse_tbl_rows(tbl_path)
+    for g1, g2, dt, neg, pos in rows:
         if len(g1) == 1 and len(g2) == 1:
             continue
         pd_ = min_group_distance(coords, g1, g2)
@@ -224,11 +228,28 @@ def parse_tbl_rows(path: str | os.PathLike):
         assign (resid I and name A) (resid J and name B) d neg pos
         assign ((resid I and name A) or (resid I and name C)) (...) d neg pos
     """
+    import re as _re
+
     rows = []
     with open(path, "r") as f:
         for line in f:
             line = line.strip()
             if not line.startswith("assign"):
+                continue
+            if "(" not in line:
+                # paren-less layout (`assign45 resid I and name ca resid J
+                # and name ca d nd pd`) — CNS tolerates it and the old
+                # fixed-index parser accepted it; the group scanner below
+                # would swallow the second selection, so handle it here
+                sels = _re.findall(
+                    r"resid\s+(\d+)(?:\s+and\s+name\s+(\w+))?", line
+                )
+                tailm = _re.findall(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", line)
+                if len(sels) >= 2 and len(tailm) >= 3:
+                    g1 = [(int(sels[0][0]), (sels[0][1] or "ca").lower())]
+                    g2 = [(int(sels[1][0]), (sels[1][1] or "ca").lower())]
+                    d, nd, pd = (float(v) for v in tailm[-3:])
+                    rows.append((g1, g2, d, nd, pd))
                 continue
             c = line.replace("(", " ( ").replace(")", " ) ").split()
             groups: List[List[Tuple[int, str]]] = []

@@ -225,7 +225,11 @@ def solve_bucket(
         solve,
         (batched, keys, bead_masks),
         tag="genome_bucket",
-        statics=f"{cfg!r}|models_per={models_per}",
+        statics=(
+            f"{cfg!r}|models_per={models_per}"
+            f"|mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}"
+            f"|devs={[d.id for d in mesh.devices.flat]}"
+        ),
     )
     result = solve(batched, keys, bead_masks)
 

@@ -294,8 +294,14 @@ def run_restraints_pipeline(
     rc = cfg.restraints
 
     or_groups_np = None
+    tbl_rows = None
     if restraints_file.endswith(".tbl"):
-        restraints, or_groups_np = read_contact_tbl_full(restraints_file, L)
+        from chromosome3d_tpu.assess import parse_tbl_rows
+
+        tbl_rows = parse_tbl_rows(restraints_file)  # parsed ONCE, shared
+        restraints, or_groups_np = read_contact_tbl_full(
+            restraints_file, L, rows=tbl_rows
+        )
         conf = None
     else:
         restraints, conf = read_rr(restraints_file, L, rc)
@@ -357,7 +363,7 @@ def run_restraints_pipeline(
 
         sat_g, n_g = append_group_violation_rows(
             os.path.join(dir_out, f"{ident}_violation.txt"),
-            coords[best], restraints_file, cfg,
+            coords[best], restraints_file, cfg, rows=tbl_rows,
         )
         satisfied += sat_g
         total += n_g

@@ -11,9 +11,11 @@ skips the tunnel entirely.
 
 Scope and invariants:
   * An executable is valid only for the exact argument shapes/dtypes/
-    shardings, device topology, and jaxlib version it was compiled for.
-    The cache key hashes all of these plus a caller tag and the static
-    config repr; any mismatch is a different file.
+    shardings, device topology, jaxlib version, AND SOURCE CODE it was
+    compiled from. The cache key hashes all of these (including a
+    fingerprint of the whole package source — any edit invalidates the
+    cache, the safe direction) plus a caller tag and the static config
+    repr; any mismatch is a different file.
   * Deserialization failures (version bump, stale blob) fall back to a
     fresh compile and overwrite the entry — the cache can never wedge a run.
   * Opt-in: set CHROM3D_AOT_CACHE=<dir> (or pass cache_dir) to enable.
@@ -41,16 +43,46 @@ def cache_dir_from_env() -> Optional[str]:
     return d or None
 
 
+_CODE_FINGERPRINT = None
+
+
+def _code_fingerprint() -> str:
+    """Hash of every source file in the chromosome3d_tpu package. A
+    serialized executable embeds the COMPILED code, so any solver/kernel
+    edit must invalidate the cache — shapes and config alone cannot see a
+    bug fix. Hashing the package source is cheap (~ms, memoized) and
+    conservative: any edit anywhere invalidates everything, which is the
+    safe direction for a cache of compiled programs."""
+    global _CODE_FINGERPRINT
+    if _CODE_FINGERPRINT is None:
+        import chromosome3d_tpu
+
+        root = os.path.dirname(os.path.abspath(chromosome3d_tpu.__file__))
+        h = hashlib.sha256()
+        for dirpath, _, names in sorted(os.walk(root)):
+            for name in sorted(names):
+                if name.endswith((".py", ".cc", ".so")):
+                    p = os.path.join(dirpath, name)
+                    h.update(name.encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _CODE_FINGERPRINT = h.hexdigest()[:16]
+    return _CODE_FINGERPRINT
+
+
 def _abstract_sig(args) -> str:
-    """Shape/dtype signature of an argument pytree (weak-typed scalars and
-    numpy inputs included — anything jax would stage out)."""
+    """Shape/dtype/sharding signature of an argument pytree (weak-typed
+    scalars and numpy inputs included — anything jax would stage out).
+    Device arrays contribute their sharding so programs that differ only
+    in mesh layout do not collide."""
     import jax
 
     parts = []
     for leaf in jax.tree.leaves(args):
         shape = getattr(leaf, "shape", ())
         dtype = getattr(leaf, "dtype", type(leaf).__name__)
-        parts.append(f"{tuple(shape)}:{dtype}")
+        sharding = getattr(leaf, "sharding", "")
+        parts.append(f"{tuple(shape)}:{dtype}:{sharding}")
     return ";".join(parts)
 
 
@@ -69,6 +101,7 @@ def cache_key(tag: str, args, statics: str = "", extra: Sequence[str] = ()) -> s
         dev.platform,
         getattr(dev, "device_kind", "?"),
         str(jax.device_count()),
+        _code_fingerprint(),
         tag,
         statics,
         _abstract_sig(args),
@@ -103,6 +136,10 @@ class _GuardedExec:
             self._exec = self._compile_fn()
             out = self._exec(*args)
         self._proven = True
+        # the recompile closure pins the example args (possibly large (L, L)
+        # tensors) — drop it once the blob is proven so long-lived callers
+        # (the serve cache) don't retain them
+        self._compile_fn = None
         return out
 
 
@@ -127,7 +164,12 @@ def load_or_compile(
     from jax.experimental import serialize_executable as se
 
     key = cache_key(tag, args, statics)
-    path = os.path.join(cache_dir, f"{tag}-{key}.aotx")
+    # the code fingerprint rides the FILENAME (as well as the key) so
+    # pruning can distinguish "same program, older source" from sibling
+    # entries of the same tag (other buckets/shapes on current source)
+    path = os.path.join(
+        cache_dir, f"{tag}-{_code_fingerprint()}-{key}.aotx"
+    )
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
@@ -150,6 +192,22 @@ def load_or_compile(
             pickle.dump(blob, f)
         os.replace(tmp, path)  # atomic: concurrent writers race benignly
         log.info(f"AOT: saved {tag} executable to {path}")
+        # prune this tag's OLDER-SOURCE entries (the dir would otherwise
+        # grow by one ~15 MB blob per source edit); sibling entries from
+        # the current source (other buckets/shapes) are kept. A concurrent
+        # process on older code just recompiles — the cache never breaks a
+        # run, it only saves one.
+        keep_prefix = f"{tag}-{_code_fingerprint()}-"
+        for name in os.listdir(cache_dir):
+            if (
+                name.startswith(f"{tag}-")
+                and name.endswith(".aotx")
+                and not name.startswith(keep_prefix)
+            ):
+                try:
+                    os.remove(os.path.join(cache_dir, name))
+                except OSError:
+                    pass
     except Exception as e:
         log.info(f"AOT: could not serialize {tag} ({e!r}); continuing uncached")
     return compiled

@@ -121,3 +121,36 @@ def test_run_pipeline_aot_roundtrip(tmp_path, monkeypatch):
     assert len(blobs) == 1 and blobs[0].startswith("pipeline_bucket-")
     s2 = run_pipeline(str(matrix), str(tmp_path / "o2"), cfg)
     assert s1["best_spearman_if_inv_d"] == s2["best_spearman_if_inv_d"]
+
+
+def test_code_fingerprint_in_key(tmp_path, monkeypatch):
+    """The cache key embeds a fingerprint of the package source: editing
+    any module must invalidate cached executables (a serialized executable
+    embeds the COMPILED code; shapes/config cannot see a bug fix)."""
+    import chromosome3d_tpu.utils.aot as aot
+
+    args = (jnp.ones((4, 4)), jnp.ones((4, 4)))
+    k1 = cache_key("t", args, "s")
+    monkeypatch.setattr(aot, "_CODE_FINGERPRINT", "different-code")
+    k2 = cache_key("t", args, "s")
+    assert k1 != k2
+
+
+def test_prune_keeps_siblings_drops_stale(tmp_path, monkeypatch):
+    """Saving prunes same-tag entries from OLDER source fingerprints but
+    keeps current-source siblings (other shapes/buckets)."""
+    import chromosome3d_tpu.utils.aot as aot
+
+    # two current-source entries with different shapes
+    load_or_compile(_f(), (jnp.ones((8, 8)), jnp.ones((8, 8))), tag="t",
+                    cache_dir=str(tmp_path))
+    load_or_compile(_f(), (jnp.ones((16, 16)), jnp.ones((16, 16))), tag="t",
+                    cache_dir=str(tmp_path))
+    assert len(list(tmp_path.glob("t-*.aotx"))) == 2
+    # a stale-fingerprint entry gets pruned by the next save
+    stale = tmp_path / "t-deadbeef00000000-ffff.aotx"
+    stale.write_bytes(b"old")
+    load_or_compile(_f(), (jnp.ones((4, 4)), jnp.ones((4, 4))), tag="t",
+                    cache_dir=str(tmp_path))
+    names = sorted(p.name for p in tmp_path.glob("t-*.aotx"))
+    assert len(names) == 3 and stale.name not in names

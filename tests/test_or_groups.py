@@ -327,3 +327,32 @@ def test_parser_tolerates_malformed_lines(tmp_path):
     assert r.count == 1
     assert og is not None and og.count == 1
     assert r.target[0, 4] == pytest.approx(7.0)
+
+
+def test_parenless_tbl_rows_parse(tmp_path):
+    """The paren-less layout (`assign45 resid I and name ca resid J ...`)
+    that the old fixed-index parser accepted must still parse (review
+    finding: the group scanner swallowed the second selection)."""
+    p = tmp_path / "flat.tbl"
+    p.write_text(
+        "assign45  resid 4 and name ca   resid 12 and name ca  8.00 0.10 0.10\n"
+        "assign resid 2 and name ca resid 7 and name ca 5.50 0.00 0.00\n"
+    )
+    r, og = read_contact_tbl_full(p)
+    assert og is None
+    assert r.count == 2
+    assert r.target[3, 11] == pytest.approx(8.0)
+    assert r.negdev[3, 11] == pytest.approx(0.1)
+    assert r.target[1, 6] == pytest.approx(5.5)
+
+
+def test_out_of_range_resid_raises(tmp_path):
+    """An explicit L smaller than the tbl's residues errors instead of
+    silently clamping on-device gathers to the wrong bead."""
+    p = tmp_path / "big.tbl"
+    p.write_text(
+        "assign ((resid 1 and name ca) or (resid 2 and name ca)) "
+        "(resid 50 and name ca) 6.00 0.00 0.00\n"
+    )
+    with pytest.raises(ValueError, match="resid 50"):
+        read_contact_tbl_full(p, L=40)
