@@ -125,6 +125,8 @@ def main(argv=None) -> int:
     cli = sub.add_parser("submit", help="send one solve request to a server")
     cli.add_argument("--socket", required=True)
     cli.add_argument("-i", "--input", help="IF matrix file")
+    cli.add_argument("-r", "--restraints",
+                     help="solve from a .rr / CNS .tbl restraint file instead")
     cli.add_argument("-o", "--output", help="output directory")
     cli.add_argument("-a", "--alpha", type=float, default=0.5)
     cli.add_argument("-m", "--model-count", type=int, default=10)
@@ -246,8 +248,21 @@ def main(argv=None) -> int:
         if args.shutdown:
             print(json.dumps(request(args.socket, {"cmd": "shutdown"})))
             return 0
+        if args.restraints and args.output:
+            resp = request(
+                args.socket,
+                {
+                    "restraints": args.restraints,
+                    "out": args.output,
+                    "models": args.model_count,
+                    "turbo": args.turbo,
+                },
+            )
+            print(json.dumps(resp))
+            return 0 if resp.get("ok") else 1
         if not (args.input and args.output):
-            print("submit needs -i and -o (or --ping/--shutdown)", file=sys.stderr)
+            print("submit needs -i or -r, and -o (or --ping/--shutdown)",
+                  file=sys.stderr)
             return 2
         resp = request(
             args.socket,

@@ -115,6 +115,25 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
     if req.get("cmd") == "ping":
         return {"ok": True, "pong": True, "warm_buckets": sorted(cache.warm)}
 
+    if "restraints" in req:
+        # solve directly from a .rr / CNS .tbl restraint file (incl.
+        # or-groups) — the general distance-geometry request; the bucketed
+        # pipeline + the AOT executable cache keep repeated shapes warm
+        from chromosome3d_tpu.pipeline import run_restraints_pipeline
+
+        anneal_r = cache.base.anneal
+        if req.get("turbo"):
+            anneal_r = turbo_anneal(anneal_r)
+        cfg_r = cache.base.replace(
+            model_count=int(req.get("models", cache.base.model_count)),
+            anneal=anneal_r,
+        )
+        summary = run_restraints_pipeline(
+            req["restraints"], req["out"], cfg_r,
+            L=int(req["L"]) if "L" in req else None,
+        )
+        return {"ok": True, **summary}
+
     matrix_path = req["matrix"]
     out_dir = req["out"]
     anneal = cache.base.anneal

@@ -75,3 +75,28 @@ def test_bad_request_keeps_serving(server):
 def test_shutdown(server):
     resp = request(server, {"cmd": "shutdown"})
     assert resp["ok"]
+
+
+def test_restraints_file_request(server, tmp_path):
+    """Serving the general distance-geometry request: solve directly from a
+    CNS tbl (incl. an or-group row) through the warm server."""
+    L = 12
+    lines = [
+        f"assign45 (resid {i:3d} and name ca) (resid {i + 1:3d} and name ca)"
+        f"  3.80 0.00 0.00"
+        for i in range(1, L)
+    ]
+    lines.append(
+        "assign ((resid 1 and name ca) or (resid 2 and name ca)) "
+        "(resid 9 and name ca) 5.00 0.00 0.00"
+    )
+    tbl = tmp_path / "amb.tbl"
+    tbl.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out_r"
+    resp = request(
+        server,
+        {"restraints": str(tbl), "out": str(out), "models": 2},
+        timeout=600,
+    )
+    assert resp["ok"] and resp["or_groups"] == 1
+    assert (out / "amb_model1.pdb").exists()
