@@ -67,7 +67,12 @@ class AnnealConfig:
     repel_end: float = 0.85        # ref $rep2 :67
 
     # ---- initialization (replaces CNS mmdg embedding, ref :1471-1525) ----
-    init: str = "mds"              # "mds" (classical MDS on smoothed bounds) | "random" | "spiral"
+    # "auto": classical MDS below L=2048, landmark MDS at/above (the O(L^3
+    # log L) bounds smoothing dominates the whole solve past that — measured
+    # ~1.2 s of a 1.5 s L=4096 turbo solve; landmark is quality-equal on
+    # real data, see DESIGN.md). "mds" | "landmark" | "random" | "spiral"
+    # force a specific init.
+    init: str = "auto"
     # bounds completion for unrestrained pairs before the MDS embed:
     #   "shortest_path" — min-plus all-pairs shortest paths (mmdg's `auto`
     #       bound smoothing, chromosome3D.pl:1480); O(L^2 log L) per squaring.

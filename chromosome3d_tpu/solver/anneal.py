@@ -236,14 +236,20 @@ def solve_ensemble_impl(
         bead_mask = jnp.ones((L,), dtype=jnp.float32)
 
     if x0 is None:
-        if cfg.init == "mds":
+        init = cfg.init
+        if init == "auto":
+            # classical MDS's O(L^3 log L) bounds smoothing dominates the
+            # whole solve past ~2048 beads; landmark MDS is O(k L^2) and
+            # quality-equal on real data (DESIGN.md)
+            init = "mds" if L < 2048 else "landmark"
+        if init == "mds":
             x0 = mds_init(
                 restraints,
                 bond_length=cfg.bond_length,
                 unknown_fill=cfg.mds_unknown_fill,
                 bead_mask=bead_mask,
             )
-        elif cfg.init == "landmark":
+        elif init == "landmark":
             x0 = landmark_init(
                 restraints,
                 bond_length=cfg.bond_length,
@@ -251,7 +257,7 @@ def solve_ensemble_impl(
                 n_iters=cfg.landmark_iters,
                 bead_mask=bead_mask,
             )
-        elif cfg.init == "spiral":
+        elif init == "spiral":
             x0 = spiral_init(L, bond_length=cfg.bond_length)
         else:
             key, ikey = jax.random.split(key)
