@@ -237,3 +237,34 @@ def test_landmark_init_quality_parity(chr21_1mb_matrix):
             for c in np.asarray(res.coords)
         )
     assert scores["landmark"] > scores["mds"] - 0.03, scores
+
+
+def test_auto_init_dispatch():
+    """init='auto' resolves to classical MDS below 2048 beads and landmark
+    MDS at/above (the O(L^3 log L) smoothing dominates large-L solves)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from chromosome3d_tpu.config import AnnealConfig, RestraintConfig, fast_anneal
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.restraints import build_restraints
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+
+    rng = np.random.RandomState(0)
+    L = 24
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    dense = dense_restraints_from_numpy(build_restraints(m, RestraintConfig()))
+    cfg = dataclasses.replace(fast_anneal(AnnealConfig(), 0.05), enantiomer=False)
+    assert cfg.init == "auto"
+    # below the threshold, auto == mds: identical trajectories
+    r_auto = solve_ensemble_impl(dense, cfg, jax.random.PRNGKey(1), 2)
+    r_mds = solve_ensemble_impl(
+        dense, dataclasses.replace(cfg, init="mds"), jax.random.PRNGKey(1), 2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_auto.coords), np.asarray(r_mds.coords)
+    )
