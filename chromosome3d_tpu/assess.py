@@ -166,26 +166,30 @@ def write_violation_report(
     return satisfied, len(lines)
 
 
-def append_group_violation_rows(
+def write_tbl_violation_report(
     path: str | os.PathLike,
     coords: np.ndarray,
     tbl_path: str | os.PathLike,
     cfg: PipelineConfig,
+    pdb_name: str = "model",
     rows=None,
 ) -> Tuple[int, int]:
-    """Append one report row per `or`-group restraint in the tbl (the
-    reference's assessor covers every tbl row; group rows use the MINIMUM
-    distance over alternatives, ssnoe_tbl_min_pdb_dist :487-554). Call
-    after write_violation_report has written the simple rows. Returns
-    (satisfied, count) for the group rows only. rows: pre-parsed
-    parse_tbl_rows output (avoids re-reading the file)."""
+    """Violation report for an ARBITRARY external tbl, one report row per
+    TBL ROW — the reference's count_satisfied_tbl_rows iterates the file
+    (:447-485), so duplicate rows, reversed (j, i) rows, and `or`-group
+    rows (minimum distance over alternatives, :487-554) all count
+    individually. Violated rows first across the WHOLE file, like the
+    dense writer. Returns (satisfied, total).
+
+    The matrix pipeline's own contact.tbl is unique-upper-triangle by
+    construction, so the vectorized dense write_violation_report stays its
+    fast path; this writer backs the restraints-file pipeline. rows:
+    pre-parsed parse_tbl_rows output (avoids re-reading the file)."""
     coords = np.asarray(coords, dtype=np.float64)
-    satisfied, lines = 0, []
     if rows is None:
         rows = parse_tbl_rows(tbl_path)
+    satisfied, entries = 0, []
     for g1, g2, dt, neg, pos in rows:
-        if len(g1) == 1 and len(g2) == 1:
-            continue
         pd_ = min_group_distance(coords, g1, g2)
         lo, hi = dt - neg, dt + pos
         under_hi = pd_ < hi + cfg.dist_relax
@@ -193,18 +197,26 @@ def append_group_violation_rows(
         flag = 0 if (under_hi and not under_lo) else 1
         satisfied += int(under_hi) - int(under_lo)
         dev = -(lo - pd_) if under_lo else (0.0 if under_hi else pd_ - hi)
-        spec = (
-            "assign ("
-            + " or ".join(f"resid {r1:3d} and name {a1}" for r1, a1 in g1)
-            + ") ("
-            + " or ".join(f"resid {r2:3d} and name {a2}" for r2, a2 in g2)
-            + f") {dt:.2f} {neg:.2f} {pos:.2f}"
-        )
-        lines.append(f"{flag:3d}\t{dev:.2f}\t{pd_:.2f} # {spec}\n")
-    if lines:
-        with open(path, "a") as f:
-            f.writelines(lines)
-    return satisfied, len(lines)
+
+        def sel(g):
+            if len(g) == 1:
+                r, a = g[0]
+                return f"(resid {r:3d} and name {a})"
+            return (
+                "("
+                + " or ".join(f"(resid {r:3d} and name {a})" for r, a in g)
+                + ")"
+            )
+
+        token = "assign45" if len(g1) == 1 and len(g2) == 1 else "assign"
+        spec = f"{token} {sel(g1)} {sel(g2)} {dt:.2f} {neg:.2f} {pos:.2f}"
+        entries.append((flag, f"{flag:3d}\t{dev:.2f}\t{pd_:.2f} # {spec}\n"))
+    entries.sort(key=lambda e: -e[0])  # violated rows first (stable)
+    with open(path, "w") as f:
+        f.write(f"#NOE violation check; {pdb_name} against {os.path.basename(str(tbl_path))}\n")
+        f.write("#violation-flag, deviation, actual-measurement, Input-NOE-restraint\n")
+        f.writelines(line for _, line in entries)
+    return satisfied, len(entries)
 
 
 def append_model_info(
@@ -240,16 +252,24 @@ def parse_tbl_rows(path: str | os.PathLike):
                 # paren-less layout (`assign45 resid I and name ca resid J
                 # and name ca d nd pd`) — CNS tolerates it and the old
                 # fixed-index parser accepted it; the group scanner below
-                # would swallow the second selection, so handle it here
-                sels = _re.findall(
-                    r"resid\s+(\d+)(?:\s+and\s+name\s+(\w+))?", line
-                )
-                tailm = _re.findall(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", line)
-                if len(sels) >= 2 and len(tailm) >= 3:
-                    g1 = [(int(sels[0][0]), (sels[0][1] or "ca").lower())]
-                    g2 = [(int(sels[1][0]), (sels[1][1] or "ca").lower())]
-                    d, nd, pd = (float(v) for v in tailm[-3:])
-                    rows.append((g1, g2, d, nd, pd))
+                # would swallow the second selection, so handle it here.
+                # The numeric tail is taken ONLY from text after the second
+                # selection (resid numbers must not leak into d/neg/pos).
+                sels = list(_re.finditer(
+                    r"resid\s+(\d+)(?:\s+and\s+name\s+(\S+))?", line
+                ))
+                if len(sels) >= 2:
+                    tail_text = line[sels[1].end():]
+                    tailm = _re.findall(
+                        r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?", tail_text
+                    )
+                    if len(tailm) >= 3:
+                        g1 = [(int(sels[0].group(1)),
+                               (sels[0].group(2) or "ca").lower())]
+                        g2 = [(int(sels[1].group(1)),
+                               (sels[1].group(2) or "ca").lower())]
+                        d, nd, pd = (float(v) for v in tailm[:3])
+                        rows.append((g1, g2, d, nd, pd))
                 continue
             c = line.replace("(", " ( ").replace(")", " ) ").split()
             groups: List[List[Tuple[int, str]]] = []

@@ -248,6 +248,9 @@ def main(argv=None) -> int:
         if args.shutdown:
             print(json.dumps(request(args.socket, {"cmd": "shutdown"})))
             return 0
+        if args.restraints and args.input:
+            print("submit takes -i OR -r, not both", file=sys.stderr)
+            return 2
         if args.restraints and args.output:
             resp = request(
                 args.socket,

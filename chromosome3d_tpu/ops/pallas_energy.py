@@ -584,7 +584,7 @@ def _pairwise_energy_grad_batched(
     computing each unordered tile pair once saves 33-45% of the pair math.
     """
     B, L, _ = coords.shape
-    if exact and use_triangular(L):
+    if exact and use_triangular(L, for_unfused=True):
         return pallas_energy_grad_tri_batched(
             coords, restraints, weights, bead_mask, interpret
         )
@@ -774,20 +774,23 @@ def _pick_tile_tri(L: int) -> int:
     return best
 
 
-def use_triangular(L: int) -> bool:
+def use_triangular(L: int, for_unfused: bool = False) -> bool:
     """True when the symmetry-exploiting kernel pays at this length: the
-    padded matrix spans >= 3 blocks AND the per-step pair work dominates
-    the unfused scan's XLA update glue (~45 us measured) that the fully
-    fused whole-matrix step avoids. Measured A/B on the real chip (276-step
-    turbo, 4 models): L=1024 fused 0.111 s vs tri 0.131-0.139 (fused wins),
-    L=2048 0.221 vs 0.217-0.224 (tie) — and past Lp ~= 3840 the fused step
-    cannot lower at all (fused_step_feasible), so the crossover is 2048.
+    padded matrix spans >= 3 blocks AND the saving beats the alternative.
+    Measured A/B on the real chip (276-step turbo, 4 models): against the
+    FULLY FUSED whole-matrix step, L=1024 fused 0.111 s vs tri 0.131-0.139
+    (fused wins), L=2048 0.221 vs 0.217-0.224 (tie) — and past Lp ~= 3840
+    the fused step cannot lower at all (fused_step_feasible), so the
+    fused-path crossover is 2048. When the fused step is NOT an option
+    (for_unfused=True: or-group solves, fuse_update=False, the enantiomer
+    hot pick), the comparison is against the full-matrix row kernel doing
+    ~2x the pair math, so the triangular kernel engages from 1024.
     CHROM3D_NO_TRI=1 disables the dispatch (A/B measurement)."""
     import os
 
     if os.environ.get("CHROM3D_NO_TRI"):
         return False
-    if L < 2048:
+    if L < (1024 if for_unfused else 2048):
         return False
     TM = _pick_tile_tri(L)
     return _round_up(max(L, 8), TM) // TM >= 3

@@ -51,24 +51,30 @@ from chromosome3d_tpu.utils.logging import banner, get_logger, profile_trace
 log = get_logger(__name__)
 
 
-def _aot_solve(dense, anneal_cfg, key, n_models, bm):
+def _aot_solve(dense, anneal_cfg, key, n_models, bm, or_groups=None):
     """solve_ensemble, routed through the AOT executable cache when
     CHROM3D_AOT_CACHE is set (utils/aot.py): a later process re-running the
-    same bucket/config skips the remote compile entirely. Without the env
-    var this is exactly solve_ensemble (in-process jit cache applies)."""
+    same bucket/config (incl. or-group shapes) skips the remote compile
+    entirely. Without the env var this is exactly solve_ensemble
+    (in-process jit cache applies)."""
     from chromosome3d_tpu.utils.aot import cache_dir_from_env, load_or_compile
 
     if cache_dir_from_env() is None:
-        return solve_ensemble(dense, anneal_cfg, key, n_models, bm)
+        return solve_ensemble(dense, anneal_cfg, key, n_models, bm,
+                              or_groups=or_groups)
     from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
 
     solve = load_or_compile(
-        jax.jit(lambda d, k, b: solve_ensemble_impl(d, anneal_cfg, k, n_models, b)),
-        (dense, key, bm),
+        jax.jit(
+            lambda d, k, b, og: solve_ensemble_impl(
+                d, anneal_cfg, k, n_models, b, or_groups=og
+            )
+        ),
+        (dense, key, bm, or_groups),
         tag="pipeline_bucket",
         statics=f"{anneal_cfg!r}|n={n_models}",
     )
-    return solve(dense, key, bm)
+    return solve(dense, key, bm, or_groups)
 
 
 def _bucket_pad(L: int, cfg: PipelineConfig):
@@ -333,12 +339,9 @@ def run_restraints_pipeline(
         from chromosome3d_tpu.ops.energy import dense_or_groups_from_numpy
 
         or_groups = dense_or_groups_from_numpy(or_groups_np)
-    if or_groups is None:
-        result = _aot_solve(dense, cfg.anneal, key, cfg.model_count, bm)
-    else:
-        result = solve_ensemble(
-            dense, cfg.anneal, key, cfg.model_count, bm, or_groups=or_groups
-        )
+    result = _aot_solve(
+        dense, cfg.anneal, key, cfg.model_count, bm, or_groups=or_groups
+    )
     coords = np.asarray(result.coords)[:, :Lr, :]
     energies = {k: np.asarray(v) for k, v in result.energies.items()}
 
@@ -350,23 +353,22 @@ def run_restraints_pipeline(
         write_ca_pdb(path, coords[idx], remarks=remarks)
         append_model_info(info_log, path, remarks)
     best = int(e_order[0])
-    satisfied, total = write_violation_report(
-        os.path.join(dir_out, f"{ident}_violation.txt"),
-        coords[best], restraints, cfg, pdb_name=f"{ident}_model1.pdb",
-        tbl_name=os.path.basename(restraints_file),
-    )
-    if or_groups_np is not None:
-        # the dense report covers the simple rows; group rows append their
-        # own flag/dev/min-distance rows (ref assesses EVERY tbl row,
-        # group-min semantics :487-554)
-        from chromosome3d_tpu.assess import append_group_violation_rows
+    if tbl_rows is not None:
+        # external tbl: assess per TBL ROW like the reference (duplicates,
+        # reversed rows, and or-groups each count; :447-485, :487-554)
+        from chromosome3d_tpu.assess import write_tbl_violation_report
 
-        sat_g, n_g = append_group_violation_rows(
+        satisfied, total = write_tbl_violation_report(
             os.path.join(dir_out, f"{ident}_violation.txt"),
-            coords[best], restraints_file, cfg, rows=tbl_rows,
+            coords[best], restraints_file, cfg,
+            pdb_name=f"{ident}_model1.pdb", rows=tbl_rows,
         )
-        satisfied += sat_g
-        total += n_g
+    else:
+        satisfied, total = write_violation_report(
+            os.path.join(dir_out, f"{ident}_violation.txt"),
+            coords[best], restraints, cfg, pdb_name=f"{ident}_model1.pdb",
+            tbl_name=os.path.basename(restraints_file),
+        )
     summary = {
         "id": ident,
         "L": int(restraints.length),

@@ -102,6 +102,9 @@ def cache_key(tag: str, args, statics: str = "", extra: Sequence[str] = ()) -> s
         getattr(dev, "device_kind", "?"),
         str(jax.device_count()),
         _code_fingerprint(),
+        # env knobs that change the TRACED program must key the cache too
+        # (use_triangular reads this at trace time for A/B runs)
+        f"notri={os.environ.get('CHROM3D_NO_TRI', '')}",
         tag,
         statics,
         _abstract_sig(args),
@@ -114,13 +117,16 @@ def cache_key(tag: str, args, statics: str = "", extra: Sequence[str] = ()) -> s
 
 class _GuardedExec:
     """Wraps a deserialized executable: if its first invocation throws
-    (backend rejected the blob at dispatch), compile fresh and retry —
-    the cache can slow a run down but never break it."""
+    (backend rejected the blob at dispatch), compile fresh, retry, and
+    EVICT the poisoned cache entry (otherwise every later process would
+    load it, fail, and pay the full compile forever) — the cache can slow
+    a run down but never break it."""
 
-    def __init__(self, loaded, compile_fn, tag):
+    def __init__(self, loaded, compile_fn, tag, path=None):
         self._exec = loaded
         self._compile_fn = compile_fn
         self._tag = tag
+        self._path = path
         self._proven = False
 
     def __call__(self, *args):
@@ -133,6 +139,12 @@ class _GuardedExec:
                 f"AOT: cached {self._tag} executable failed at dispatch "
                 f"({e!r}); recompiling"
             )
+            if self._path:
+                try:
+                    os.remove(self._path)
+                    log.info(f"AOT: evicted poisoned entry {self._path}")
+                except OSError:
+                    pass
             self._exec = self._compile_fn()
             out = self._exec(*args)
         self._proven = True
@@ -179,7 +191,9 @@ def load_or_compile(
             # some backends accept the blob but reject it at dispatch (e.g.
             # XLA:CPU is strict about host machine features); guard the
             # first invocation and recompile in place if it throws
-            return _GuardedExec(loaded, lambda: jitted.lower(*args).compile(), tag)
+            return _GuardedExec(
+                loaded, lambda: jitted.lower(*args).compile(), tag, path
+            )
         except Exception as e:  # stale/corrupt/foreign blob -> recompile
             log.info(f"AOT: cache entry {path} unusable ({e!r}); recompiling")
 

@@ -356,3 +356,45 @@ def test_out_of_range_resid_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="resid 50"):
         read_contact_tbl_full(p, L=40)
+
+
+def test_tbl_report_counts_every_row(tmp_path):
+    """Per-TBL-ROW assessment like the reference: duplicate rows and
+    reversed (j, i) rows each count individually (count_satisfied_tbl_rows
+    iterates the file, ref :447-485)."""
+    from chromosome3d_tpu.config import PipelineConfig
+    from chromosome3d_tpu.assess import write_tbl_violation_report
+
+    tbl = tmp_path / "dup.tbl"
+    tbl.write_text(
+        "assign (resid 1 and name ca) (resid 5 and name ca) 7.00 0.00 0.00\n"
+        "assign (resid 1 and name ca) (resid 5 and name ca) 7.00 0.00 0.00\n"
+        "assign (resid 5 and name ca) (resid 1 and name ca) 7.00 0.00 0.00\n"
+    )
+    coords = np.zeros((6, 3), np.float32)
+    coords[4, 0] = 7.0  # beads 0 and 4 exactly at target
+    sat, total = write_tbl_violation_report(
+        tmp_path / "rep.txt", coords, tbl, PipelineConfig()
+    )
+    assert total == 3 and sat == 3
+    rows = [
+        ln for ln in (tmp_path / "rep.txt").read_text().splitlines()
+        if not ln.startswith("#")
+    ]
+    assert len(rows) == 3
+
+
+def test_parenless_truncated_tail_skipped(tmp_path):
+    """A paren-less row with a truncated numeric tail is skipped — resid
+    numbers must not leak into d/neg/pos (review finding)."""
+    from chromosome3d_tpu.assess import parse_tbl_rows
+
+    p = tmp_path / "trunc.tbl"
+    p.write_text(
+        "assign resid 3 and name ca resid 9 and name ca 6.5\n"   # no neg/pos
+        "assign resid 3 and name ca resid 9 and name ca 6.5 0.1 0.2\n"
+    )
+    rows = parse_tbl_rows(p)
+    assert len(rows) == 1
+    g1, g2, d, nd, pd = rows[0]
+    assert (d, nd, pd) == (6.5, 0.1, 0.2)
