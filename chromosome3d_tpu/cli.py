@@ -44,7 +44,8 @@ def _make_config(args) -> "PipelineConfig":
         turbo_anneal,
     )
 
-    anneal = AnnealConfig(use_pallas=args.pallas)
+    # --pallas forces the kernel on; default None = AUTO (on for TPU)
+    anneal = AnnealConfig(use_pallas=True if args.pallas else None)
     if getattr(args, "turbo", False):
         anneal = turbo_anneal(anneal)
     if args.fast:
@@ -233,7 +234,8 @@ def main(argv=None) -> int:
         from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, turbo_anneal
         from chromosome3d_tpu.serve import serve
 
-        anneal = AnnealConfig(use_pallas=args.pallas)
+        # --pallas forces the kernel on; default None = AUTO (on for TPU)
+        anneal = AnnealConfig(use_pallas=True if args.pallas else None)
         if args.turbo:
             anneal = turbo_anneal(anneal)
         serve(args.socket, PipelineConfig(anneal=anneal))

@@ -115,7 +115,9 @@ class AnnealConfig:
     # Set it when feeding adversarial restraint sets (huge absolute-weighted
     # targets) where early gradients can overflow float32.
     gradient_clip: Optional[float] = None
-    use_pallas: bool = False       # use the Pallas fused energy kernel on TPU
+    # Pallas fused energy kernel: None = AUTO (on for TPU backends, off for
+    # CPU — where pallas_call would need interpret mode); True/False force.
+    use_pallas: Optional[bool] = None
     # exact-restraint kernel: when every restraint has negdev == posdev == 0
     # (always true for pipeline-generated restraints, carr2tbl emits
     # `d 0.00 0.00`) AND the well is pure quadratic (noe_rswitch disabled),

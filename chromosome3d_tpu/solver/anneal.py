@@ -128,8 +128,17 @@ def _clip_per_bead(g: jnp.ndarray, clip: Optional[float]) -> jnp.ndarray:
     return g * jnp.minimum(1.0, clip / norm)
 
 
+def resolve_use_pallas(cfg: AnnealConfig) -> bool:
+    """AnnealConfig.use_pallas=None means AUTO: the Pallas kernels on TPU
+    backends, the dense jnp path elsewhere (pallas_call does not lower on
+    CPU without interpret mode). Resolved at trace time."""
+    if cfg.use_pallas is None:
+        return jax.default_backend() == "tpu"
+    return cfg.use_pallas
+
+
 def _energy_fn(cfg: AnnealConfig):
-    if cfg.use_pallas:
+    if resolve_use_pallas(cfg):
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy
 
         exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
@@ -281,7 +290,8 @@ def solve_ensemble_impl(
     base = _final_weights(cfg)
 
     exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
-    fused = cfg.use_pallas and exact and cfg.fuse_update and or_groups is None
+    use_pallas = resolve_use_pallas(cfg)
+    fused = use_pallas and exact and cfg.fuse_update and or_groups is None
     if fused:
         # at large L the triangular (symmetry-exploiting) pair kernel beats
         # the fully fused whole-matrix step: each unordered tile pair is
@@ -295,7 +305,7 @@ def solve_ensemble_impl(
         )
 
         fused = not use_triangular(L) and fused_step_feasible(L)
-    if cfg.use_pallas:
+    if use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
 
         if or_groups is None:

@@ -227,7 +227,9 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
     # the same fused VMEM pass the single-chip path has (interpret mode off
     # TPU, e.g. the CPU-mesh tests). The exact specialization mirrors
     # solver.anneal's condition.
-    use_pallas = cfg.use_pallas and (L // n_dev) % 8 == 0  # sublane-tileable blocks
+    from chromosome3d_tpu.solver.anneal import resolve_use_pallas
+
+    use_pallas = resolve_use_pallas(cfg) and (L // n_dev) % 8 == 0  # sublane-tileable blocks
     exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
     interpret = jax.default_backend() != "tpu"
 
