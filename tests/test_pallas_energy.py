@@ -380,3 +380,23 @@ def test_triangular_dispatch_threshold():
     assert not use_triangular(1024)
     assert use_triangular(2048)
     assert use_triangular(4096)
+
+
+def test_triangular_kernel_grad_matches_autodiff():
+    """Independent check: the triangular kernel's gradient equals autodiff
+    of the dense jnp energy (not just the full-matrix kernel)."""
+    from chromosome3d_tpu.ops.pallas_energy import pallas_energy_grad_tri_batched
+
+    x, dense, w, bead = make_exact_case(44)
+    xb = jnp.stack([x, -0.8 * x])
+    e_t, g_t = pallas_energy_grad_tri_batched(
+        xb, dense, w, bead, interpret=True, tile=16
+    )
+    w0 = w._replace(bond=jnp.float32(0.0))  # tri kernel covers pair terms only
+    for k in range(2):
+        e_ref = float(energy(xb[k], dense, w0, bead))
+        g_ref = jax.grad(energy)(xb[k], dense, w0, bead)
+        assert float(e_t[k]) == pytest.approx(e_ref, rel=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_t[k]), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+        )

@@ -100,3 +100,19 @@ def test_restraints_file_request(server, tmp_path):
     )
     assert resp["ok"] and resp["or_groups"] == 1
     assert (out / "amb_model1.pdb").exists()
+
+
+def test_restraints_rr_request(server, tmp_path):
+    """Serving a CONFOLD-style .rr restraint file request."""
+    L = 10
+    lines = [f"{i} {i + 1} 3.8 3.8 1.0" for i in range(1, L)]
+    rr = tmp_path / "chain.rr"
+    rr.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out_rr"
+    resp = request(
+        server,
+        {"restraints": str(rr), "out": str(out), "models": 2},
+        timeout=600,
+    )
+    assert resp["ok"] and resp["restraints"] == L - 1
+    assert (out / "chain_model1.pdb").exists()

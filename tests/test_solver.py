@@ -268,3 +268,17 @@ def test_auto_init_dispatch():
     np.testing.assert_array_equal(
         np.asarray(r_auto.coords), np.asarray(r_mds.coords)
     )
+
+
+def test_resolve_use_pallas_semantics():
+    """use_pallas=None resolves by backend (False on this CPU test env);
+    explicit True/False force regardless."""
+    from chromosome3d_tpu.config import AnnealConfig
+    from chromosome3d_tpu.solver.anneal import resolve_use_pallas
+
+    import jax
+
+    auto = resolve_use_pallas(AnnealConfig())
+    assert auto == (jax.default_backend() == "tpu")
+    assert resolve_use_pallas(AnnealConfig(use_pallas=True)) is True
+    assert resolve_use_pallas(AnnealConfig(use_pallas=False)) is False
