@@ -31,6 +31,15 @@ def write_ca_pdb(
     if coords.ndim != 2 or coords.shape[1] != 3:
         raise ValueError(f"coords must be (L, 3), got {coords.shape}")
     L = coords.shape[0]
+    header = "".join(
+        f"REMARK {term} = {value:.4f}\n" for term, value in (remarks or {}).items()
+    )
+    # native single-pass emitter when the C library is built (byte-identical;
+    # genome emission writes hundreds of models, so the per-file win adds up)
+    from chromosome3d_tpu import native
+
+    if native.write_ca_pdb(path, coords, header, resname, connect):
+        return
     lines = []
     if remarks:
         for term, value in remarks.items():

@@ -10,71 +10,41 @@ and the two scoring protocols of the reference:
     output_models/similarity.txt: Spearman + RMSD between a 2x-reduced
     500kb model and the matching 1mb model.
 
-All core math is jnp (jit/vmap-able); thin wrappers accept numpy.
+All math here is HOST-side numpy/scipy by design (the same rule as
+assess.py): scoring is O(L^2 log L) scalar work on finished models, and on a
+remote-TPU platform every distinct (L,) shape would otherwise pay a fresh
+accelerator compile just to rank a result. No jax import in this module.
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 
-def rank_average_ties(v: jnp.ndarray) -> jnp.ndarray:
+def rank_average_ties(v: np.ndarray) -> np.ndarray:
     """1-based ranks with ties assigned the average rank (the convention of
     Statistics::RankCorrelation used by spearman_IF_pdb.pl:65-70)."""
-    v = jnp.asarray(v)
-    s = jnp.sort(v)
-    left = jnp.searchsorted(s, v, side="left")
-    right = jnp.searchsorted(s, v, side="right")
-    return (left + right + 1).astype(jnp.float32) / 2.0
+    v = np.asarray(v)
+    s = np.sort(v)
+    left = np.searchsorted(s, v, side="left")
+    right = np.searchsorted(s, v, side="right")
+    return (left + right + 1).astype(np.float64) / 2.0
 
 
-def pearson(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def pearson(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
     a = a - a.mean()
     b = b - b.mean()
-    denom = jnp.sqrt((a * a).sum() * (b * b).sum())
-    return jnp.where(denom > 0, (a * b).sum() / denom, 0.0)
+    denom = np.sqrt((a * a).sum() * (b * b).sum())
+    return float((a * b).sum() / denom) if denom > 0 else 0.0
 
 
-def spearman(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def spearman(a: np.ndarray, b: np.ndarray) -> float:
     """Spearman rank correlation with average-tie ranks."""
     return pearson(rank_average_ties(a), rank_average_ties(b))
-
-
-def masked_spearman(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Spearman over the elements where mask is True, computed with static
-    shapes (jit-safe): masked-out entries are pushed to the end of the sort
-    order and excluded from rank statistics.
-
-    Works by ranking within the masked subset: entries get rank by sorting
-    with +inf fill, and the Pearson step weights by the mask.
-    """
-    big = jnp.asarray(jnp.finfo(jnp.float32).max, dtype=jnp.float32)
-    n = mask.sum().astype(jnp.float32)
-
-    def masked_ranks(v):
-        v = jnp.where(mask, v.astype(jnp.float32), big)
-        s = jnp.sort(v)
-        left = jnp.searchsorted(s, v, side="left")
-        right = jnp.searchsorted(s, v, side="right")
-        r = (left + right + 1).astype(jnp.float32) / 2.0
-        return jnp.where(mask, r, 0.0)
-
-    ra, rb = masked_ranks(a), masked_ranks(b)
-    ma = ra.sum() / n
-    mb = rb.sum() / n
-    da = jnp.where(mask, ra - ma, 0.0)
-    db = jnp.where(mask, rb - mb, 0.0)
-    denom = jnp.sqrt((da * da).sum() * (db * db).sum())
-    return jnp.where(denom > 0, (da * db).sum() / denom, 0.0)
-
-
-def pairwise_distances(coords: jnp.ndarray) -> jnp.ndarray:
-    """(L, 3) -> (L, L) Euclidean distance matrix."""
-    diff = coords[:, None, :] - coords[None, :, :]
-    return jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 0.0))
 
 
 def spearman_if_model(

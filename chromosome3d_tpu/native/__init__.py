@@ -39,6 +39,15 @@ def _load() -> Optional[ctypes.CDLL]:
                 ]
                 lib.c3d_matrix_dims.restype = ctypes.c_longlong
                 lib.c3d_matrix_dims.argtypes = [ctypes.c_char_p]
+                lib.c3d_write_ca_pdb.restype = ctypes.c_int32
+                lib.c3d_write_ca_pdb.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.c_longlong,
+                    ctypes.c_char_p,
+                    ctypes.c_char_p,
+                    ctypes.c_int32,
+                ]
                 _LIB = lib
             except (OSError, AttributeError):
                 # missing symbol = stale .so from an older ABI; rebuild needed
@@ -71,3 +80,31 @@ def parse_matrix(path: str) -> Optional[np.ndarray]:
     if got != side:
         return None
     return buf.reshape(side, side)
+
+
+def write_ca_pdb(
+    path: str,
+    coords: np.ndarray,
+    header: str = "",
+    resname: str = "MET",
+    connect: bool = True,
+) -> bool:
+    """Native CA-bead PDB emission (byte-identical to io.pdb.write_ca_pdb;
+    parity-tested). header: pre-formatted REMARK lines incl. trailing
+    newlines. Returns False when the library is absent or the write failed —
+    the caller falls back to the Python writer."""
+    lib = _load()
+    if lib is None:
+        return False
+    xyz = np.ascontiguousarray(coords, dtype=np.float64)
+    if xyz.ndim != 2 or xyz.shape[1] != 3:
+        return False
+    rc = lib.c3d_write_ca_pdb(
+        str(path).encode(),
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        xyz.shape[0],
+        header.encode(),
+        resname.encode(),
+        1 if connect else 0,
+    )
+    return rc == 0

@@ -105,24 +105,32 @@ int64_t c3d_parse_matrix(const char* path, double* out, int64_t cap) {
   return parse_matrix_checked(text, out, cap);
 }
 
-// Emit a CA-bead PDB (same fixed-column layout as io/pdb.py write_ca_pdb,
-// ATOM rows + CONECT chain + END). Returns 0 on success.
-int32_t c3d_write_ca_pdb(const char* path, const double* xyz, int64_t L) {
+// Emit a CA-bead PDB byte-identical to io/pdb.py write_ca_pdb: optional
+// pre-formatted header lines (REMARK rows, passed through verbatim — must
+// already end each line with '\n'), ATOM rows, optional CONECT chain, END.
+// Returns 0 on success (byte-parity-tested against the Python writer).
+int32_t c3d_write_ca_pdb(const char* path, const double* xyz, int64_t L,
+                         const char* header, const char* resname,
+                         int32_t connect) {
   FILE* fp = fopen(path, "w");
   if (!fp) return -1;
+  if (header && header[0]) fputs(header, fp);
   for (int64_t i = 0; i < L; ++i) {
     fprintf(fp,
-            "ATOM  %5lld  CA  MET  %4lld    %8.3f%8.3f%8.3f  1.00  0.00      "
-            "     C  \n",
-            static_cast<long long>(i + 1), static_cast<long long>(i + 1),
-            xyz[3 * i], xyz[3 * i + 1], xyz[3 * i + 2]);
+            "ATOM  %5lld  CA  %-3s  %4lld    %8.3f%8.3f%8.3f  1.00  0.00    "
+            "       C  \n",
+            static_cast<long long>(i + 1), resname ? resname : "MET",
+            static_cast<long long>(i + 1), xyz[3 * i], xyz[3 * i + 1],
+            xyz[3 * i + 2]);
   }
-  for (int64_t i = 1; i < L; ++i) {
-    fprintf(fp, "CONECT%5lld%5lld\n", static_cast<long long>(i),
-            static_cast<long long>(i + 1));
+  if (connect) {
+    for (int64_t i = 1; i < L; ++i) {
+      fprintf(fp, "CONECT%5lld%5lld\n", static_cast<long long>(i),
+              static_cast<long long>(i + 1));
+    }
   }
   fputs("END\n", fp);
-  fclose(fp);
+  if (fclose(fp) != 0) return -1;
   return 0;
 }
 

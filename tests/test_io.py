@@ -117,3 +117,29 @@ def test_load_rejects_ragged_and_nonsquare(tmp_path):
     p2.write_text("1.0 2.0 3.0\n4.0 5.0 6.0\n")
     with pytest.raises(ValueError, match="square"):
         load_if_matrix(p2)
+
+
+def test_native_pdb_writer_byte_parity(tmp_path, monkeypatch):
+    """The C emitter (native.write_ca_pdb) must be byte-identical to the
+    Python writer across remarks/connect variants; skipped when the .so is
+    not built (the Python fallback is then the only path)."""
+    from chromosome3d_tpu import native
+    from chromosome3d_tpu.io import pdb as pdbio
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(11)
+    coords = rng.randn(23, 3) * 30
+    for remarks in (None, {"noe": 1.5, "overall": -1234.56789}):
+        for connect in (True, False):
+            pn = tmp_path / "n.pdb"
+            pp = tmp_path / "p.pdb"
+            pdbio.write_ca_pdb(pn, coords, remarks=remarks, connect=connect)
+            monkeypatch.setattr(native, "write_ca_pdb", lambda *a, **k: False)
+            pdbio.write_ca_pdb(pp, coords, remarks=remarks, connect=connect)
+            monkeypatch.undo()
+            assert pn.read_bytes() == pp.read_bytes()
+    # and the native file round-trips through the reader
+    pdbio.write_ca_pdb(tmp_path / "rt.pdb", coords, remarks={"noe": 2.0})
+    got = pdbio.read_ca_pdb(tmp_path / "rt.pdb")
+    np.testing.assert_allclose(got, coords, atol=5e-4)

@@ -11,7 +11,6 @@ from chromosome3d_tpu.metrics import (
     clash_count,
     cross_resolution_similarity,
     kabsch_rmsd,
-    pairwise_distances,
     spearman,
     spearman_if_inv_d,
     spearman_if_model,

@@ -408,3 +408,21 @@ def test_solve_bucket_2d_model_axis(tmp_path):
     # the 4 models are genuinely distinct restarts
     c = np.asarray(res.coords[0])
     assert not np.allclose(c[0], c[1])
+
+
+def test_assess_failed_sentinel(tmp_path, tiny_matrix, monkeypatch):
+    """A restraint-count mismatch must leave an `assess.failed` sentinel for
+    monitoring parity with the reference's acceptance check
+    (chromosome3D.pl:785-787), in addition to raising."""
+    import chromosome3d_tpu.pipeline as pl
+
+    src = tmp_path / "tiny_matrix.txt"
+    np.savetxt(src, tiny_matrix, fmt="%.3f")
+    real = pl.write_contact_tbl
+    monkeypatch.setattr(
+        pl, "write_contact_tbl", lambda *a, **k: real(*a, **k) + 1
+    )
+    out = str(tmp_path / "out")
+    with pytest.raises(AssertionError, match="restraint-count mismatch"):
+        pl.run_pipeline(str(src), out, fast_cfg())
+    assert os.path.exists(os.path.join(out, "assess.failed"))
