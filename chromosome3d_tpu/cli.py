@@ -33,6 +33,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--alpha-ensemble", default="",
                    help="comma-separated extra alpha values pooled into the "
                         "Spearman ranking (quality mode), e.g. 0.5,0.7")
+    p.add_argument("--no-shard-large", action="store_true",
+                   help="disable the at-scale dispatch: inputs beyond the "
+                        "largest length bucket then exact-L compile (run) "
+                        "or raise (genome) instead of row-sharding over "
+                        "the device mesh")
+    p.add_argument("--shard-quantum", type=int, default=512,
+                   help="padding unit for beyond-the-bucket lengths "
+                        "(default 512); distinct big inputs rounded to the "
+                        "same multiple share one compiled program")
 
 
 def _make_config(args) -> "PipelineConfig":
@@ -58,6 +67,8 @@ def _make_config(args) -> "PipelineConfig":
         restraints=RestraintConfig(kscaling=args.kscaling, alpha=args.alpha),
         anneal=anneal,
         alpha_ensemble=alpha_ensemble,
+        shard_large=not getattr(args, "no_shard_large", False),
+        shard_quantum=getattr(args, "shard_quantum", 512),
     )
 
 
@@ -85,6 +96,9 @@ def main(argv=None) -> int:
                      help="HiC-Pro .bed bin table (for .matrix inputs)")
     run.add_argument("--ice", action="store_true",
                      help="ICE-balance raw counts before restraint generation")
+    run.add_argument("--norm", default="NONE",
+                     help="apply a stored .hic normalization vector "
+                          "(KR, VC, VC_SQRT, SCALE, ...; default NONE = raw)")
     _add_common(run)
 
     gen = sub.add_parser("genome", help="whole-genome single-launch run (replaces test.sh)")
@@ -162,6 +176,19 @@ def main(argv=None) -> int:
                      help="hi-res -> lo-res bead reduction factor (default 2)")
     _add_common(coi)
 
+    cal = sub.add_parser(
+        "calibrate",
+        help="measure kernel-dispatch crossovers on THIS device and write "
+             "the dispatch table use_triangular consults (>=5 repeats; "
+             "replaces the frozen defaults)",
+    )
+    cal.add_argument("-L", "--lengths", default="1024,2048,4096",
+                     help="comma-separated bead counts to measure")
+    cal.add_argument("--repeats", type=int, default=5)
+    cal.add_argument("--out", default=None,
+                     help="table path (default CHROM3D_DISPATCH_TABLE or "
+                          "~/.cache/chromosome3d/dispatch.json)")
+
     sim = sub.add_parser(
         "similarity",
         help="cross-resolution similarity report + reduced models "
@@ -183,6 +210,7 @@ def main(argv=None) -> int:
             args.input, args.output, _make_config(args),
             profile_dir=args.profile, chrom=args.chrom,
             resolution=args.resolution, bed_path=args.bed, ice=args.ice,
+            norm=args.norm,
         )
         print(json.dumps(summary))
         return 0
@@ -343,6 +371,16 @@ def main(argv=None) -> int:
             "cross_res_rmsd": rmsd,
             "models": int(len(coords)),
         }))
+        return 0
+
+    if args.command == "calibrate":
+        from chromosome3d_tpu.ops.calibrate import calibrate_dispatch
+
+        lengths = [int(x) for x in args.lengths.split(",") if x.strip()]
+        table = calibrate_dispatch(
+            lengths=lengths, repeats=args.repeats, out_path=args.out
+        )
+        print(json.dumps(table, indent=1))
         return 0
 
     if args.command == "similarity":

@@ -58,6 +58,16 @@ class AnnealConfig:
     #                                what keeps huge low-IF targets bounded.
     bond_weight: float = 10.0      # chain-bond term replacing protein topology (N1)
     bond_length: float = 3.8       # CA-CA virtual bond of the fake protein chain
+    # optional chain-stiffness (angle) term: E = w * sum(1 - cos phi_i) over
+    # consecutive bond-vector pairs (worm-like-chain bending; 0 = straight).
+    # CNS runs its annealing with `angl` active on the fake protein's
+    # internal angles (chromosome3D.pl:1640-1642, 1866-1886); a bead chain
+    # has only the bond directions, so this is the faithful reduced
+    # analogue. OFF by default: A/B on the shipped inputs measured it
+    # quality-neutral-to-negative (see PARITY.md deviations). When nonzero
+    # the fused/semi-fused Pallas steps are bypassed (the angle term rides
+    # the jnp bonded path around the pair kernel).
+    angle_weight: float = 0.0
     vdw_radius: float = 3.6        # soft-sphere bead diameter (matches the 3.6 A
     #                                lower-bound the reference assigns to zero-lo
     #                                restraints, chromosome3D.pl:356)
@@ -79,6 +89,15 @@ class AnnealConfig:
     #   "max_target"    — fill with the largest restraint target; O(L^2), the
     #       cheap choice for very large L where the min-plus dominates.
     mds_unknown_fill: str = "shortest_path"
+    # two-sided bounds geometry in the embed: smooth a bounds MATRIX
+    # (distinct lo/hi with inverse-triangle lower-bound propagation,
+    # mmdg's semantics for real deviation windows, chromosome3D.pl:
+    # 1471-1489) instead of completing the single midpoint-target matrix.
+    # Auto-enabled by run_restraints_pipeline when an external .rr/.tbl
+    # carries nonzero windows; meaningless (and off) for the pipeline's
+    # exact restraints. Applies to init="mds"; the landmark init keeps
+    # the midpoint target (its relaxation rows are upper bounds only).
+    embed_two_sided: bool = False
     init_noise: float = 2.0        # per-restart jitter added to the shared embed (A)
     # init="landmark" (and the row-sharded solver, which always uses it):
     # landmark-MDS with this many evenly spaced landmarks and Bellman-Ford
@@ -172,6 +191,20 @@ class PipelineConfig:
     # 45 sequential runs share ~1 compiled program instead of paying one
     # multi-minute remote compile per distinct L. False = exact-L compile.
     bucket_single_runs: bool = True
+    # at-scale dispatch: inputs whose L exceeds the largest length bucket
+    # route to the row-sharded (sequence-parallel) solvers over the
+    # available device mesh — solver.sharded.solve_ensemble_sharded for a
+    # single run, solve_genome_sharded (2-D chrom x beads) for genome
+    # buckets — instead of raising (the reference dies at 663 beads,
+    # chromosome3D.pl:93-94). On a single device the plain solver runs,
+    # padded to a dynamic shard_quantum bucket. False restores the
+    # pre-round-3 behavior (genome raises; single runs exact-L compile).
+    shard_large: bool = True
+    # padding unit for beyond-the-buckets lengths: large runs pad up to a
+    # multiple of lcm(shard_quantum, mesh beads-axis size), so distinct big
+    # inputs still share compiled programs (same discipline as
+    # length_buckets, at the large end).
+    shard_quantum: int = 512
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

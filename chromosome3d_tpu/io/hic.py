@@ -148,19 +148,157 @@ class _Reader:
         return s
 
 
+def _add_records(m, recs):
+    for x, y, v in recs:
+        m[y, x] += v
+        if x != y:
+            m[x, y] += v
+
+
+def _parse_block_v8(b: _Reader):
+    """v8 block payload -> [(x, y, value)] (flags: useShort, blockType)."""
+    n_records = b.read("i")
+    x_off, y_off = b.read("ii")
+    use_short = b.read("b")
+    block_type = b.read("b")
+    out = []
+    if block_type == 1:                         # list of rows
+        row_count = b.read("h")
+        for _ in range(row_count):
+            y = y_off + b.read("h")
+            rec_count = b.read("h")
+            for _ in range(rec_count):
+                x = x_off + b.read("h")
+                v = float(b.read("h")) if use_short else b.read("f")
+                out.append((x, y, v))
+    elif block_type == 2:                       # dense
+        n_dense = b.read("i")
+        w = b.read("h")
+        for k in range(n_dense):
+            v = float(b.read("h")) if use_short else b.read("f")
+            if use_short and v == -32768:
+                continue
+            row = k // w
+            col = k - row * w
+            out.append((x_off + col, y_off + row, v))
+    else:
+        raise ValueError(f"unknown v8 block type {block_type}")
+    assert n_records >= 0
+    return out
+
+
+def _parse_block_v9(b: _Reader):
+    """v9 block payload -> [(x, y, value)]. v9 replaced v8's two flag bytes
+    with four: useFloatContact, useIntXPos, useIntYPos,
+    matrixRepresentation — coordinates/counts may be 16- or 32-bit per
+    flag (the straw reference parser's layout)."""
+    n_records = b.read("i")
+    x_off, y_off = b.read("ii")
+    use_float = b.read("b") == 1
+    xfmt = "i" if b.read("b") == 1 else "h"     # useIntXPos
+    yfmt = "i" if b.read("b") == 1 else "h"     # useIntYPos
+    representation = b.read("b")
+    val = (lambda: b.read("f")) if use_float else (lambda: float(b.read("h")))
+    out = []
+    if representation == 1:                     # list of rows
+        row_count = b.read(yfmt)
+        for _ in range(row_count):
+            y = y_off + b.read(yfmt)
+            rec_count = b.read(xfmt)
+            for _ in range(rec_count):
+                x = x_off + b.read(xfmt)
+                out.append((x, y, val()))
+    elif representation == 2:                   # dense
+        n_dense = b.read("i")
+        w = b.read(xfmt)
+        for k in range(n_dense):
+            v = val()
+            if not use_float and v == -32768:
+                continue
+            row = k // w
+            col = k - row * w
+            out.append((x_off + col, y_off + row, v))
+    else:
+        raise ValueError(f"unknown v9 matrix representation {representation}")
+    assert n_records >= 0
+    return out
+
+
+def _read_norm_vector(
+    r: _Reader, version: int, cid: int, resolution: int, norm: str,
+    n_entries_pos: int,
+) -> np.ndarray:
+    """Walk the footer's expected-value sections to the normalization-vector
+    index and load the requested vector. Field widths follow the spec's
+    v8/v9 split: vector lengths and values are int/double in v8, long/float
+    in v9."""
+    r.seek(n_entries_pos)
+    cnt_fmt = "i" if version == 8 else "q"
+    val_fmt = "d" if version == 8 else "f"
+
+    def skip_expected(with_type: bool):
+        n_vec = r.read("i")
+        for _ in range(n_vec):
+            if with_type:
+                r.string()                      # normalization type
+            r.string()                          # unit
+            r.read("i")                         # binSize
+            n_values = r.read(cnt_fmt)
+            r.pos += struct.calcsize("<" + val_fmt) * n_values
+            n_scale = r.read("i")
+            r.pos += (4 + struct.calcsize("<" + val_fmt)) * n_scale
+
+    skip_expected(with_type=False)              # expected value vectors
+    skip_expected(with_type=True)               # normalized expected vectors
+
+    n_norm = r.read("i")
+    found = None
+    for _ in range(n_norm):
+        ntype = r.string()
+        chr_idx = r.read("i")
+        unit = r.string()
+        bin_size = r.read("i")
+        position = r.read("q")
+        r.read("i" if version == 8 else "q")    # nBytes
+        if (ntype == norm and chr_idx == cid and unit == "BP"
+                and bin_size == resolution):
+            found = position
+    if found is None:
+        raise ValueError(
+            f"normalization vector {norm!r} not found for this "
+            f"chromosome/resolution"
+        )
+    r.seek(found)
+    n_values = r.read(cnt_fmt)
+    vec = np.frombuffer(
+        r.data, dtype="<f8" if version == 8 else "<f4",
+        count=n_values, offset=r.pos,
+    ).astype(np.float64)
+    return vec
+
+
 def load_hic(
     path: str | os.PathLike,
     chrom: str,
     resolution: int,
+    norm: str = "NONE",
 ) -> np.ndarray:
-    """Minimal pure-numpy juicer `.hic` reader: version 8, `BP` unit,
-    intra-chromosomal raw (NONE-normalized) counts. Returns the dense
-    (L, L) matrix at `resolution` for `chrom`.
+    """Pure-numpy juicer `.hic` reader: versions 8 AND 9, `BP` unit,
+    intra-chromosomal counts, with optional normalization (norm="KR",
+    "VC", "VC_SQRT", "SCALE", ... — any vector the file carries; "NONE"
+    returns raw counts). Returns the dense (L, L) matrix at `resolution`
+    for `chrom`.
 
     Format per the public hic spec (github.com/aidenlab/hic-format):
-    header (magic/version/master-pos/genome/attrs/chrs/resolutions),
-    footer master index keyed 'c1_c2', per-matrix zoom records, and
-    zlib-compressed blocks of (binX, binY, count) records."""
+    header (magic/version/master-pos/genome[/v9 norm-vector index pos]/
+    attrs/chrs/resolutions), footer master index keyed 'c1_c2' followed by
+    expected-value sections and the normalization-vector index, per-matrix
+    zoom records, and zlib-compressed blocks of (binX, binY, count)
+    records. v8/v9 differences handled: 64-bit chromosome sizes, the v9
+    footer's long nBytesV5, float (vs double) vector values, long (vs int)
+    vector lengths, and the v9 block flag layout (_parse_block_v9).
+    Normalized counts are raw / (v[binX] * v[binY]); bins with zero/NaN
+    norm entries come back as zero rows (the juicer convention)."""
     with open(path, "rb") as f:
         r = _Reader(f.read())
 
@@ -168,10 +306,14 @@ def load_hic(
     if magic != "HIC":
         raise ValueError(f"{path}: not a .hic file (magic {magic!r})")
     version = r.read("i")
-    if version != 8:
-        raise ValueError(f"{path}: unsupported .hic version {version} (need 8)")
+    if version not in (8, 9):
+        raise ValueError(
+            f"{path}: unsupported .hic version {version} (need 8 or 9)"
+        )
     master_pos = r.read("q")
     r.string()                                  # genomeId
+    if version >= 9:
+        r.read("qq")                            # normVectorIndex pos/length
     n_attrs = r.read("i")
     for _ in range(n_attrs):
         r.string(), r.string()
@@ -180,7 +322,7 @@ def load_hic(
     chrom_sizes: List[int] = []
     for _ in range(n_chrs):
         chrom_names.append(r.string())
-        chrom_sizes.append(r.read("i"))
+        chrom_sizes.append(r.read("i" if version == 8 else "q"))
     if chrom not in chrom_names:
         raise ValueError(f"{path}: chromosome {chrom!r} not in {chrom_names}")
     cid = chrom_names.index(chrom)
@@ -192,15 +334,16 @@ def load_hic(
         )
     L = -(-chrom_sizes[cid] // resolution)
 
-    # footer: master index
+    # footer: master index (v9's nBytesV5 widened to a long)
     r.seek(master_pos)
-    r.read("i")                                 # nBytesV5
+    r.read("i" if version == 8 else "q")        # nBytesV5
     n_entries = r.read("i")
     entry: Dict[str, Tuple[int, int]] = {}
     for _ in range(n_entries):
         key = r.string()
         position, size = r.read("qi")
         entry[key] = (position, size)
+    norm_sections_pos = r.pos                   # expected/norm vectors follow
     key = f"{cid}_{cid}"
     if key not in entry:
         raise ValueError(f"{path}: no intra block for {chrom} ({key})")
@@ -228,40 +371,23 @@ def load_hic(
         raise ValueError(f"{path}: no BP blocks at resolution {resolution}")
 
     m = np.zeros((L, L), dtype=np.float64)
+    parse = _parse_block_v8 if version == 8 else _parse_block_v9
     for fpos, fsize in blocks:
         raw = zlib.decompress(r.data[fpos:fpos + fsize])
-        b = _Reader(raw)
-        n_records = b.read("i")
-        x_off, y_off = b.read("ii")
-        use_short = b.read("b")
-        block_type = b.read("b")
-        if block_type == 1:                     # list of rows
-            row_count = b.read("h")
-            for _ in range(row_count):
-                y = y_off + b.read("h")
-                rec_count = b.read("h")
-                for _ in range(rec_count):
-                    x = x_off + b.read("h")
-                    v = float(b.read("h")) if use_short else b.read("f")
-                    m[y, x] += v
-                    if x != y:
-                        m[x, y] += v
-        elif block_type == 2:                   # dense
-            n_dense = b.read("i")
-            w = b.read("h")
-            for k in range(n_dense):
-                v = float(b.read("h")) if use_short else b.read("f")
-                if use_short and v == -32768:
-                    continue
-                row = k // w
-                col = k - row * w
-                x, y = x_off + col, y_off + row
-                m[y, x] += v
-                if x != y:
-                    m[x, y] += v
-        else:
-            raise ValueError(f"{path}: unknown block type {block_type}")
-        assert n_records >= 0
+        _add_records(m, parse(_Reader(raw)))
+
+    if norm != "NONE":
+        vec = _read_norm_vector(
+            r, version, cid, resolution, norm, norm_sections_pos
+        )
+        if len(vec) < L:
+            vec = np.pad(vec, (0, L - len(vec)), constant_values=np.nan)
+        vec = vec[:L]
+        good = np.isfinite(vec) & (vec != 0.0)
+        denom = np.where(good, vec, 1.0)
+        m = m / denom[:, None] / denom[None, :]
+        m[~good, :] = 0.0
+        m[:, ~good] = 0.0
     return m
 
 
@@ -312,17 +438,19 @@ def load_any(
     chrom: Optional[str] = None,
     resolution: Optional[int] = None,
     bed_path: Optional[str | os.PathLike] = None,
+    norm: str = "NONE",
 ) -> np.ndarray:
     """Dispatch on extension: .cool/.mcool -> cooler, .hic -> juicer,
     .matrix -> HiC-Pro triplets, anything else -> the reference's dense
-    whitespace text format."""
+    whitespace text format. norm applies to .hic only (a stored
+    normalization vector, e.g. KR/VC/SCALE)."""
     p = os.fspath(path)
     if p.endswith((".cool", ".mcool")):
         return load_cooler(p, chrom, resolution)
     if p.endswith(".hic"):
         if chrom is None or resolution is None:
             raise ValueError(".hic input needs chrom= and resolution=")
-        return load_hic(p, chrom, resolution)
+        return load_hic(p, chrom, resolution, norm=norm)
     if p.endswith(".matrix"):
         return load_sparse_triplet(p, bed_path, chrom)
     from chromosome3d_tpu.io.matrix import load_if_matrix

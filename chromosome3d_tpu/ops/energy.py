@@ -119,6 +119,10 @@ class EnergyWeights(NamedTuple):
     # values (targets of hundreds of A) exert bounded force. Set to a large
     # value for a pure harmonic well.
     noe_rswitch: jnp.ndarray = jnp.float32(1e9)
+    # chain-stiffness (angle) weight: E = angle * sum(1 - cos phi) over
+    # consecutive bond-vector pairs (AnnealConfig.angle_weight; 0 = off,
+    # the validated default)
+    angle: jnp.ndarray = jnp.float32(0.0)
 
 
 def auto_weight_exponent(L: int) -> float:
@@ -196,6 +200,16 @@ def dense_or_groups_from_numpy(og) -> OrGroupRestraints:
 _EPS = 1e-12
 
 
+def _angle_energy(bond_vec, bond_d, bond_valid, weights) -> jnp.ndarray:
+    """Worm-like-chain bending term: angle * sum(1 - cos phi_i) over
+    consecutive bond-vector pairs (phi = 0 when the chain is straight).
+    The reduced analogue of CNS's `angl` flag on the fake protein
+    (chromosome3D.pl:1640-1642, 1866-1886); zero-cost no-op at angle=0."""
+    cosphi = (bond_vec[:-1] * bond_vec[1:]).sum(-1) / (bond_d[:-1] * bond_d[1:])
+    tri_valid = bond_valid[:-1] * bond_valid[1:]
+    return weights.angle * (tri_valid * (1.0 - cosphi)).sum()
+
+
 def _pair_distances(coords: jnp.ndarray) -> jnp.ndarray:
     """(L, 3) -> (L, L) distances, grad-safe at d ~ 0 off-diagonal.
 
@@ -238,12 +252,14 @@ def energy_terms(
     if or_groups is not None:
         e_noe = e_noe + or_group_energy(coords, or_groups, weights, bead_mask)
 
-    # --- chain bonds ---
+    # --- chain bonds (+ optional angle stiffness, reported inside `bon`
+    #     like CNS's bonded internal terms) ---
     bond_vec = coords[1:] - coords[:-1]
     bond_d = jnp.sqrt((bond_vec * bond_vec).sum(-1) + _EPS)
     bond_valid = bead_mask[1:] * bead_mask[:-1]
     bdev = bond_d - weights.bond_length
     e_bond = weights.bond * (bond_valid * bdev * bdev).sum()
+    e_bond = e_bond + _angle_energy(bond_vec, bond_d, bond_valid, weights)
 
     # --- vdw soft-sphere repel on nonbonded pairs (|i-j| >= 2) ---
     idx = jnp.arange(L)
@@ -318,4 +334,5 @@ def weights_from_config(cfg, vdw_weight: float | jnp.ndarray | None = None,
         vdw=jnp.asarray(vdw, dtype=jnp.float32),
         vdw_radius=jnp.asarray(repel_scale, dtype=jnp.float32) * cfg.vdw_radius,
         noe_rswitch=jnp.float32(cfg.noe_rswitch),
+        angle=jnp.float32(cfg.angle_weight),
     )

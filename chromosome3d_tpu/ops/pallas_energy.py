@@ -412,6 +412,196 @@ def _kernel_fused_step(
     e_ref[0] = e_pairT + e_bondT
 
 
+def _kernel_fused_update(
+    params_ref,   # SMEM f32 (1, 16): same layout as _kernel_fused_step
+    ints_ref,     # VMEM i32 (1, 128): seed, step (see _kernel_fused_step)
+    xt_ref,       # (1, 3, Lp) coords, T layout
+    gT_ref,       # (1, 3, Lp) PAIR gradient, T layout (from the tri kernel)
+    mu_ref,       # (1, 3, Lp) Adam first moment
+    nu_ref,       # (1, 3, Lp) Adam second moment
+    bmrow_ref,    # (1, Lp) bead mask
+    eb_ref,       # out (1, 1, Lp): bond energy partials per bead
+    xo_ref,       # out (1, 3, Lp) updated coords
+    muo_ref,      # out (1, 3, Lp)
+    nuo_ref,      # out (1, 3, Lp)
+):
+    """The UPDATE half of _kernel_fused_step as a standalone kernel: chain
+    bond energy+gradient, per-bead clip, Adam with bias correction, Langevin
+    noise, coordinate update — everything per-step EXCEPT the O(L^2) pair
+    terms, which arrive as gT from whichever pair kernel ran (the triangular
+    kernel at large L, where the fully fused step cannot lower past
+    Lp ~= 3840 — _pick_tile_fused). This closes the ~15%/step XLA op-launch
+    glue the unfused scan paid exactly where the triangular kernel wins
+    (round-2 VERDICT item 2). One grid point per structure; all state in the
+    full-lane (3, L) T layout. The noise stream is BITWISE identical to
+    _kernel_fused_step's (same counter-hash over global element indices)."""
+    b = pl.program_id(0)
+    Lp = xt_ref.shape[2]
+
+    lr = params_ref[0, 3]
+    sigma = params_ref[0, 4]
+    b1 = params_ref[0, 5]
+    b2 = params_ref[0, 6]
+    eps_adam = params_ref[0, 7]
+    bc1 = params_ref[0, 8]
+    bc2 = params_ref[0, 9]
+    bond_w = params_ref[0, 10]
+    bond_len = params_ref[0, 11]
+    clip = params_ref[0, 12]
+
+    xtf = xt_ref[0]                                # (3, Lp)
+    gT = gT_ref[0]
+    bead_l = bmrow_ref[:]                          # (1, Lp)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+    x_nextT = pltpu.roll(xtf, shift=Lp - 1, axis=1)  # lane r -> x_{r+1}
+    dnT = x_nextT - xtf
+    dbT = jnp.sqrt(jnp.sum(dnT * dnT, axis=0, keepdims=True) + _EPS)
+    v_nextT = (
+        bead_l * pltpu.roll(bead_l, shift=Lp - 1, axis=1)
+        * (lidx < Lp - 1).astype(jnp.float32)
+    )
+    bdevT = dbT - bond_len
+    fwdT = (2.0 * bond_w * v_nextT * bdevT / dbT) * dnT       # (3, Lp)
+    fwd_prevT = pltpu.roll(fwdT, shift=1, axis=1) * (lidx > 0).astype(jnp.float32)
+    gT = gT + fwd_prevT - fwdT
+    eb_ref[0] = bond_w * v_nextT * bdevT * bdevT
+
+    gnormT = jnp.sqrt(jnp.sum(gT * gT, axis=0, keepdims=True) + 1e-12)
+    scaleT = jnp.where(clip > 0.0, jnp.minimum(1.0, clip / gnormT), 1.0)
+    gT = gT * scaleT
+
+    mu = b1 * mu_ref[0] + (1.0 - b1) * gT
+    nu = b2 * nu_ref[0] + (1.0 - b2) * gT * gT
+    upd = (mu * bc1) / (jnp.sqrt(nu * bc2) + eps_adam)
+
+    def mix(h):
+        h = h.astype(jnp.uint32)
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        return h
+
+    coord_s = jax.lax.broadcasted_iota(jnp.int32, (3, Lp), 0)
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (3, Lp), 1)
+    elem = (row_l * 3 + coord_s).astype(jnp.uint32)
+    base = (
+        ints_ref[0, 0].astype(jnp.uint32)
+        + ints_ref[0, 1].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        + b * jnp.uint32(0x7FEB352D)
+    )
+
+    def uniform(salt):
+        bits = mix(elem ^ base ^ jnp.uint32(salt))
+        return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 24)
+        )
+
+    noise = (
+        uniform(0x68E31DA4) + uniform(0xB5297A4D) + uniform(0x1B56C4E9)
+        + uniform(0x7C15BD3F) - 2.0
+    ) * np.float32(np.sqrt(3.0))
+
+    xo_ref[0] = xtf + (-lr * upd + sigma * noise) * bead_l
+    muo_ref[0] = mu
+    nuo_ref[0] = nu
+
+
+def pallas_fused_update_batched(
+    coords_T: jnp.ndarray,     # (B, 3, L) — T layout
+    grad_T: jnp.ndarray,       # (B, 3, L) pair gradient, T layout
+    mu_T: jnp.ndarray,         # (B, 3, L)
+    nu_T: jnp.ndarray,         # (B, 3, L)
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray,    # (L,)
+    lr, sigma,                 # schedule scalars
+    bc1, bc2,                  # Adam bias corrections 1/(1-b^t)
+    seed, step,                # int32 scalars for the noise stream
+    clip: float,               # per-bead grad clip (<=0 disables)
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps_adam: float = 1e-8,
+    interpret: bool = False,
+):
+    """One annealing UPDATE (bond + clip + Adam + Langevin + coordinate
+    move) for a batch, consuming the pair gradient computed by a separate
+    kernel — the companion that gives the triangular/row-kernel paths the
+    fused step's zero-glue update. Returns
+    (bond energies (B,), xT', muT', nuT')."""
+    B, _, L = coords_T.shape
+    Lp = _round_up(max(L, 8), 128)
+    padn = Lp - L
+
+    def padT(m):
+        return jnp.pad(m.astype(jnp.float32), ((0, 0), (0, 0), (0, padn)))
+
+    xt = padT(coords_T)
+    gT = padT(grad_T)
+    mu_p = padT(mu_T)
+    nu_p = padT(nu_T)
+    bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
+
+    params = jnp.stack([
+        weights.noe.astype(jnp.float32),
+        weights.vdw.astype(jnp.float32),
+        weights.vdw_radius.astype(jnp.float32),
+        jnp.asarray(lr, jnp.float32),
+        jnp.asarray(sigma, jnp.float32),
+        jnp.float32(b1),
+        jnp.float32(b2),
+        jnp.float32(eps_adam),
+        jnp.asarray(bc1, jnp.float32),
+        jnp.asarray(bc2, jnp.float32),
+        weights.bond.astype(jnp.float32),
+        weights.bond_length.astype(jnp.float32),
+        jnp.float32(clip if clip is not None else -1.0),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ])[None, :]
+    ints = jnp.zeros((1, 128), jnp.int32)
+    ints = ints.at[0, 0].set(jnp.asarray(seed, jnp.int32))
+    ints = ints.at[0, 1].set(jnp.asarray(step, jnp.int32))
+
+    state_spec = pl.BlockSpec((1, 3, Lp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    eb, x_new, mu_new, nu_new = pl.pallas_call(
+        _kernel_fused_update,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+            state_spec,
+            state_spec,
+            pl.BlockSpec((1, Lp), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Lp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            state_spec,
+            state_spec,
+            state_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, Lp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(60 * Lp) * B,
+            bytes_accessed=B * Lp * 4 * 17,
+            transcendentals=2 * Lp * B,
+        ),
+        interpret=interpret,
+    )(params, ints, xt, gT, mu_p, nu_p, bm[None, :])
+    return (
+        jnp.sum(eb[:, 0, :], axis=1),
+        x_new[:, :, :L],
+        mu_new[:, :, :L],
+        nu_new[:, :, :L],
+    )
+
+
 def fused_step_tiles(
     restraints: DenseRestraints, bead_mask: jnp.ndarray, noe_weight
 ):
@@ -774,26 +964,99 @@ def _pick_tile_tri(L: int) -> int:
     return best
 
 
+def _dispatch_table_path() -> str:
+    import os
+
+    p = os.environ.get("CHROM3D_DISPATCH_TABLE", "").strip()
+    if p:
+        return p
+    return os.path.expanduser("~/.cache/chromosome3d/dispatch.json")
+
+
+_DISPATCH_CACHE: dict = {}
+
+
+def _dispatch_table():
+    """Load the measured kernel-dispatch table (calibrate_dispatch output),
+    memoized per (path, mtime). None when absent/invalid — the frozen
+    measured defaults then apply."""
+    import json
+    import os
+
+    path = _dispatch_table_path()
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return None
+    key = (path, mtime)
+    if key not in _DISPATCH_CACHE:
+        try:
+            with open(path) as f:
+                _DISPATCH_CACHE.clear()       # keep exactly one entry live
+                _DISPATCH_CACHE[key] = json.load(f)
+        except (OSError, ValueError):
+            return None
+    return _DISPATCH_CACHE[key]
+
+
+def dispatch_table_fingerprint() -> str:
+    """Short content hash of the active dispatch table (or 'none') — the
+    table changes TRACED programs, so the AOT executable cache keys on it
+    (utils.aot.cache_key)."""
+    import hashlib
+    import os
+
+    path = _dispatch_table_path()
+    if not os.path.exists(path):
+        return "none"
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:12]
+
+
+def _device_kind() -> str:
+    d = jax.devices()[0]
+    return getattr(d, "device_kind", d.platform)
+
+
 def use_triangular(L: int, for_unfused: bool = False) -> bool:
     """True when the symmetry-exploiting kernel pays at this length: the
     padded matrix spans >= 3 blocks AND the saving beats the alternative.
-    Measured A/B on the real chip (276-step turbo, 4 models): against the
-    FULLY FUSED whole-matrix step, L=1024 fused 0.111 s vs tri 0.131-0.139
-    (fused wins), L=2048 0.221 vs 0.217-0.224 (tie) — and past Lp ~= 3840
-    the fused step cannot lower at all (fused_step_feasible), so the
-    fused-path crossover is 2048. When the fused step is NOT an option
-    (for_unfused=True: or-group solves, fuse_update=False, the enantiomer
-    hot pick), the comparison is against the full-matrix row kernel doing
-    ~2x the pair math, so the triangular kernel engages from 1024.
+
+    The decision consults the MEASURED dispatch table when one exists
+    (calibrate_dispatch writes it, keyed by device kind; nearest measured
+    L in log space decides) and otherwise falls back to the frozen
+    defaults from the round-2 measurement session (276-step turbo,
+    4 models, ±8% single-run variance): against the FULLY FUSED
+    whole-matrix step, L=1024 fused 0.111 s vs tri 0.131-0.139 (fused
+    wins), L=2048 0.221 vs 0.217-0.224 (tie) — and past Lp ~= 3840 the
+    fused step cannot lower at all (fused_step_feasible), so the
+    fused-path crossover defaults to 2048. When the fused step is NOT an
+    option (for_unfused=True: or-group solves, fuse_update=False, the
+    enantiomer hot pick), the comparison is against the full-matrix row
+    kernel doing ~2x the pair math, so the default crossover is 1024.
     CHROM3D_NO_TRI=1 disables the dispatch (A/B measurement)."""
+    import math
     import os
 
     if os.environ.get("CHROM3D_NO_TRI"):
         return False
-    if L < (1024 if for_unfused else 2048):
-        return False
     TM = _pick_tile_tri(L)
-    return _round_up(max(L, 8), TM) // TM >= 3
+    if _round_up(max(L, 8), TM) // TM < 3:
+        return False                  # < 3 blocks: no symmetry to exploit
+
+    table = _dispatch_table()
+    entries = (table or {}).get(_device_kind(), {}).get("entries", [])
+    if entries:
+        best = min(
+            entries, key=lambda e: abs(math.log(max(L, 1) / max(e["L"], 1)))
+        )
+        if for_unfused:
+            return best["tri_unfused_s"] < best["row_unfused_s"]
+        if not fused_step_feasible(L):
+            return True
+        return best["semi_s"] < best["fused_s"]
+
+    return L >= (1024 if for_unfused else 2048)
 
 
 def pallas_energy_grad_tri_batched(
@@ -988,11 +1251,16 @@ def _pairwise_energy_grad(
 
 
 def _bond_energy(coords, weights, bead_mask):
+    from chromosome3d_tpu.ops.energy import _angle_energy
+
     bond_vec = coords[1:] - coords[:-1]
     bond_d = jnp.sqrt(jnp.sum(bond_vec * bond_vec, axis=-1) + _EPS)
     bond_valid = bead_mask[1:] * bead_mask[:-1]
     bdev = bond_d - weights.bond_length
-    return weights.bond * jnp.sum(bond_valid * bdev * bdev)
+    e = weights.bond * jnp.sum(bond_valid * bdev * bdev)
+    # optional chain-stiffness term (AnnealConfig.angle_weight; rides the
+    # jnp bonded path around the pair kernel, like the bond term)
+    return e + _angle_energy(bond_vec, bond_d, bond_valid, weights)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -1040,7 +1308,12 @@ def _bond_energy_batched(coords, weights, bead_mask):
     bond_d = jnp.sqrt(jnp.sum(bond_vec * bond_vec, axis=-1) + _EPS)
     bond_valid = (bead_mask[1:] * bead_mask[:-1])[None, :]
     bdev = bond_d - weights.bond_length
-    return weights.bond * jnp.sum(bond_valid * bdev * bdev, axis=1)
+    e = weights.bond * jnp.sum(bond_valid * bdev * bdev, axis=1)
+    cosphi = (bond_vec[:, :-1, :] * bond_vec[:, 1:, :]).sum(-1) / (
+        bond_d[:, :-1] * bond_d[:, 1:]
+    )
+    tri_valid = bond_valid[:, :-1] * bond_valid[:, 1:]
+    return e + weights.angle * (tri_valid * (1.0 - cosphi)).sum(axis=1)
 
 
 def pallas_energy_and_grad_batched(

@@ -66,9 +66,16 @@ def discover_jobs(input_dir: str, pattern: str = r"chr(\w+)_(\w+)_matrix\.txt$")
 
 
 def bucket_jobs(
-    jobs: Sequence[GenomeJob], buckets: Sequence[int]
+    jobs: Sequence[GenomeJob],
+    buckets: Sequence[int],
+    shard_quantum: Optional[int] = None,
 ) -> Dict[int, List[GenomeJob]]:
-    """Assign each job the smallest bucket >= its bead count."""
+    """Assign each job the smallest bucket >= its bead count.
+
+    Jobs beyond the largest bucket get a DYNAMIC bucket rounded up to
+    shard_quantum (the at-scale group run_genome hands to the 2-D
+    chrom x beads sharded solver); with shard_quantum=None they raise
+    (PipelineConfig.shard_large=False restores that contract)."""
     out: Dict[int, List[GenomeJob]] = {}
     for job in jobs:
         if not job.length:
@@ -76,11 +83,14 @@ def bucket_jobs(
 
             job.length = matrix_length(job.path)
         fit = [b for b in buckets if b >= job.length]
-        if not fit:
+        if fit:
+            job.bucket = min(fit)
+        elif shard_quantum:
+            job.bucket = -(-job.length // shard_quantum) * shard_quantum
+        else:
             raise ValueError(
                 f"{job.name}: L={job.length} exceeds the largest bucket {max(buckets)}"
             )
-        job.bucket = min(fit)
         out.setdefault(job.bucket, []).append(job)
     return out
 
@@ -247,6 +257,82 @@ def solve_bucket(
     )
 
 
+def large_mesh_layout(B: int, n_dev: int) -> tuple[int, int]:
+    """Factor the device count into (chrom, beads) axes for an at-scale
+    bucket: the chrom axis takes the largest divisor of n_dev that the B
+    chromosomes can fill; every remaining device shards bead rows (the
+    memory axis — each device then holds B/nc x L/nb x L restraint rows)."""
+    nc = max(d for d in range(1, n_dev + 1) if n_dev % d == 0 and d <= B)
+    return nc, n_dev // nc
+
+
+def solve_bucket_sharded(
+    batched: DenseRestraints,
+    bead_masks: jnp.ndarray,
+    cfg: PipelineConfig,
+    devices: Optional[Sequence] = None,
+    base_seed: Optional[int] = None,
+) -> AnnealResult:
+    """Solve an at-scale bucket (L beyond every length bucket) with the 2-D
+    chrom x beads sharded genome solver (solver.sharded.solve_genome_sharded):
+    chromosomes split over the chrom axis, each chromosome's O(L^2) restraint
+    rows over the beads axis, one compiled program for the bucket. The
+    product-surface wiring of the library-level at-scale solver.
+
+    Pads the batch up to a chrom-axis multiple with copies of entry 0 and L
+    up to a beads-axis multiple (masked); both are stripped before return.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    B, L = batched.lo.shape[0], batched.lo.shape[1]
+    n_dev = len(devices)
+    nc, nb = large_mesh_layout(B, n_dev)
+    B_pad = -(-B // nc) * nc
+    L_pad = -(-L // nb) * nb
+    padr = L_pad - L
+
+    def pad_mat(a):
+        a = jnp.pad(a, ((0, 0), (0, padr), (0, padr)))
+        if B_pad > B:
+            a = jnp.concatenate([a, jnp.repeat(a[:1], B_pad - B, axis=0)])
+        return a
+
+    batched_p = DenseRestraints(*(pad_mat(t) for t in batched))
+    masks_p = jnp.pad(bead_masks, ((0, 0), (0, padr)))
+    if B_pad > B:
+        masks_p = jnp.concatenate(
+            [masks_p, jnp.repeat(masks_p[:1], B_pad - B, axis=0)]
+        )
+    keys = jax.random.split(
+        jax.random.PRNGKey(cfg.seed if base_seed is None else base_seed), B_pad
+    )
+    mesh2 = Mesh(np.asarray(devices).reshape(nc, nb), ("chrom", "beads"))
+    log.info(
+        f"at-scale bucket: {B} chromosomes (L_pad={L_pad}) on a "
+        f"{nc} chrom x {nb} beads mesh"
+    )
+    from chromosome3d_tpu.solver.sharded import solve_genome_sharded
+    from chromosome3d_tpu.utils.aot import load_or_compile
+
+    an, n_models = cfg.anneal, cfg.model_count
+    solve = load_or_compile(
+        jax.jit(
+            lambda b, k, m: solve_genome_sharded(mesh2, b, an, k, n_models, m)
+        ),
+        (batched_p, keys, masks_p),
+        tag="genome_sharded",
+        statics=(
+            f"{an!r}|n={n_models}|mesh={nc}x{nb}"
+            f"|devs={[d.id for d in devices]}"
+        ),
+    )
+    result = solve(batched_p, keys, masks_p)
+    return AnnealResult(
+        coords=result.coords[:B],
+        energies={k: v[:B] for k, v in result.energies.items()},
+        history=result.history[:B],
+    )
+
+
 def run_genome(
     input_dir: str,
     output_dir: str,
@@ -280,12 +366,29 @@ def run_genome(
         summaries.update({d.name: ckpt.load(d.name)[2] for d in done})
         if not jobs:
             return summaries
-    buckets = bucket_jobs(jobs, cfg.length_buckets)
+    buckets = bucket_jobs(
+        jobs, cfg.length_buckets, cfg.shard_quantum if cfg.shard_large else None
+    )
     mesh = mesh or make_mesh()
+    max_bucket = max(cfg.length_buckets)
     for L_pad, bucket in sorted(buckets.items()):
+        # at-scale buckets (beyond every length bucket) go to the 2-D
+        # chrom x beads sharded solver when devices allow; on one device the
+        # plain chrom-batched program covers them (dynamic quantum bucket)
+        large = L_pad > max_bucket and mesh.devices.size > 1
+
+        def bucket_solve(bt, mk, cfg_x, seed=None):
+            if large:
+                return solve_bucket_sharded(
+                    bt, mk, cfg_x, devices=list(mesh.devices.flat),
+                    base_seed=seed,
+                )
+            return solve_bucket(bt, mk, cfg_x, mesh, base_seed=seed)
+
         log.info(
             f"bucket L={L_pad}: {len(bucket)} chromosomes "
             f"({', '.join(j.name for j in bucket)}) on {mesh.devices.size} devices"
+            + (" [at-scale: row-sharded]" if large else "")
         )
         batched, bead_masks, matrices, raw = _stack_bucket(bucket, L_pad, cfg)
         # pipeline-generated restraints are always exact; use the fast kernel
@@ -294,7 +397,7 @@ def run_genome(
         cfg_b = cfg
         if all(not r.negdev.any() and not r.posdev.any() for r in raw):
             cfg_b = auto_exact(cfg, raw[0])
-        result = solve_bucket(batched, bead_masks, cfg_b, mesh)
+        result = bucket_solve(batched, bead_masks, cfg_b)
         coords = np.asarray(result.coords)
         energies_all = {k: np.asarray(v) for k, v in result.energies.items()}
         alphas = [cfg.restraints.alpha] * coords.shape[1]
@@ -310,9 +413,9 @@ def run_genome(
             cfg_bx = cfg_x
             if all(not r.negdev.any() and not r.posdev.any() for r in raw_x):
                 cfg_bx = auto_exact(cfg_x, raw_x[0])
-            res_x = solve_bucket(
-                batched_x, masks_x, cfg_bx, mesh,
-                base_seed=cfg.seed + hash(extra_alpha) % 10000,
+            res_x = bucket_solve(
+                batched_x, masks_x, cfg_bx,
+                seed=cfg.seed + hash(extra_alpha) % 10000,
             )
             coords = np.concatenate([coords, np.asarray(res_x.coords)], axis=1)
             energies_all = {

@@ -79,17 +79,72 @@ def _aot_solve(dense, anneal_cfg, key, n_models, bm, or_groups=None):
 
 def _bucket_pad(L: int, cfg: PipelineConfig):
     """Padded length + (L_pad,) bead mask for a single-chromosome solve.
-    Falls back to exact L when bucketing is off or L exceeds every bucket."""
+
+    L beyond every bucket pads to a dynamic shard_quantum multiple (so big
+    runs still share compiled programs); with shard_large off it falls back
+    to exact L (one fresh compile per distinct big L), and with bucketing
+    off it is always exact L."""
     L_pad = L
     if cfg.bucket_single_runs:
         fit = [b for b in cfg.length_buckets if b >= L]
         if fit:
             L_pad = min(fit)
+        elif cfg.shard_large:
+            q = cfg.shard_quantum
+            L_pad = -(-L // q) * q
     bead_mask = None
     if L_pad != L:
         bead_mask = np.zeros(L_pad, dtype=np.float32)
         bead_mask[:L] = 1.0
     return L_pad, bead_mask
+
+
+def _use_sharded(L: int, cfg: PipelineConfig) -> bool:
+    """The at-scale dispatch decision: row-shard the solve when L exceeds
+    every length bucket and more than one device is available. On a single
+    device the plain solver (with its triangular/fused kernels) is the
+    better program — it just pads to the shard_quantum bucket."""
+    return (
+        cfg.shard_large
+        and L > max(cfg.length_buckets)
+        and len(jax.devices()) > 1
+    )
+
+
+def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int):
+    """Sequence-parallel ensemble solve over ALL devices (`beads` mesh axis):
+    the product-surface entry to solver.sharded.solve_ensemble_sharded for
+    chromosomes beyond the largest bucket. Pads to a multiple of
+    lcm(shard_quantum, n_devices) so distinct big inputs share programs;
+    routes through the AOT executable cache like every other solve."""
+    import math
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+    from chromosome3d_tpu.utils.aot import load_or_compile
+
+    devices = jax.devices()
+    nb = len(devices)
+    q = max(cfg.shard_quantum, 1)
+    unit = q * nb // math.gcd(q, nb)
+    L = restraints.length
+    L_pad = -(-L // unit) * unit
+    dense, _ = _padded_dense(restraints, rc, L_pad)
+    bm = np.zeros(L_pad, dtype=np.float32)
+    bm[:L] = 1.0
+    mesh = Mesh(np.asarray(devices), ("beads",))
+    an, n = cfg.anneal, n_models
+    solve = load_or_compile(
+        jax.jit(
+            lambda d, k, b: solve_ensemble_sharded(mesh, d, an, k, n, b)
+        ),
+        (dense, key, jnp.asarray(bm)),
+        tag="pipeline_sharded",
+        statics=f"{an!r}|n={n}|nb={nb}|devs={[d.id for d in devices]}",
+    )
+    return solve(dense, key, jnp.asarray(bm)), L_pad
 
 
 def auto_exact(cfg: PipelineConfig, restraints) -> PipelineConfig:
@@ -134,6 +189,7 @@ def run_pipeline(
     resolution: Optional[int] = None,
     bed_path: Optional[str] = None,
     ice: bool = False,
+    norm: str = "NONE",
 ) -> Dict:
     """Run one chromosome end to end. Returns a result summary dict.
 
@@ -167,7 +223,7 @@ def run_pipeline(
         from chromosome3d_tpu.io.matrix import write_if_matrix
 
         loaded = load_any(file_if, chrom=chrom, resolution=resolution,
-                          bed_path=bed_path)
+                          bed_path=bed_path, norm=norm)
         if ice:
             # ICE matrix balancing for raw counts (Imakaev 2012); the
             # materialized {ident}.txt carries the values the run used
@@ -220,9 +276,22 @@ def run_pipeline(
     # solver tensors are padded to the length bucket, so different-L runs
     # share one compiled program (each distinct L otherwise costs a fresh
     # multi-minute remote compile — the genome runner's discipline, applied
-    # to single runs; see PipelineConfig.bucket_single_runs)
+    # to single runs; see PipelineConfig.bucket_single_runs). L beyond every
+    # bucket dispatches to the row-sharded solver over the device mesh
+    # (PipelineConfig.shard_large) — the at-scale path, reachable straight
+    # from this CLI.
+    sharded = _use_sharded(L, cfg)
     L_pad, bead_mask = _bucket_pad(L, cfg)
-    dense_solve, p_eff = _padded_dense(restraints, rc, L_pad)
+    bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
+    cfg_solve = cfg
+
+    def do_solve(restr_np, rc_x, k):
+        if sharded:
+            res, _ = _sharded_solve(restr_np, rc_x, cfg_solve, k,
+                                    cfg_solve.model_count)
+            return res
+        dense_x, _ = _padded_dense(restr_np, rc_x, L_pad)
+        return _aot_solve(dense_x, cfg_solve.anneal, k, cfg_solve.model_count, bm)
 
     # ---- L2/L1: solve (sentinel-file failure protocol, ref :261-284) ----
     running = os.path.join(dir_out, "iam.running")
@@ -230,14 +299,17 @@ def run_pipeline(
         f.write("solving\n")
     try:
         banner(log, f"(B) Build {cfg.model_count} models with the TPU annealer..")
-        if L_pad != L:
+        if sharded:
+            banner(
+                log,
+                f"Scale      : L={L} beyond the largest bucket; row-sharded "
+                f"solve over {len(jax.devices())} devices",
+            )
+        elif L_pad != L:
             banner(log, f"Bucket     : solving padded to L={L_pad}")
         key = jax.random.PRNGKey(cfg.seed)
-        bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
         with profile_trace(profile_dir):
-            result = _aot_solve(
-                dense_solve, cfg.anneal, key, cfg.model_count, bm
-            )
+            result = do_solve(restraints, rc, key)
             coords = np.asarray(result.coords)[:, :L, :]
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
         # energy-trajectory observability (the reference discards dgsa.log)
@@ -252,11 +324,10 @@ def run_pipeline(
             if extra_alpha == rc.alpha:
                 continue
             rc_x = dataclasses_replace(rc, alpha=extra_alpha)
-            dense_x, _ = _padded_dense(
-                dist_to_restraints(if_to_dist(if_matrix, rc_x), rc_x), rc_x, L_pad
-            )
             key, sub = jax.random.split(key)
-            res_x = _aot_solve(dense_x, cfg.anneal, sub, cfg.model_count, bm)
+            res_x = do_solve(
+                dist_to_restraints(if_to_dist(if_matrix, rc_x), rc_x), rc_x, sub
+            )
             coords = np.concatenate([coords, np.asarray(res_x.coords)[:, :L, :]])
             # energies under a different restraint set are not comparable;
             # recorded for REMARKs but excluded from the NOE ranking below
@@ -326,29 +397,53 @@ def run_restraints_pipeline(
         + (f", +{n_groups} or-groups)" if n_groups else ")"),
     )
     cfg = auto_exact(cfg, restraints)
-    Lr = restraints.length
-    L_pad, bead_mask = _bucket_pad(Lr, cfg)
-    dense, _ = _padded_dense(restraints, rc, L_pad)
-    if conf is not None:
-        # fold rr confidences into the stress weights
-        import jax.numpy as jnp
-
-        conf_pad = np.ones((L_pad, L_pad), np.float32)
-        conf_pad[:Lr, :Lr] = conf
-        dense = dense._replace(
-            weight=dense.weight * jnp.asarray(conf_pad, jnp.float32)
+    if not cfg.anneal.embed_two_sided and (
+        np.asarray(restraints.negdev).any() or np.asarray(restraints.posdev).any()
+    ):
+        # external restraints with real deviation windows: the embed must
+        # respect BOTH bounds (mmdg's bounds-matrix smoothing semantics,
+        # chromosome3D.pl:1471-1489) — midpoint completion alone can push a
+        # restrained pair below its lower bound through an intermediate path
+        cfg = cfg.replace(
+            anneal=dataclasses_replace(cfg.anneal, embed_two_sided=True)
         )
-
-    key = jax.random.PRNGKey(cfg.seed)
-    bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
-    or_groups = None
-    if or_groups_np is not None:
-        from chromosome3d_tpu.ops.energy import dense_or_groups_from_numpy
-
-        or_groups = dense_or_groups_from_numpy(or_groups_np)
-    result = _aot_solve(
-        dense, cfg.anneal, key, cfg.model_count, bm, or_groups=or_groups
+    Lr = restraints.length
+    # at-scale dispatch: like run_pipeline, L beyond every bucket row-shards
+    # over the mesh — except or-group solves (the group-min term is not in
+    # the sharded solver), which keep the dynamic large-bucket plain path
+    sharded = (
+        _use_sharded(Lr, cfg) and or_groups_np is None and conf is None
     )
+    key = jax.random.PRNGKey(cfg.seed)
+    if sharded:
+        banner(
+            log,
+            f"Scale      : L={Lr} beyond the largest bucket; row-sharded "
+            f"solve over {len(jax.devices())} devices",
+        )
+        result, _ = _sharded_solve(restraints, rc, cfg, key, cfg.model_count)
+    else:
+        L_pad, bead_mask = _bucket_pad(Lr, cfg)
+        dense, _ = _padded_dense(restraints, rc, L_pad)
+        if conf is not None:
+            # fold rr confidences into the stress weights
+            import jax.numpy as jnp
+
+            conf_pad = np.ones((L_pad, L_pad), np.float32)
+            conf_pad[:Lr, :Lr] = conf
+            dense = dense._replace(
+                weight=dense.weight * jnp.asarray(conf_pad, jnp.float32)
+            )
+
+        bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
+        or_groups = None
+        if or_groups_np is not None:
+            from chromosome3d_tpu.ops.energy import dense_or_groups_from_numpy
+
+            or_groups = dense_or_groups_from_numpy(or_groups_np)
+        result = _aot_solve(
+            dense, cfg.anneal, key, cfg.model_count, bm, or_groups=or_groups
+        )
     coords = np.asarray(result.coords)[:, :Lr, :]
     energies = {k: np.asarray(v) for k, v in result.energies.items()}
 

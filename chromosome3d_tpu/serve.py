@@ -8,14 +8,23 @@ bucket, model count, schedule): the first request for a bucket pays the
 compile, every later one runs in milliseconds-to-seconds.
 
 Transport is a Unix domain socket with newline-delimited JSON (zero-egress
-friendly; no TCP). Protocol:
+friendly; no TCP). The server is THREADED: each connection gets a handler
+thread, control requests (ping/shutdown) answer immediately, and device
+work is serialized through one lock — a cold-compile request (minutes on a
+remote-compile backend) never blocks a ping, and two solves never interleave
+on the chip. Protocol:
 
   request:  {"matrix": "/path/to/if_matrix.txt", "out": "/path/out",
              "alpha": 0.5, "kscaling": 11.0, "models": 10,
              "turbo": true}
   response: {"ok": true, "summary": {...}}   |   {"ok": false, "error": "..."}
-  control:  {"cmd": "ping"} -> {"ok": true, "pong": true, "warm_buckets": [...]}
+  control:  {"cmd": "ping"} -> {"ok": true, "pong": true, "warm_buckets": [...],
+             "busy": <solves in flight or waiting>}
             {"cmd": "shutdown"} -> server exits after responding
+
+Request bounds (rejected with ok=false, never crashing the server):
+models 1..MAX_MODELS, 0 < alpha <= MAX_ALPHA, 0 < kscaling <= MAX_KSCALING,
+1 < L <= MAX_L, input paths must exist.
 """
 
 from __future__ import annotations
@@ -24,6 +33,7 @@ import json
 import os
 import socket
 import socketserver
+import threading
 from typing import Dict, Optional
 
 import numpy as np
@@ -33,6 +43,13 @@ from chromosome3d_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
+# request caps: generous for real workloads, small enough that a typo'd or
+# hostile request cannot OOM the device or queue hours of work
+MAX_MODELS = 256
+MAX_L = 65536
+MAX_ALPHA = 16.0
+MAX_KSCALING = 1e6
+
 
 class SolverCache:
     """Holds jitted solve programs warm, keyed by (L_pad, models, schedule id).
@@ -40,11 +57,16 @@ class SolverCache:
     jax's jit cache already keys on shapes + static config; this class's job
     is to route every request through the SAME padded shapes so that cache
     actually hits (the same coarse bucketing the genome runner uses).
+    device_lock serializes everything that touches the accelerator: handler
+    threads answer control requests concurrently, but solves queue.
     """
 
     def __init__(self, base: Optional[PipelineConfig] = None):
         self.base = base or PipelineConfig()
         self.warm: set = set()
+        self.device_lock = threading.Lock()
+        self.busy = 0               # solves holding or waiting on the lock
+        self._busy_lock = threading.Lock()
         # (L_pad, anneal cfg, n_models) -> compiled/jitted solve; with
         # CHROM3D_AOT_CACHE set these round-trip through the on-disk
         # serialized-executable cache, so even a FRESH server process skips
@@ -53,15 +75,23 @@ class SolverCache:
 
     def bucket_for(self, L: int) -> int:
         fit = [b for b in self.base.length_buckets if b >= L]
-        if not fit:
-            raise ValueError(
-                f"L={L} exceeds the largest bucket {max(self.base.length_buckets)}"
-            )
-        return min(fit)
+        if fit:
+            return min(fit)
+        if self.base.shard_large:
+            q = max(self.base.shard_quantum, 1)
+            return -(-L // q) * q
+        raise ValueError(
+            f"L={L} exceeds the largest bucket {max(self.base.length_buckets)}"
+        )
+
+    def mark_warm(self, L: int, cfg: PipelineConfig) -> None:
+        self.warm.add((self.bucket_for(L), cfg.model_count,
+                       cfg.anneal.total_steps))
 
     def solve(self, matrix: np.ndarray, cfg: PipelineConfig):
         """Solve one chromosome through the padded path; returns
-        (coords (n, L, 3), energies dict) with padding stripped."""
+        (coords (n, L, 3), energies dict) with padding stripped. Caller must
+        hold device_lock."""
         import jax
         import jax.numpy as jnp
 
@@ -72,39 +102,71 @@ class SolverCache:
         from chromosome3d_tpu.restraints import build_restraints
 
         L = matrix.shape[0]
-        L_pad = self.bucket_for(L)
         rc = cfg.restraints
         r = build_restraints(matrix, rc)
-        from chromosome3d_tpu.pipeline import auto_exact
+        from chromosome3d_tpu.pipeline import _sharded_solve, _use_sharded, auto_exact
 
         cfg = auto_exact(cfg, r)  # matrix-derived restraints: fast kernel
-        p = rc.weight_exponent
-        if p is None:
-            p = auto_weight_exponent(L)
-        dense = dense_restraints_from_numpy(r.padded(L_pad), rc.weighting, p)
-        bead = jnp.asarray(
-            np.pad(np.ones(L, np.float32), (0, L_pad - L)), jnp.float32
-        )
         key = jax.random.PRNGKey(cfg.seed)
-        prog_key = (L_pad, cfg.anneal, cfg.model_count)
-        solve = self._programs.get(prog_key)
-        if solve is None:
-            from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
-            from chromosome3d_tpu.utils.aot import load_or_compile
-
-            an, n_models = cfg.anneal, cfg.model_count
-            solve = load_or_compile(
-                jax.jit(lambda d, k, b: solve_ensemble_impl(d, an, k, n_models, b)),
-                (dense, key, bead),
-                tag="serve_bucket",
-                statics=f"{an!r}|n={n_models}",
+        if _use_sharded(L, cfg):
+            # at-scale request: row-sharded over the device mesh, same
+            # dispatch as run_pipeline (the program cache is jax's jit
+            # cache + the AOT executable cache inside _sharded_solve)
+            result, _ = _sharded_solve(r, rc, cfg, key, cfg.model_count)
+        else:
+            L_pad = self.bucket_for(L)
+            p = rc.weight_exponent
+            if p is None:
+                p = auto_weight_exponent(L)
+            dense = dense_restraints_from_numpy(r.padded(L_pad), rc.weighting, p)
+            bead = jnp.asarray(
+                np.pad(np.ones(L, np.float32), (0, L_pad - L)), jnp.float32
             )
-            self._programs[prog_key] = solve
-        result = solve(dense, key, bead)
-        self.warm.add((L_pad, cfg.model_count, cfg.anneal.total_steps))
+            prog_key = (L_pad, cfg.anneal, cfg.model_count)
+            solve = self._programs.get(prog_key)
+            if solve is None:
+                from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+                from chromosome3d_tpu.utils.aot import load_or_compile
+
+                an, n_models = cfg.anneal, cfg.model_count
+                solve = load_or_compile(
+                    jax.jit(lambda d, k, b: solve_ensemble_impl(d, an, k, n_models, b)),
+                    (dense, key, bead),
+                    tag="serve_bucket",
+                    statics=f"{an!r}|n={n_models}",
+                )
+                self._programs[prog_key] = solve
+            result = solve(dense, key, bead)
+        self.mark_warm(L, cfg)
         coords = np.asarray(result.coords)[:, :L, :]
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
         return coords, energies, r
+
+
+def _validate(req: Dict, cache: SolverCache) -> Optional[str]:
+    """Bounds-check a solve request; returns an error string or None."""
+    try:
+        models = int(req.get("models", cache.base.model_count))
+        if not 1 <= models <= MAX_MODELS:
+            return f"models={models} out of bounds [1, {MAX_MODELS}]"
+        alpha = float(req.get("alpha", 0.5))
+        if not 0.0 < alpha <= MAX_ALPHA:
+            return f"alpha={alpha} out of bounds (0, {MAX_ALPHA}]"
+        k = float(req.get("kscaling", 11.0))
+        if not 0.0 < k <= MAX_KSCALING:
+            return f"kscaling={k} out of bounds (0, {MAX_KSCALING}]"
+        if "L" in req:
+            L = int(req["L"])
+            if not 1 < L <= MAX_L:
+                return f"L={L} out of bounds (1, {MAX_L}]"
+        for key in ("matrix", "restraints"):
+            if key in req and not os.path.isfile(str(req[key])):
+                return f"{key} file {req[key]!r} does not exist"
+        if "out" in req and not str(req["out"]).strip():
+            return "out must be a non-empty path"
+    except (TypeError, ValueError) as e:
+        return f"malformed request field: {e}"
+    return None
 
 
 def handle_request(req: Dict, cache: SolverCache) -> Dict:
@@ -113,56 +175,84 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
     from chromosome3d_tpu.pipeline import emit_artifacts
 
     if req.get("cmd") == "ping":
-        return {"ok": True, "pong": True, "warm_buckets": sorted(cache.warm)}
+        return {
+            "ok": True,
+            "pong": True,
+            "warm_buckets": sorted(cache.warm),
+            "busy": cache.busy,
+        }
+    if req.get("cmd"):
+        return {"ok": False, "error": f"unknown cmd {req['cmd']!r}"}
+    if "restraints" not in req and "matrix" not in req:
+        return {"ok": False, "error": "request needs 'matrix' or 'restraints'"}
+    if "out" not in req:
+        return {"ok": False, "error": "request needs 'out'"}
+    err = _validate(req, cache)
+    if err:
+        return {"ok": False, "error": err}
 
-    if "restraints" in req:
-        # solve directly from a .rr / CNS .tbl restraint file (incl.
-        # or-groups) — the general distance-geometry request; the bucketed
-        # pipeline + the AOT executable cache keep repeated shapes warm
-        from chromosome3d_tpu.pipeline import run_restraints_pipeline
+    with cache._busy_lock:
+        cache.busy += 1
+    try:
+        if "restraints" in req:
+            # solve directly from a .rr / CNS .tbl restraint file (incl.
+            # or-groups) — the general distance-geometry request; the
+            # bucketed pipeline + the AOT executable cache keep repeated
+            # shapes warm
+            from chromosome3d_tpu.pipeline import run_restraints_pipeline
 
-        anneal_r = cache.base.anneal
+            anneal_r = cache.base.anneal
+            if req.get("turbo"):
+                anneal_r = turbo_anneal(anneal_r)
+            cfg_r = cache.base.replace(
+                model_count=int(req.get("models", cache.base.model_count)),
+                anneal=anneal_r,
+            )
+            with cache.device_lock:
+                summary = run_restraints_pipeline(
+                    req["restraints"], req["out"], cfg_r,
+                    L=int(req["L"]) if "L" in req else None,
+                )
+                cache.mark_warm(summary["L"], cfg_r)
+            return {"ok": True, **summary}
+
+        matrix_path = req["matrix"]
+        out_dir = req["out"]
+        anneal = cache.base.anneal
         if req.get("turbo"):
-            anneal_r = turbo_anneal(anneal_r)
-        cfg_r = cache.base.replace(
+            anneal = turbo_anneal(anneal)
+        cfg = cache.base.replace(
             model_count=int(req.get("models", cache.base.model_count)),
-            anneal=anneal_r,
+            restraints=RestraintConfig(
+                kscaling=float(req.get("kscaling", 11.0)),
+                alpha=float(req.get("alpha", 0.5)),
+            ),
+            anneal=anneal,
         )
-        summary = run_restraints_pipeline(
-            req["restraints"], req["out"], cfg_r,
-            L=int(req["L"]) if "L" in req else None,
+        matrix = load_if_matrix(matrix_path)
+        if matrix.shape[0] > MAX_L:
+            return {"ok": False,
+                    "error": f"matrix L={matrix.shape[0]} exceeds {MAX_L}"}
+        with cache.device_lock:
+            coords, energies, restraints = cache.solve(matrix, cfg)
+        os.makedirs(out_dir, exist_ok=True)
+        ident = os.path.basename(matrix_path)
+        ident = ident[:-4] if ident.endswith(".txt") else ident
+        dense = dense_restraints_from_numpy(
+            restraints, cfg.restraints.weighting, cfg.restraints.weight_exponent
         )
-        return {"ok": True, **summary}
-
-    matrix_path = req["matrix"]
-    out_dir = req["out"]
-    anneal = cache.base.anneal
-    if req.get("turbo"):
-        anneal = turbo_anneal(anneal)
-    cfg = cache.base.replace(
-        model_count=int(req.get("models", cache.base.model_count)),
-        restraints=RestraintConfig(
-            kscaling=float(req.get("kscaling", 11.0)),
-            alpha=float(req.get("alpha", 0.5)),
-        ),
-        anneal=anneal,
-    )
-    matrix = load_if_matrix(matrix_path)
-    coords, energies, restraints = cache.solve(matrix, cfg)
-    os.makedirs(out_dir, exist_ok=True)
-    ident = os.path.basename(matrix_path)
-    ident = ident[:-4] if ident.endswith(".txt") else ident
-    dense = dense_restraints_from_numpy(
-        restraints, cfg.restraints.weighting, cfg.restraints.weight_exponent
-    )
-    summary = emit_artifacts(
-        out_dir, ident, coords, energies, matrix, restraints, dense, cfg
-    )
-    return {"ok": True, "summary": summary}
+        summary = emit_artifacts(
+            out_dir, ident, coords, energies, matrix, restraints, dense, cfg
+        )
+        return {"ok": True, "summary": summary}
+    finally:
+        with cache._busy_lock:
+            cache.busy -= 1
 
 
 def serve(socket_path: str, cfg: Optional[PipelineConfig] = None) -> None:
-    """Blocking server loop on a Unix domain socket."""
+    """Blocking server loop on a Unix domain socket (threaded: one handler
+    thread per connection; device work serialized by cache.device_lock)."""
     cache = SolverCache(cfg)
     if os.path.exists(socket_path):
         os.remove(socket_path)
@@ -178,9 +268,18 @@ def serve(socket_path: str, cfg: Optional[PipelineConfig] = None) -> None:
                 except json.JSONDecodeError as e:
                     self._reply({"ok": False, "error": f"bad json: {e}"})
                     continue
+                if not isinstance(req, dict):
+                    self._reply({"ok": False, "error": "request must be an object"})
+                    continue
                 if req.get("cmd") == "shutdown":
                     self._reply({"ok": True, "bye": True})
-                    raise SystemExit(0)
+                    # shutdown() must run off the serve_forever thread and
+                    # off this handler (it joins the pollers); a daemon
+                    # thread unblocks both
+                    threading.Thread(
+                        target=self.server.shutdown, daemon=True
+                    ).start()
+                    return
                 try:
                     self._reply(handle_request(req, cache))
                 except Exception as e:  # report, keep serving
@@ -191,15 +290,14 @@ def serve(socket_path: str, cfg: Optional[PipelineConfig] = None) -> None:
             self.wfile.write((json.dumps(obj) + "\n").encode())
             self.wfile.flush()
 
-    class Server(socketserver.UnixStreamServer):
+    class Server(socketserver.ThreadingUnixStreamServer):
         allow_reuse_address = True
+        daemon_threads = True
 
     log.info(f"serving on {socket_path}")
     with Server(socket_path, Handler) as server:
         try:
             server.serve_forever()
-        except SystemExit:
-            pass
         finally:
             if os.path.exists(socket_path):
                 os.remove(socket_path)

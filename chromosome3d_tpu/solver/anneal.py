@@ -115,6 +115,7 @@ def _final_weights(cfg: AnnealConfig) -> EnergyWeights:
         vdw=jnp.float32(cfg.vdw_weight_final),
         vdw_radius=jnp.float32(cfg.repel_end * cfg.vdw_radius),
         noe_rswitch=jnp.float32(cfg.noe_rswitch),
+        angle=jnp.float32(cfg.angle_weight),
     )
 
 
@@ -195,6 +196,7 @@ def solve_single(
             vdw=vdw_w,
             vdw_radius=repel * cfg.vdw_radius,
             noe_rswitch=base.noe_rswitch,
+            angle=base.angle,
         )
         e, g = grad_fn(x, restraints, weights, bead_mask)
         g = _clip_per_bead(g, cfg.gradient_clip)
@@ -257,6 +259,7 @@ def solve_ensemble_impl(
                 bond_length=cfg.bond_length,
                 unknown_fill=cfg.mds_unknown_fill,
                 bead_mask=bead_mask,
+                two_sided=cfg.embed_two_sided,
             )
         elif init == "landmark":
             x0 = landmark_init(
@@ -291,27 +294,42 @@ def solve_ensemble_impl(
 
     exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
     use_pallas = resolve_use_pallas(cfg)
-    fused = use_pallas and exact and cfg.fuse_update and or_groups is None
-    if fused:
+    # the fused step / update-companion kernels carry bond but not the
+    # optional angle term; a nonzero angle_weight rides the unfused path
+    # (where _bond_energy includes it)
+    fusable = (
+        use_pallas and exact and cfg.fuse_update and or_groups is None
+        and cfg.angle_weight == 0.0
+    )
+    fused = semi = False
+    if fusable:
         # at large L the triangular (symmetry-exploiting) pair kernel beats
         # the fully fused whole-matrix step: each unordered tile pair is
-        # computed once (33-45% less pair math), and the per-step XLA
-        # update glue that motivated full fusion is amortized by the
-        # O(L^2) kernel cost. _pairwise_energy_grad_batched dispatches to
-        # it automatically; here we just pick the unfused scan shape.
+        # computed once (33-45% less pair math) — and past Lp ~= 3840 the
+        # fused step cannot lower at all. There the scan runs SEMI-fused:
+        # the triangular/row pair kernel + the fused UPDATE companion
+        # (pallas_fused_update_batched), which folds the bond/clip/Adam/
+        # noise/update glue into one kernel — the round-2 ~15%/step XLA
+        # op-launch overhead the unfused scan paid at exactly those L.
         from chromosome3d_tpu.ops.pallas_energy import (
             fused_step_feasible,
             use_triangular,
         )
 
         fused = not use_triangular(L) and fused_step_feasible(L)
+        semi = not fused
     if use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
+
+        # interpret mode keeps a use_pallas=True config functional (and
+        # testable) on non-TPU backends, where pallas_call cannot lower
+        interp = jax.default_backend() != "tpu"
 
         if or_groups is None:
             def vag(x, weights):
                 return pallas_energy_and_grad_batched(
-                    x, restraints, weights, bead_mask, exact=exact
+                    x, restraints, weights, bead_mask, interpret=interp,
+                    exact=exact,
                 )
         else:
             # group-min term rides OUTSIDE the kernel as an additive jnp
@@ -320,7 +338,8 @@ def solve_ensemble_impl(
 
             def vag(x, weights):
                 e, g = pallas_energy_and_grad_batched(
-                    x, restraints, weights, bead_mask, exact=exact
+                    x, restraints, weights, bead_mask, interpret=interp,
+                    exact=exact,
                 )
                 e_og, g_og = jax.vmap(
                     lambda c: _og_vg(c, or_groups, weights, bead_mask)
@@ -342,38 +361,72 @@ def solve_ensemble_impl(
             vdw=vdw_w,
             vdw_radius=repel * cfg.vdw_radius,
             noe_rswitch=base.noe_rswitch,
+            angle=base.angle,
         )
 
-    if fused:
-        # the whole step runs inside ONE kernel invocation per row tile
-        # (ops.pallas_energy.pallas_fused_step_batched); the carry holds the
-        # Adam moments directly, in the kernel's lane-major (B, 3, L) layout
-        from chromosome3d_tpu.ops.pallas_energy import (
-            fused_step_tiles,
-            pallas_fused_step_batched,
-        )
-
+    if fused or semi:
+        # the carry holds the Adam moments directly, in the kernels'
+        # lane-major (B, 3, L) layout
         key, skey = jax.random.split(key)
         seed = jax.random.randint(skey, (), 0, jnp.int32(2**31 - 1))
-        # static per solve: masked (and 2*noe_w-scaled) weight/vdw tiles,
-        # folded ONCE (not per step; the noe weight is schedule-constant)
-        tiles = fused_step_tiles(restraints, bead_mask, base.noe)
+        clip_val = -1.0 if cfg.gradient_clip is None else cfg.gradient_clip
         xsT = jnp.swapaxes(xs, 1, 2)
         carry0 = (xsT, jnp.zeros_like(xsT), jnp.zeros_like(xsT), jnp.int32(0))
 
-        def step(carry, srow):
-            xT, muT, nuT, count = carry
-            lr, sigma, vdw_w, repel = srow
-            t = (count + 1).astype(jnp.float32)
-            bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(0.9), t))
-            bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(0.999), t))
-            e, xT, muT, nuT = pallas_fused_step_batched(
-                xT, muT, nuT, restraints, sched_weights(vdw_w, repel),
-                bead_mask, lr, sigma, bc1, bc2, seed, count,
-                -1.0 if cfg.gradient_clip is None else cfg.gradient_clip,
-                masked_tiles=tiles,
+        if fused:
+            # the whole step runs inside ONE kernel invocation per row tile
+            # (ops.pallas_energy.pallas_fused_step_batched)
+            from chromosome3d_tpu.ops.pallas_energy import (
+                fused_step_tiles,
+                pallas_fused_step_batched,
             )
-            return (xT, muT, nuT, count + 1), e
+
+            # static per solve: masked (2*noe_w-scaled) weight/vdw tiles,
+            # folded ONCE (not per step; the noe weight is schedule-constant)
+            tiles = fused_step_tiles(restraints, bead_mask, base.noe)
+
+            def step(carry, srow):
+                xT, muT, nuT, count = carry
+                lr, sigma, vdw_w, repel = srow
+                t = (count + 1).astype(jnp.float32)
+                bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(0.9), t))
+                bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(0.999), t))
+                e, xT, muT, nuT = pallas_fused_step_batched(
+                    xT, muT, nuT, restraints, sched_weights(vdw_w, repel),
+                    bead_mask, lr, sigma, bc1, bc2, seed, count, clip_val,
+                    masked_tiles=tiles,
+                )
+                return (xT, muT, nuT, count + 1), e
+        else:
+            # SEMI-fused: triangular/row pair kernel (dispatched inside
+            # _pairwise_energy_grad_batched) + the fused update companion;
+            # the two O(B*L*3) transposes are noise next to the O(L^2) pair
+            # work. The noise stream is bitwise the fused step's.
+            from chromosome3d_tpu.ops.pallas_energy import (
+                _pairwise_energy_grad_batched,
+                pallas_fused_update_batched,
+            )
+
+            # interpret mode lets the CPU-mesh tests drive this exact path
+            interpret = jax.default_backend() != "tpu"
+
+            def step(carry, srow):
+                xT, muT, nuT, count = carry
+                lr, sigma, vdw_w, repel = srow
+                weights = sched_weights(vdw_w, repel)
+                x = jnp.swapaxes(xT, 1, 2)
+                e_pair, g = _pairwise_energy_grad_batched(
+                    x, restraints, weights, bead_mask, interpret, True
+                )
+                t = (count + 1).astype(jnp.float32)
+                bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(0.9), t))
+                bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(0.999), t))
+                e_b, xT, muT, nuT = pallas_fused_update_batched(
+                    xT, jnp.swapaxes(g, 1, 2), muT, nuT, weights, bead_mask,
+                    lr, sigma, bc1, bc2, seed, count, clip_val,
+                    interpret=interpret,
+                )
+                return (xT, muT, nuT, count + 1), e_pair + e_b
 
         def select(carry, sel):
             xT, muT, nuT, count = carry

@@ -54,6 +54,19 @@ _EPS = 1e-12
 _BIG = 1e6
 
 
+def _bonded_energy(c, bead, weights):
+    """Bond + optional angle-stiffness energy of one structure — the O(L)
+    bonded terms every shard computes replicated (ops.energy semantics)."""
+    from chromosome3d_tpu.ops.energy import _angle_energy
+
+    bond_vec = c[1:] - c[:-1]
+    bond_d = jnp.sqrt(jnp.sum(bond_vec * bond_vec, -1) + _EPS)
+    bond_valid = bead[1:] * bead[:-1]
+    bdev = bond_d - weights.bond_length
+    e = weights.bond * jnp.sum(bond_valid * bdev * bdev)
+    return e + _angle_energy(bond_vec, bond_d, bond_valid, weights)
+
+
 def solve_single_sharded(
     mesh: Mesh,
     restraints: DenseRestraints,
@@ -92,26 +105,16 @@ def solve_single_sharded(
             vdw=vdw_w,
             vdw_radius=repel * cfg.vdw_radius,
             noe_rswitch=base.noe_rswitch,
+            angle=base.angle,
         )
         e_noe, e_vdw, g_rows = _row_block_energy_grad(
             x, lo, hi, w, bead, row_start, weights
         )
         e = jax.lax.psum(e_noe + e_vdw, axis)
         grad = jax.lax.all_gather(g_rows, axis, axis=0, tiled=True)  # (L, 3)
-        # bond term: O(L), computed replicated on every shard
-        bond_vec = x[1:] - x[:-1]
-        bond_d = jnp.sqrt(jnp.sum(bond_vec * bond_vec, -1) + _EPS)
-        bond_valid = bead[1:] * bead[:-1]
-        bdev = bond_d - weights.bond_length
-        e = e + weights.bond * jnp.sum(bond_valid * bdev * bdev)
-        gb = jax.grad(
-            lambda c: weights.bond
-            * jnp.sum(
-                bond_valid
-                * (jnp.sqrt(jnp.sum((c[1:] - c[:-1]) ** 2, -1) + _EPS) - weights.bond_length) ** 2
-            )
-        )(x)
-        return e, grad + gb
+        # bonded terms (bond + optional angle): O(L), replicated per shard
+        e_bond, gb = jax.value_and_grad(_bonded_energy)(x, bead, weights)
+        return e + e_bond, grad + gb
 
     mapped = jax.shard_map(
         shard_step_fn,
@@ -161,6 +164,7 @@ def _schedule_weights(cfg: AnnealConfig, base: EnergyWeights, vdw_w, repel):
         vdw=vdw_w,
         vdw_radius=repel * cfg.vdw_radius,
         noe_rswitch=base.noe_rswitch,
+        angle=base.angle,
     )
 
 
@@ -279,10 +283,7 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
         opt_state = opt.init(xs)
 
         def bond_energy(c):
-            bond_vec = c[1:] - c[:-1]
-            bond_d = jnp.sqrt(jnp.sum(bond_vec * bond_vec, -1) + _EPS)
-            bdev = bond_d - base.bond_length
-            return base.bond * jnp.sum(bead[1:] * bead[:-1] * bdev * bdev)
+            return _bonded_energy(c, bead, base)
 
         bond_vg = jax.vmap(jax.value_and_grad(bond_energy))
 

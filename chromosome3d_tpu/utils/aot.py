@@ -86,6 +86,14 @@ def _abstract_sig(args) -> str:
     return ";".join(parts)
 
 
+def _dispatch_fingerprint() -> str:
+    """Kernel-dispatch table content hash (the table changes which kernels
+    a solve traces, so it must key serialized executables)."""
+    from chromosome3d_tpu.ops.pallas_energy import dispatch_table_fingerprint
+
+    return dispatch_table_fingerprint()
+
+
 def cache_key(tag: str, args, statics: str = "", extra: Sequence[str] = ()) -> str:
     """Hash of everything that must match for a serialized executable to be
     reusable: library versions, backend, device kind/count, the caller's
@@ -103,8 +111,9 @@ def cache_key(tag: str, args, statics: str = "", extra: Sequence[str] = ()) -> s
         str(jax.device_count()),
         _code_fingerprint(),
         # env knobs that change the TRACED program must key the cache too
-        # (use_triangular reads this at trace time for A/B runs)
+        # (use_triangular reads these at trace time)
         f"notri={os.environ.get('CHROM3D_NO_TRI', '')}",
+        f"dispatch={_dispatch_fingerprint()}",
         tag,
         statics,
         _abstract_sig(args),

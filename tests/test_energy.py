@@ -174,3 +174,45 @@ def test_violation_stats_semantics():
     sat, tot, dev = violation_stats(jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]]), r)
     assert int(sat) == 0  # +1 for d < hi+relax, -1 for d < lo-relax
     assert float(dev) == pytest.approx(4.0, rel=1e-4)
+
+
+def test_angle_term():
+    """Chain-stiffness term: zero for a straight chain, positive for a bent
+    one, and its gradient straightens the chain. Off (weight 0) it changes
+    nothing."""
+    import jax
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.ops.energy import (
+        DenseRestraints,
+        EnergyWeights,
+        energy,
+        energy_terms,
+    )
+
+    L = 8
+    z = jnp.zeros((L, L), jnp.float32)
+    r = DenseRestraints(lo=z, hi=z, mask=z, weight=z)
+    w0 = EnergyWeights(
+        noe=jnp.float32(0.0), bond=jnp.float32(0.0),
+        bond_length=jnp.float32(3.8), vdw=jnp.float32(0.0),
+        vdw_radius=jnp.float32(0.0), angle=jnp.float32(2.0),
+    )
+    straight = jnp.stack(
+        [jnp.arange(L) * 3.8, jnp.zeros(L), jnp.zeros(L)], axis=-1
+    ).astype(jnp.float32)
+    assert float(energy(straight, r, w0)) == pytest.approx(0.0, abs=1e-5)
+
+    rng = np.random.RandomState(0)
+    bent = straight + jnp.asarray(rng.randn(L, 3) * 1.5, jnp.float32)
+    e_bent = float(energy(bent, r, w0))
+    assert e_bent > 0.1
+    # gradient descent on the angle term alone reduces bending
+    g = jax.grad(energy)(bent, r, w0)
+    e_after = float(energy(bent - 0.1 * g, r, w0))
+    assert e_after < e_bent
+    # reported inside the bonded term; off at weight 0
+    terms = energy_terms(bent, r, w0)
+    assert float(terms["bon"]) == pytest.approx(e_bent, rel=1e-6)
+    w_off = w0._replace(angle=jnp.float32(0.0))
+    assert float(energy(bent, r, w_off)) == pytest.approx(0.0, abs=1e-5)

@@ -302,3 +302,169 @@ def test_run_pipeline_ice(tmp_path):
     balanced = load_if_matrix(os.path.join(out, "raw.txt"))
     sums = balanced.sum(1)
     assert sums.std() / sums.mean() < 0.01
+
+
+# ---------------------------------------------------------------------------
+# juicer .hic v9 (+ normalization vectors)
+# ---------------------------------------------------------------------------
+
+def make_hic_v9(path, m, chrom="chr21", resolution=100, use_float=False,
+                use_int_pos=False, representation=1, norms=None):
+    """Write a minimal spec-conformant v9 .hic: 64-bit chromosome sizes,
+    nvi header fields, the v9 block flag layout (useFloatContact/
+    useIntXPos/useIntYPos/matrixRepresentation), long nBytesV5, and a
+    normalization-vector index with float32 vectors."""
+    L = m.shape[0]
+    norms = norms or {}
+
+    def s(x):
+        return x.encode() + b"\0"
+
+    pos_fmt = "<i" if use_int_pos else "<h"
+
+    # ---- block payload (v9 flags) ----
+    ii, jj = np.nonzero(np.triu(m))
+    blk = struct.pack("<i", len(ii))
+    blk += struct.pack("<ii", 0, 0)                  # binColumn/RowOffset
+    blk += struct.pack("<b", 1 if use_float else 0)  # useFloatContact
+    blk += struct.pack("<b", 1 if use_int_pos else 0)  # useIntXPos
+    blk += struct.pack("<b", 1 if use_int_pos else 0)  # useIntYPos
+    blk += struct.pack("<b", representation)
+    if representation == 1:
+        rows = {}
+        for i, j in zip(ii, jj):
+            rows.setdefault(int(i), []).append(int(j))
+        blk += struct.pack(pos_fmt, len(rows))
+        for y in sorted(rows):
+            blk += struct.pack(pos_fmt, y)
+            blk += struct.pack(pos_fmt, len(rows[y]))
+            for x in sorted(rows[y]):
+                blk += struct.pack(pos_fmt, x)
+                blk += (
+                    struct.pack("<f", m[y, x]) if use_float
+                    else struct.pack("<h", int(m[y, x]))
+                )
+    else:                                            # dense
+        blk += struct.pack("<i", L * L)
+        blk += struct.pack(pos_fmt, L)
+        for k in range(L * L):
+            row, col = divmod(k, L)
+            v = m[row, col] if col >= row else (0.0 if use_float else -32768)
+            blk += (
+                struct.pack("<f", v) if use_float else struct.pack("<h", int(v))
+            )
+    zblk = zlib.compress(blk)
+
+    # ---- header ----
+    head = s("HIC") + struct.pack("<i", 9)
+    head += struct.pack("<q", 0)                     # master pos (patched)
+    master_pos_at = len(head) - 8
+    head += s("test_genome")
+    head += struct.pack("<qq", 0, 0)                 # nvi position/length
+    head += struct.pack("<i", 0)                     # nAttributes
+    head += struct.pack("<i", 1) + s(chrom)
+    head += struct.pack("<q", L * resolution)        # v9: long size
+    head += struct.pack("<i", 1) + struct.pack("<i", resolution)
+    head += struct.pack("<i", 0)                     # nFragResolutions
+
+    # ---- matrix record ----
+    matrix_pos = len(head)
+    mat = struct.pack("<ii", 0, 0)
+    mat += struct.pack("<i", 1)
+    mat += s("BP") + struct.pack("<i", 0)
+    mat += struct.pack("<fiff", float(m.sum()), int(len(ii)), 0.0, 0.0)
+    mat += struct.pack("<iii", resolution, L, 1)
+    mat += struct.pack("<i", 1)
+    mat += struct.pack("<i", 0)                      # block number
+    block_entry_at = matrix_pos + len(mat)
+    mat += struct.pack("<qi", 0, len(zblk))          # position (patched), size
+
+    body = head + mat
+    block_pos = len(body)
+    body += zblk
+
+    # ---- footer ----
+    master_pos = len(body)
+    foot = struct.pack("<q", 0)                      # v9: long nBytesV5
+    foot += struct.pack("<i", 1)
+    foot += s("0_0") + struct.pack("<qi", matrix_pos, len(mat))
+    foot += struct.pack("<i", 0)                     # nExpectedValueVectors
+    foot += struct.pack("<i", 0)                     # nNormExpectedValueVectors
+    foot += struct.pack("<i", len(norms))            # norm vector index
+    norm_entry_at = {}
+    for name in norms:
+        foot += s(name) + struct.pack("<i", 0)       # type, chrIdx
+        foot += s("BP") + struct.pack("<i", resolution)
+        norm_entry_at[name] = master_pos + len(foot)
+        vec_bytes = 8 + 4 * len(norms[name])
+        foot += struct.pack("<qq", 0, vec_bytes)     # position (patched), nBytes
+    body += foot
+    norm_pos = {}
+    for name, vec in norms.items():
+        norm_pos[name] = len(body)
+        body += struct.pack("<q", len(vec))          # v9: long nValues
+        body += np.asarray(vec, "<f4").tobytes()     # v9: float32 values
+
+    buf = bytearray(body)
+    struct.pack_into("<q", buf, master_pos_at, master_pos)
+    struct.pack_into("<q", buf, block_entry_at, block_pos)
+    for name, at in norm_entry_at.items():
+        struct.pack_into("<q", buf, at, norm_pos[name])
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
+@pytest.mark.parametrize(
+    "use_float,use_int_pos,representation",
+    [(False, False, 1), (True, False, 1), (False, True, 1),
+     (True, True, 1), (False, False, 2), (True, True, 2)],
+)
+def test_hic_v9_roundtrip(tmp_path, use_float, use_int_pos, representation):
+    m = dense_case(9, seed=5)
+    if use_float:
+        m = m + 0.25
+    p = str(tmp_path / "x9.hic")
+    make_hic_v9(p, m, use_float=use_float, use_int_pos=use_int_pos,
+                representation=representation)
+    got = load_hic(p, "chr21", 100)
+    np.testing.assert_allclose(got, m, rtol=1e-6)
+
+
+def test_hic_v9_norm_vector_applied(tmp_path):
+    """A KR-normalized load must equal the hand-computed
+    raw / (v[i] * v[j]) block, with zero/NaN bins zeroed out."""
+    m = dense_case(8, seed=6).astype(np.float64)
+    L = m.shape[0]
+    rng = np.random.RandomState(7)
+    kr = rng.uniform(0.5, 2.0, L)
+    kr[3] = np.nan                                  # filtered bin
+    vc = rng.uniform(0.5, 2.0, L)
+    p = str(tmp_path / "n9.hic")
+    make_hic_v9(p, m, norms={"KR": kr, "VC": vc})
+
+    raw = load_hic(p, "chr21", 100)
+    np.testing.assert_allclose(raw, m)
+
+    got = load_hic(p, "chr21", 100, norm="KR")
+    kr32 = kr.astype(np.float32).astype(np.float64)  # stored as f4
+    want = m / kr32[:, None] / kr32[None, :]
+    want[3, :] = 0.0
+    want[:, 3] = 0.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    got_vc = load_hic(p, "chr21", 100, norm="VC")
+    vc32 = vc.astype(np.float32).astype(np.float64)
+    np.testing.assert_allclose(got_vc, m / vc32[:, None] / vc32[None, :],
+                               rtol=1e-6)
+
+    with pytest.raises(ValueError, match="normalization vector"):
+        load_hic(p, "chr21", 100, norm="SCALE")
+
+
+def test_hic_v8_norm_vector_applied(tmp_path):
+    """v8 files carry no norm sections in our fixture: requesting one must
+    fail cleanly, raw load unchanged."""
+    m = dense_case(6, seed=8)
+    p = str(tmp_path / "v8.hic")
+    make_hic_v8(p, m)
+    np.testing.assert_allclose(load_hic(p, "chr21", 100), m)

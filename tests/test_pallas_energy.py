@@ -400,3 +400,147 @@ def test_triangular_kernel_grad_matches_autodiff():
         np.testing.assert_allclose(
             np.asarray(g_t[k]), np.asarray(g_ref), rtol=2e-4, atol=2e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# Fused UPDATE companion kernel (round 3): the triangular/row pair kernel +
+# pallas_fused_update_batched must reproduce both the unfused optax step and
+# the fully fused step (same noise stream by construction).
+# ---------------------------------------------------------------------------
+
+def _semi_step_rowapi(xb, mu, nu, dense, w, bead, lr, sigma, bc1, bc2,
+                      seed, step, clip):
+    """Row-layout adapter over the semi-fused step: exact pair kernel grad
+    (tri-or-row dispatch) + the fused update companion."""
+    from chromosome3d_tpu.ops.pallas_energy import (
+        _pairwise_energy_grad_batched,
+        pallas_fused_update_batched,
+    )
+
+    def T(a):
+        return jnp.swapaxes(jnp.asarray(a, jnp.float32), 1, 2)
+
+    e_pair, g = _pairwise_energy_grad_batched(
+        jnp.asarray(xb, jnp.float32), dense, w, bead, True, True
+    )
+    e_b, xT, muT, nuT = pallas_fused_update_batched(
+        T(xb), T(g), T(mu), T(nu), w, bead, lr, sigma, bc1, bc2,
+        seed, step, clip, interpret=True,
+    )
+    return (
+        e_pair + e_b,
+        jnp.swapaxes(xT, 1, 2),
+        jnp.swapaxes(muT, 1, 2),
+        jnp.swapaxes(nuT, 1, 2),
+    )
+
+
+@pytest.mark.parametrize("clip", [None, 0.5])
+def test_fused_update_matches_unfused(clip):
+    """Pair kernel + update companion with sigma=0 == the unfused step:
+    same total energy, same Adam moments, same coordinates."""
+    from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
+
+    x, dense, w, bead = make_exact_case(40)
+    rng = np.random.RandomState(1)
+    xb = jnp.stack([x, x * 0.8 + 0.5, -x])
+    mu = rng.normal(0, 0.1, xb.shape).astype(np.float32)
+    nu = np.abs(rng.normal(0, 0.01, xb.shape)).astype(np.float32)
+    lr, t = 0.05, 7
+
+    e_ref, g = pallas_energy_and_grad_batched(xb, dense, w, bead, True, True)
+    x_ref, mu_ref, nu_ref, bc1, bc2 = _ref_adam_step(
+        np.asarray(xb), mu, nu, np.asarray(g), lr, t, clip
+    )
+    e_s, x_s, mu_s, nu_s = _semi_step_rowapi(
+        xb, mu, nu, dense, w, bead, lr, 0.0, bc1, bc2, 1, t - 1,
+        -1.0 if clip is None else clip,
+    )
+    np.testing.assert_allclose(np.asarray(e_s), np.asarray(e_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(mu_s), mu_ref, rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nu_s), nu_ref, rtol=5e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(x_s), x_ref, rtol=5e-4, atol=5e-4)
+
+
+def test_fused_update_matches_fused_step_with_noise():
+    """With the SAME seed/step the semi-fused combo and the fully fused step
+    produce the same trajectory update including noise (the noise stream is
+    bitwise shared; pair-gradient reassociation gives ~1e-4 tolerance)."""
+    x, dense, w, bead = make_exact_case(40)
+    rng = np.random.RandomState(2)
+    xb = jnp.stack([x, -x])
+    mu = rng.normal(0, 0.1, xb.shape).astype(np.float32)
+    nu = np.abs(rng.normal(0, 0.01, xb.shape)).astype(np.float32)
+    args = (0.05, 0.7, 1.0, 1.0, 12345, 3, -1.0)
+
+    e_f, x_f, mu_f, nu_f = _fused_step_rowapi(
+        xb, mu, nu, dense, w, bead, *args, interpret=True
+    )
+    e_s, x_s, mu_s, nu_s = _semi_step_rowapi(xb, mu, nu, dense, w, bead, *args)
+    np.testing.assert_allclose(np.asarray(e_s), np.asarray(e_f), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(x_s), np.asarray(x_f),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_f),
+                               rtol=5e-4, atol=1e-5)
+
+
+def test_semi_fused_solve_matches_unfused(monkeypatch):
+    """solve_ensemble_impl's semi-fused path (forced via use_triangular)
+    with zero noise must track the unfused solve trajectory."""
+    import dataclasses
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+    from chromosome3d_tpu.config import AnnealConfig, fast_anneal
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+
+    _, dense, w, bead = make_exact_case(44)
+    base = fast_anneal(AnnealConfig(), 0.1)
+    cfg_semi = dataclasses.replace(
+        base, use_pallas=True, exact_restraints=True, fuse_update=True,
+        noise_scale=0.0,
+    )
+    cfg_ref = dataclasses.replace(cfg_semi, use_pallas=False)
+    key = jax.random.PRNGKey(5)
+
+    monkeypatch.setattr(pe, "use_triangular", lambda L, for_unfused=False: True)
+    res_semi = solve_ensemble_impl(dense, cfg_semi, key, 2, bead)
+    monkeypatch.undo()
+    res_ref = solve_ensemble_impl(dense, cfg_ref, key, 2, bead)
+    np.testing.assert_allclose(
+        np.asarray(res_semi.coords), np.asarray(res_ref.coords),
+        rtol=1e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_semi.energies["overall"]),
+        np.asarray(res_ref.energies["overall"]),
+        rtol=1e-4,
+    )
+
+
+def test_fused_update_padded_and_noise_stats():
+    """Padded beads stay pinned; the companion's noise is ~N(0, sigma^2)."""
+    x, dense, w, bead = make_exact_case(30)
+    bead2 = jnp.asarray(np.concatenate([np.ones(20), np.zeros(10)]), jnp.float32)
+    xb = jnp.stack([x * bead2[:, None]])
+    z = jnp.zeros_like(xb)
+    sigma = 0.7
+    deltas = []
+    # seeds must be SPREAD (sequential small seeds share high hash bits and
+    # correlate — the production seed is a random int32)
+    for seed in [13, 990, 48271, 104729, 1299709, 15485863,
+                 32452843, 49979687, 67867967, 86028121, 982451653, 2038074743]:
+        from chromosome3d_tpu.ops.pallas_energy import pallas_fused_update_batched
+
+        def T(a):
+            return jnp.swapaxes(jnp.asarray(a, jnp.float32), 1, 2)
+
+        e_b, xT, _, _ = pallas_fused_update_batched(
+            T(xb), T(z), T(z), T(z), w, bead2, 0.0, sigma, 1.0, 1.0,
+            seed, 0, -1.0, interpret=True,
+        )
+        x2 = np.asarray(jnp.swapaxes(xT, 1, 2))
+        assert np.abs(x2[0, 20:]).max() == 0.0  # padded beads pinned
+        deltas.append((x2 - np.asarray(xb))[0, :20].ravel())
+    d = np.concatenate(deltas)  # lr=0, g=0 -> pure noise
+    assert abs(d.mean()) < 0.08
+    assert abs(d.std() - sigma) < 0.08

@@ -1,0 +1,187 @@
+"""At-scale product-surface dispatch: inputs beyond the largest length
+bucket must reach the row-sharded solvers straight from run_pipeline /
+run_genome (VERDICT round-2 item 1), on the 8-fake-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from chromosome3d_tpu.config import (
+    AnnealConfig,
+    PipelineConfig,
+    RestraintConfig,
+    fast_anneal,
+)
+
+
+def scale_cfg(**kw):
+    # alpha=0.5 matches structured_matrix's IF ~ 1/d^2 (restraint distances
+    # then track true geometry), so quality asserts are meaningful even on
+    # the 5%-length test schedule
+    return PipelineConfig(
+        model_count=kw.pop("model_count", 2),
+        restraints=RestraintConfig(alpha=0.5),
+        anneal=fast_anneal(AnnealConfig(), 0.05),
+        length_buckets=kw.pop("length_buckets", (32,)),
+        shard_quantum=kw.pop("shard_quantum", 32),
+        **kw,
+    )
+
+
+def structured_matrix(L: int, seed: int = 0) -> np.ndarray:
+    """IF matrix derived from a real 3D curve (noisy helix), so
+    reconstruction quality is measurable (IF ~ 1/d^2)."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(L) * 0.4
+    coords = np.stack(
+        [8 * np.cos(t), 8 * np.sin(t), 1.5 * t], axis=-1
+    ) + 0.3 * rng.randn(L, 3)
+    d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+    np.fill_diagonal(d, 1.0)
+    m = 2000.0 / d**2
+    np.fill_diagonal(m, 50000.0)
+    return m
+
+
+def test_bucket_pad_dynamic_quantum():
+    from chromosome3d_tpu.pipeline import _bucket_pad
+
+    cfg = scale_cfg()
+    L_pad, bm = _bucket_pad(70, cfg)
+    assert L_pad == 96 and bm is not None and bm.sum() == 70
+    cfg_off = scale_cfg(shard_large=False)
+    L_pad2, bm2 = _bucket_pad(70, cfg_off)
+    assert L_pad2 == 70 and bm2 is None
+
+
+def test_bucket_jobs_quantum_and_raise(tmp_path):
+    from chromosome3d_tpu.parallel.genome import GenomeJob, bucket_jobs
+
+    p = tmp_path / "chrX_1mb_matrix.txt"
+    np.savetxt(p, structured_matrix(70), fmt="%.2f")
+    jobs = [GenomeJob(name="chrX_1mb", path=str(p))]
+    out = bucket_jobs(jobs, (32,), shard_quantum=32)
+    assert list(out) == [96]
+    jobs2 = [GenomeJob(name="chrX_1mb", path=str(p))]
+    with pytest.raises(ValueError, match="exceeds the largest bucket"):
+        bucket_jobs(jobs2, (32,))
+
+
+def test_large_mesh_layout():
+    from chromosome3d_tpu.parallel.genome import large_mesh_layout
+
+    assert large_mesh_layout(1, 8) == (1, 8)
+    assert large_mesh_layout(3, 8) == (2, 4)
+    assert large_mesh_layout(8, 8) == (8, 1)
+    assert large_mesh_layout(5, 8) == (4, 2)
+
+
+def test_run_pipeline_dispatches_sharded(tmp_path, monkeypatch):
+    """An L=96 input with a 32-bucket config must route through
+    _sharded_solve over the 8-device mesh and still produce the full
+    artifact set with real reconstruction quality."""
+    import chromosome3d_tpu.pipeline as pl
+
+    calls = []
+    real = pl._sharded_solve
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pl, "_sharded_solve", spy)
+    src = tmp_path / "big_matrix.txt"
+    np.savetxt(src, structured_matrix(96), fmt="%.3f")
+    out = str(tmp_path / "out")
+    summary = pl.run_pipeline(str(src), out, scale_cfg())
+    assert calls, "sharded path not taken"
+    assert summary["L"] == 96 and summary["models"] == 2
+    # a structured matrix must reconstruct well even on the tiny schedule
+    assert summary["best_spearman_if_inv_d"] > 0.7
+    from chromosome3d_tpu.io.pdb import read_ca_pdb
+
+    coords = read_ca_pdb(os.path.join(out, "big_matrix_model1.pdb"))
+    assert coords.shape == (96, 3)
+    assert np.isfinite(coords).all()
+
+
+def test_run_pipeline_shard_large_off_keeps_plain_path(tmp_path, monkeypatch):
+    import chromosome3d_tpu.pipeline as pl
+
+    monkeypatch.setattr(
+        pl, "_sharded_solve",
+        lambda *a, **k: pytest.fail("sharded path taken with shard_large=False"),
+    )
+    src = tmp_path / "big_matrix.txt"
+    np.savetxt(src, structured_matrix(48), fmt="%.3f")
+    summary = pl.run_pipeline(
+        str(src), str(tmp_path / "out"), scale_cfg(shard_large=False)
+    )
+    assert summary["L"] == 48
+
+
+def test_run_genome_mixed_scale(tmp_path, monkeypatch):
+    """A genome dir mixing a small (bucketed) and a large (beyond-bucket)
+    chromosome must complete in one launch: the small one through
+    solve_bucket, the large one through the 2-D chrom x beads sharded
+    solver."""
+    import chromosome3d_tpu.parallel.genome as gn
+
+    small = structured_matrix(24, seed=1)
+    large = structured_matrix(96, seed=2)
+    indir = tmp_path / "input"
+    indir.mkdir()
+    np.savetxt(indir / "chr1_1mb_matrix.txt", small, fmt="%.3f")
+    np.savetxt(indir / "chr2_1mb_matrix.txt", large, fmt="%.3f")
+
+    sharded_calls, plain_calls = [], []
+    real_sharded, real_plain = gn.solve_bucket_sharded, gn.solve_bucket
+    monkeypatch.setattr(
+        gn, "solve_bucket_sharded",
+        lambda *a, **k: (sharded_calls.append(1), real_sharded(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        gn, "solve_bucket",
+        lambda *a, **k: (plain_calls.append(1), real_plain(*a, **k))[1],
+    )
+    out = str(tmp_path / "out")
+    summaries = gn.run_genome(str(indir), out, scale_cfg())
+    assert sharded_calls and plain_calls
+    assert summaries["chr1_1mb"]["L"] == 24
+    assert summaries["chr2_1mb"]["L"] == 96
+    assert summaries["chr2_1mb"]["best_spearman_if_inv_d"] > 0.7
+    assert os.path.exists(os.path.join(out, "chr2_1mb", "chr2_1mb_model1.pdb"))
+
+
+def test_genome_sharded_matches_plain_bucket(tmp_path):
+    """The at-scale solver and the plain batched solver are different
+    programs over the same protocol: on the same input they must deliver
+    comparable quality (not identical trajectories — init and RNG
+    assignment differ by design)."""
+    from chromosome3d_tpu.parallel.genome import (
+        solve_bucket,
+        solve_bucket_sharded,
+    )
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.restraints import build_restraints
+    import jax.numpy as jnp
+
+    cfg = scale_cfg()
+    m = structured_matrix(96, seed=3)
+    r = build_restraints(m, cfg.restraints)
+    dense = dense_restraints_from_numpy(
+        r, cfg.restraints.weighting, as_numpy=True
+    )
+    batched = type(dense)(*(jnp.asarray(t)[None] for t in dense))
+    masks = jnp.ones((1, 96), jnp.float32)
+    res_sharded = solve_bucket_sharded(batched, masks, cfg)
+    assert res_sharded.coords.shape == (1, 2, 96, 3)
+    assert bool(jnp.isfinite(res_sharded.coords).all())
+    from chromosome3d_tpu.metrics import spearman_if_inv_d
+
+    scores = [
+        spearman_if_inv_d(m, np.asarray(res_sharded.coords[0, i]))
+        for i in range(2)
+    ]
+    assert max(scores) > 0.7

@@ -116,3 +116,95 @@ def test_restraints_rr_request(server, tmp_path):
     )
     assert resp["ok"] and resp["restraints"] == L - 1
     assert (out / "chain_model1.pdb").exists()
+
+
+def test_ping_during_slow_solve(server, tmp_path):
+    """The threaded server must answer control requests while a solve holds
+    the device: a ping during a long-running solve returns immediately with
+    busy >= 1 (round-3 hardening; the old single-threaded server blocked)."""
+    import numpy as np
+
+    import chromosome3d_tpu.serve as srv
+
+    # make the solve observably slow without burning CPU
+    real = srv.SolverCache.solve
+
+    def slow_solve(self, matrix, cfg):
+        time.sleep(2.0)
+        return real(self, matrix, cfg)
+
+    srv.SolverCache.solve = slow_solve
+    try:
+        rng = np.random.RandomState(0)
+        m = rng.gamma(2.0, 50.0, size=(16, 16))
+        m = (m + m.T) / 2
+        np.fill_diagonal(m, 5000.0)
+        src = tmp_path / "m_matrix.txt"
+        np.savetxt(src, m, fmt="%.3f")
+
+        result = {}
+
+        def bg():
+            result["resp"] = request(
+                server,
+                {"matrix": str(src), "out": str(tmp_path / "slow_out"),
+                 "models": 2},
+                timeout=600,
+            )
+
+        t = threading.Thread(target=bg, daemon=True)
+        t.start()
+        time.sleep(0.5)  # let the solve enter its sleep
+        t0 = time.time()
+        pong = request(server, {"cmd": "ping"}, timeout=5)
+        dt = time.time() - t0
+        assert pong["ok"] and pong["pong"]
+        assert dt < 1.0, f"ping took {dt:.2f}s during a solve"
+        assert pong["busy"] >= 1
+        t.join(timeout=600)
+        assert result["resp"]["ok"], result["resp"]
+    finally:
+        srv.SolverCache.solve = real
+
+
+def test_request_bounds(server, tmp_path):
+    """Out-of-bounds / malformed requests are rejected with ok=false and the
+    server keeps serving."""
+    src = os.path.join(REF_INPUT, "chr22_1mb_matrix.txt")
+    if not os.path.exists(src):
+        pytest.skip("reference not available")
+    cases = [
+        ({"matrix": src, "out": str(tmp_path / "x"), "models": 10**6},
+         "models"),
+        ({"matrix": src, "out": str(tmp_path / "x"), "models": 0}, "models"),
+        ({"matrix": src, "out": str(tmp_path / "x"), "alpha": -1.0}, "alpha"),
+        ({"matrix": src, "out": str(tmp_path / "x"), "kscaling": 0}, "kscaling"),
+        ({"restraints": "/nonexistent.tbl", "out": str(tmp_path / "x")},
+         "restraints"),
+        ({"matrix": src}, "out"),
+        ({"out": str(tmp_path / "x")}, "matrix"),
+        ({"cmd": "frobnicate"}, "unknown cmd"),
+        ({"matrix": src, "out": str(tmp_path / "x"), "models": "many"},
+         "malformed"),
+    ]
+    for req, frag in cases:
+        resp = request(server, req, timeout=30)
+        assert not resp["ok"], (req, resp)
+        assert frag in resp["error"], (req, resp)
+    assert request(server, {"cmd": "ping"})["ok"]
+
+
+def test_restraint_request_marks_warm(server, tmp_path):
+    """Restraint-file requests must register their bucket in the warm set
+    (round-2 finding: they bypassed bookkeeping)."""
+    L = 10
+    rr = tmp_path / "chain2.rr"
+    rr.write_text("\n".join(f"{i} {i + 1} 3.8 3.8 1.0" for i in range(1, L)) + "\n")
+    resp = request(
+        server,
+        {"restraints": str(rr), "out": str(tmp_path / "o"), "models": 2},
+        timeout=600,
+    )
+    assert resp["ok"]
+    pong = request(server, {"cmd": "ping"})
+    assert len(pong["warm_buckets"]) == 1

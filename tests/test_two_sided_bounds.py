@@ -1,0 +1,128 @@
+"""Two-sided bounds geometry in the embed (round-3 item: mmdg smooths a
+bounds MATRIX with distinct lo/hi, chromosome3D.pl:1471-1489; midpoint
+completion alone can push a restrained pair below its lower bound)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chromosome3d_tpu.ops.energy import DenseRestraints
+from chromosome3d_tpu.solver.init import (
+    mds_init,
+    smooth_bounds,
+    smooth_bounds_two_sided,
+)
+
+BOND = 3.8
+
+
+def make_windowed(L, entries):
+    """DenseRestraints from {(i, j): (lo, hi)} (symmetric)."""
+    lo = np.zeros((L, L), np.float32)
+    hi = np.zeros((L, L), np.float32)
+    mask = np.zeros((L, L), np.float32)
+    for (i, j), (a, b) in entries.items():
+        for p, q in ((i, j), (j, i)):
+            lo[p, q], hi[p, q], mask[p, q] = a, b, 1.0
+    return DenseRestraints(
+        lo=jnp.asarray(lo), hi=jnp.asarray(hi),
+        mask=jnp.asarray(mask), weight=jnp.asarray(mask),
+    )
+
+
+def test_shortcut_cannot_undercut_lower_bound():
+    """A short path through an intermediate must not push a restrained
+    pair's embed target below its lower bound."""
+    L = 10
+    r = make_windowed(L, {
+        (0, 9): (9.0, 12.0),   # wide window
+        (0, 5): (3.0, 5.0),
+        (5, 9): (3.0, 5.0),    # path 0-5-9 has upper 10, midpoint sum 8
+    })
+    d_mid = np.asarray(smooth_bounds(r, BOND))
+    assert d_mid[0, 9] < 9.0  # the round-2 failure mode: below lo
+    d_two = np.asarray(smooth_bounds_two_sided(r, BOND))
+    assert d_two[0, 9] >= 9.0 - 1e-4
+    assert d_two[0, 9] <= 12.0 + 1e-4
+
+
+def test_lower_bound_propagates():
+    """Inverse triangle: lo_ij >= lo_ik - up_kj must raise unrestrained
+    pairs near a long restraint."""
+    L = 10
+    r = make_windowed(L, {
+        (0, 9): (20.0, 22.0),
+        (5, 9): (3.0, 4.0),
+    })
+    d_two = np.asarray(smooth_bounds_two_sided(r, BOND))
+    # lo(0,5) >= lo(0,9) - up(5,9) = 20 - 4 = 16
+    assert d_two[0, 5] >= 16.0 - 1e-4
+
+
+def test_exact_restraints_unchanged():
+    """With lo == hi everywhere the two-sided smoothing equals the
+    single-matrix completion (the pipeline's own case)."""
+    L = 12
+    rng = np.random.RandomState(0)
+    entries = {}
+    for i in range(L):
+        for j in range(i + 2, L):
+            if rng.rand() < 0.5:
+                d = float(rng.uniform(4, 20))
+                entries[(i, j)] = (d, d)
+    r = make_windowed(L, entries)
+    d1 = np.asarray(smooth_bounds(r, BOND))
+    d2 = np.asarray(smooth_bounds_two_sided(r, BOND))
+    np.testing.assert_allclose(d2, d1, rtol=1e-5, atol=1e-5)
+
+
+def test_mds_init_two_sided_flag():
+    L = 10
+    r = make_windowed(L, {
+        (0, 9): (9.0, 12.0),
+        (0, 5): (3.0, 5.0),
+        (5, 9): (3.0, 5.0),
+    })
+    x_mid = np.asarray(mds_init(r, bond_length=BOND))
+    x_two = np.asarray(mds_init(r, bond_length=BOND, two_sided=True))
+    assert np.isfinite(x_two).all()
+    d_mid = np.linalg.norm(x_mid[0] - x_mid[9])
+    d_two = np.linalg.norm(x_two[0] - x_two[9])
+    # the two-sided embed starts the restrained pair nearer its window
+    assert d_two > d_mid
+
+
+def test_restraints_pipeline_auto_enables(tmp_path, monkeypatch):
+    """run_restraints_pipeline on a tbl with real deviation windows must
+    auto-enable embed_two_sided (and still solve)."""
+    import chromosome3d_tpu.pipeline as pl
+
+    L = 12
+    lines = [
+        f"assign (resid {i:3d} and name ca) (resid {i + 1:3d} and name ca)"
+        f"  3.80 0.50 0.50"
+        for i in range(1, L)
+    ]
+    lines.append(
+        "assign (resid 1 and name ca) (resid 10 and name ca) 10.00 2.00 2.00"
+    )
+    tbl = tmp_path / "win.tbl"
+    tbl.write_text("\n".join(lines) + "\n")
+
+    seen = {}
+    real = pl._aot_solve
+
+    def spy(dense, anneal_cfg, key, n_models, bm, or_groups=None):
+        seen["two_sided"] = anneal_cfg.embed_two_sided
+        return real(dense, anneal_cfg, key, n_models, bm, or_groups=or_groups)
+
+    monkeypatch.setattr(pl, "_aot_solve", spy)
+    from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, fast_anneal
+
+    cfg = PipelineConfig(
+        model_count=2, anneal=fast_anneal(AnnealConfig()),
+        length_buckets=(16,),
+    )
+    summary = pl.run_restraints_pipeline(str(tbl), str(tmp_path / "out"), cfg)
+    assert seen["two_sided"] is True
+    assert summary["restraints"] == L  # L-1 chain + 1 long
