@@ -144,6 +144,13 @@ class AnnealConfig:
     # whole wall-selection branch logic. The pipeline auto-enables this when
     # provable; only set it manually if you know the restraints are exact.
     exact_restraints: bool = False
+    # MXU-hybrid d^2 inside the fused/triangular kernels: compute the
+    # pairwise squared distances as |a|^2 + |x|^2 - 2 a@X^T on the systolic
+    # array instead of broadcast differencing on the VPU — moves ~6 of ~18
+    # VPU slots/pair to otherwise-idle hardware at the cost of ~1e-3
+    # relative near-contact accuracy (f32 cancellation, clamped at 0).
+    # Default off pending/per the real-chip A/B in DESIGN.md.
+    gram_d2: bool = False
     # fold the ENTIRE step (pair+bond gradient, Adam, Langevin noise,
     # coordinate update) into one kernel invocation per row tile. Valid only
     # on the exact-restraint Pallas path; measured: the unfused step spends

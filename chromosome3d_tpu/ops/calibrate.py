@@ -162,16 +162,24 @@ def _real_timer(steps: int, batch: int):
             raise ValueError(variant)
         return scan_of(step, (x, opt.init(x), jax.random.PRNGKey(0)))
 
+    built_cache: dict = {}
+
     def timer(variant: str, L: int) -> Optional[float]:
-        built = build(variant, L)
+        key = (variant, L)
+        if key not in built_cache:
+            built = build(variant, L)
+            if built is not None:
+                fn, carry0 = built
+                out = fn(carry0)          # compile + warm ONCE per variant
+                np.asarray(jax.tree.leaves(out)[0])
+            built_cache[key] = built
+        built = built_cache[key]
         if built is None:
             return None
         fn, carry0 = built
-        out = fn(carry0)                  # compile + warm
-        np.asarray(jax.tree.leaves(out)[0])  # host fence (remote backends)
         t0 = time.perf_counter()
         out = fn(carry0)
-        np.asarray(jax.tree.leaves(out)[0])
+        np.asarray(jax.tree.leaves(out)[0])  # host fence (remote backends)
         return time.perf_counter() - t0
 
     return timer

@@ -255,6 +255,8 @@ def _kernel_fused_step(
     nuo_ref,      # out (1, 3, TM)
     gb_ref,       # scratch VMEM (3, Lp): full-chain bond gradient staging
     eb_ref,       # scratch VMEM (1, Lp): full-chain bond energy staging
+    *,
+    gram: bool = False,
 ):
     """The WHOLE annealing step in one kernel invocation per row tile:
     pair energy+gradient (exact-restraint algebra), chain-bond energy+
@@ -317,10 +319,25 @@ def _kernel_fused_step(
     # arrives PRE-SCALED by 2*noe_w (constant over the schedule) and
     # PRE-MASKED (bead validity, |i-j| >= 2 for vdw) — fused_step_tiles
     # folds both host-side once per solve. Net: ~25 -> ~18 VPU slots/pair.
-    s = jnp.full((TM, Lp), _EPS, jnp.float32)
-    for c in range(3):
-        diff = a[:, c:c + 1] - xtf[c:c + 1, :]
-        s = s + diff * diff
+    if gram:
+        # MXU-hybrid d^2: |a|^2 + |x|^2 - 2 a@X^T moves ~6 of the ~18 VPU
+        # slots/pair onto the (otherwise idle) systolic array. f32
+        # cancellation costs ~1e-3 relative near-contact accuracy (clamped
+        # at 0), acceptable for stochastic annealing forces — gated by
+        # AnnealConfig.gram_d2, accepted/rejected on a real-chip A/B.
+        a2 = jnp.sum(a * a, axis=1, keepdims=True)           # (TM, 1)
+        x2 = jnp.sum(xtf * xtf, axis=0, keepdims=True)       # (1, Lp)
+        ax = jax.lax.dot_general(
+            a, xtf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                    # (TM, Lp) MXU
+        s = jnp.maximum(a2 + x2 - 2.0 * ax, 0.0) + _EPS
+    else:
+        s = jnp.full((TM, Lp), _EPS, jnp.float32)
+        for c in range(3):
+            diff = a[:, c:c + 1] - xtf[c:c + 1, :]
+            s = s + diff * diff
     rinv = jax.lax.rsqrt(s)
     u = 1.0 - t_ref[:] * rinv
     wtu = w_ref[:] * u                             # w tile carries 2*noe_w
@@ -640,6 +657,7 @@ def pallas_fused_step_batched(
     eps_adam: float = 1e-8,
     interpret: bool = False,
     masked_tiles=None,
+    gram: bool = False,
 ):
     """One full annealing step for a shared-restraint batch, entirely inside
     the fused kernel. State rides the TRANSPOSED (B, 3, L) layout (see
@@ -702,7 +720,7 @@ def pallas_fused_step_batched(
     tile_spec = pl.BlockSpec((TM, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
     stateT_spec = pl.BlockSpec((1, 3, TM), lambda i, b: (b, 0, i), memory_space=pltpu.VMEM)
     e_parts, x_new, mu_new, nu_new = pl.pallas_call(
-        _kernel_fused_step,
+        functools.partial(_kernel_fused_step, gram=gram),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -747,7 +765,7 @@ def pallas_fused_step_batched(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "exact"))
+@functools.partial(jax.jit, static_argnames=("interpret", "exact", "gram"))
 def _pairwise_energy_grad_batched(
     coords: jnp.ndarray,       # (B, L, 3)
     restraints: DenseRestraints,
@@ -755,6 +773,7 @@ def _pairwise_energy_grad_batched(
     bead_mask: jnp.ndarray,    # (L,)
     interpret: bool = False,
     exact: bool = False,
+    gram: bool = False,
 ):
     """Run the fused kernel over a batch of structures SHARING one restraint
     set. Returns (pair_energy (B,), pair_grad (B, L, 3)).
@@ -776,7 +795,7 @@ def _pairwise_energy_grad_batched(
     B, L, _ = coords.shape
     if exact and use_triangular(L, for_unfused=True):
         return pallas_energy_grad_tri_batched(
-            coords, restraints, weights, bead_mask, interpret
+            coords, restraints, weights, bead_mask, interpret, gram=gram
         )
     Lp = _round_up(max(L, 8), TILE_M)
     padn = Lp - L
@@ -857,6 +876,8 @@ def _kernel_exact_tri(
     e_ref,        # out (1, 1, TM, 1): row-block energy partials of THIS s
     grow_ref,     # out (1, 1, TM, 3): row-block gradient of THIS s
     gcolT_ref,    # out (1, 1, 3, TM): col-block gradient of THIS s (T layout)
+    *,
+    gram: bool = False,
 ):
     """SYMMETRY-EXPLOITING exact-restraint energy+gradient: each unordered
     TILE PAIR is computed once. The grid walks (i, s, b) — batch FASTEST, so
@@ -895,10 +916,20 @@ def _kernel_exact_tri(
         # even T: shell s = T/2 double-covers; the i >= T/2 twin contributes 0
         live = jnp.where((s == S - 1) & (i >= T // 2), 0.0, 1.0)
 
-    s2 = jnp.full((TM, TM), _EPS, jnp.float32)
-    for c in range(3):
-        diff = a[:, c:c + 1] - xjT[c:c + 1, :]
-        s2 = s2 + diff * diff
+    if gram:
+        a2 = jnp.sum(a * a, axis=1, keepdims=True)           # (TM, 1)
+        x2 = jnp.sum(xjT * xjT, axis=0, keepdims=True)       # (1, TM)
+        ax = jax.lax.dot_general(
+            a, xjT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s2 = jnp.maximum(a2 + x2 - 2.0 * ax, 0.0) + _EPS
+    else:
+        s2 = jnp.full((TM, TM), _EPS, jnp.float32)
+        for c in range(3):
+            diff = a[:, c:c + 1] - xjT[c:c + 1, :]
+            s2 = s2 + diff * diff
     rinv = jax.lax.rsqrt(s2)
     u = 1.0 - t_ref[:] * rinv
     pv = bmr_ref[:] * bmc_ref[:]                   # (TM, TM)
@@ -1066,6 +1097,7 @@ def pallas_energy_grad_tri_batched(
     bead_mask: jnp.ndarray,    # (L,)
     interpret: bool = False,
     tile: int | None = None,
+    gram: bool = False,
 ):
     """Batched exact-restraint pair energy+grad via the triangular kernel
     (valid only when lo == hi and the well is pure quadratic — the same
@@ -1101,7 +1133,7 @@ def pallas_energy_grad_tri_batched(
         return (i + s) % T
 
     e_parts, g_row, g_colT = pl.pallas_call(
-        _kernel_exact_tri,
+        functools.partial(_kernel_exact_tri, gram=gram),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -394,7 +394,7 @@ def solve_ensemble_impl(
                 e, xT, muT, nuT = pallas_fused_step_batched(
                     xT, muT, nuT, restraints, sched_weights(vdw_w, repel),
                     bead_mask, lr, sigma, bc1, bc2, seed, count, clip_val,
-                    masked_tiles=tiles,
+                    masked_tiles=tiles, gram=cfg.gram_d2,
                 )
                 return (xT, muT, nuT, count + 1), e
         else:
@@ -416,7 +416,8 @@ def solve_ensemble_impl(
                 weights = sched_weights(vdw_w, repel)
                 x = jnp.swapaxes(xT, 1, 2)
                 e_pair, g = _pairwise_energy_grad_batched(
-                    x, restraints, weights, bead_mask, interpret, True
+                    x, restraints, weights, bead_mask, interpret, True,
+                    cfg.gram_d2,
                 )
                 t = (count + 1).astype(jnp.float32)
                 bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(0.9), t))

@@ -544,3 +544,37 @@ def test_fused_update_padded_and_noise_stats():
     d = np.concatenate(deltas)  # lr=0, g=0 -> pure noise
     assert abs(d.mean()) < 0.08
     assert abs(d.std() - sigma) < 0.08
+
+
+def test_gram_d2_parity():
+    """The MXU-hybrid d^2 (gram=True) must match broadcast differencing to
+    ~1e-3 relative in both the fused step and the triangular kernel."""
+    from chromosome3d_tpu.ops.pallas_energy import (
+        pallas_energy_grad_tri_batched,
+    )
+
+    x, dense, w, bead = make_exact_case(40)
+    xb = jnp.stack([x, -x])
+    z = jnp.zeros_like(jnp.swapaxes(xb, 1, 2))
+    args = (0.05, 0.0, 1.0, 1.0, 3, 0, -1.0)
+
+    e_a, x_a, _, _ = _fused_step_rowapi(
+        xb, np.zeros(xb.shape, np.float32), np.zeros(xb.shape, np.float32),
+        dense, w, bead, *args, interpret=True,
+    )
+    e_b, x_b, _, _ = _fused_step_rowapi(
+        xb, np.zeros(xb.shape, np.float32), np.zeros(xb.shape, np.float32),
+        dense, w, bead, *args, interpret=True, gram=True,
+    )
+    np.testing.assert_allclose(np.asarray(e_b), np.asarray(e_a), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a),
+                               rtol=1e-3, atol=1e-3)
+
+    e_t, g_t = pallas_energy_grad_tri_batched(xb, dense, w, bead,
+                                              interpret=True, tile=16)
+    e_g, g_g = pallas_energy_grad_tri_batched(xb, dense, w, bead,
+                                              interpret=True, tile=16,
+                                              gram=True)
+    np.testing.assert_allclose(np.asarray(e_g), np.asarray(e_t), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_g), np.asarray(g_t),
+                               rtol=2e-2, atol=2e-2)
