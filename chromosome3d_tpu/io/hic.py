@@ -74,13 +74,19 @@ def load_cooler(
     path: str | os.PathLike,
     chrom: Optional[str] = None,
     resolution: Optional[int] = None,
+    balance: bool = False,
 ) -> np.ndarray:
     """Read a cooler file's intra-chromosomal block as a dense matrix.
 
     Requires h5py (gated import — raises ImportError with guidance if it is
     unavailable). For `.mcool` multi-resolution files pass `resolution`; the
     group layout is `resolutions/<res>` per the cooler schema. chrom=None
-    with a single-chromosome cooler takes that chromosome."""
+    with a single-chromosome cooler takes that chromosome.
+
+    balance=True applies the stored matrix-balancing weights
+    (`bins/weight`, the cooler convention: balanced_ij = count_ij w_i w_j);
+    bins with NaN weight (filtered by the balancer) come back as zero
+    rows/columns."""
     try:
         import h5py
     except ImportError as e:  # pragma: no cover - environment dependent
@@ -121,6 +127,16 @@ def load_cooler(
         m = np.zeros((L, L), dtype=np.float64)
         np.add.at(m, (i, j), v)
         np.add.at(m, (j, i), np.where(i == j, 0.0, v))
+        if balance:
+            if "bins/weight" not in grp:
+                raise ValueError(
+                    f"{path}: balance=True but no bins/weight column "
+                    "(run `cooler balance` or use ice=True instead)"
+                )
+            w = np.asarray(grp["bins/weight"][lo:hi + 1], dtype=np.float64)
+            good = np.isfinite(w)
+            wv = np.where(good, w, 0.0)
+            m = m * wv[:, None] * wv[None, :]
         return m
 
 
@@ -442,11 +458,13 @@ def load_any(
 ) -> np.ndarray:
     """Dispatch on extension: .cool/.mcool -> cooler, .hic -> juicer,
     .matrix -> HiC-Pro triplets, anything else -> the reference's dense
-    whitespace text format. norm applies to .hic only (a stored
-    normalization vector, e.g. KR/VC/SCALE)."""
+    whitespace text format. norm: for .hic, a stored normalization vector
+    name (KR/VC/SCALE...); for .cool/.mcool, any non-NONE value applies
+    the stored `bins/weight` balancing."""
     p = os.fspath(path)
     if p.endswith((".cool", ".mcool")):
-        return load_cooler(p, chrom, resolution)
+        return load_cooler(p, chrom, resolution,
+                           balance=norm not in ("NONE", "", None))
     if p.endswith(".hic"):
         if chrom is None or resolution is None:
             raise ValueError(".hic input needs chrom= and resolution=")

@@ -468,3 +468,32 @@ def test_hic_v8_norm_vector_applied(tmp_path):
     p = str(tmp_path / "v8.hic")
     make_hic_v8(p, m)
     np.testing.assert_allclose(load_hic(p, "chr21", 100), m)
+
+
+def test_cooler_balance_weights(tmp_path):
+    """balance=True applies bins/weight (balanced = count * w_i * w_j);
+    NaN-weight bins come back zero; missing column raises."""
+    h5py = pytest.importorskip("h5py")
+    m = dense_case(8, seed=9)
+    p = str(tmp_path / "b.cool")
+    make_cool(p, m)
+    rng = np.random.RandomState(1)
+    w = rng.uniform(0.5, 2.0, 8)
+    w[2] = np.nan
+    with h5py.File(p, "a") as f:
+        f.create_dataset("bins/weight", data=w)
+    got = load_cooler(p, balance=True)
+    wv = np.where(np.isfinite(w), w, 0.0)
+    np.testing.assert_allclose(got, m * wv[:, None] * wv[None, :])
+    assert (got[2] == 0).all() and (got[:, 2] == 0).all()
+    # via the dispatcher norm flag
+    np.testing.assert_allclose(
+        load_any(p, chrom="chr21", norm="weight"), got
+    )
+    # raw load unchanged
+    np.testing.assert_allclose(load_cooler(p), m)
+
+    p2 = str(tmp_path / "nw.cool")
+    make_cool(p2, m)
+    with pytest.raises(ValueError, match="bins/weight"):
+        load_cooler(p2, balance=True)
