@@ -151,6 +151,10 @@ class AnnealConfig:
     # relative near-contact accuracy (f32 cancellation, clamped at 0).
     # Default off pending/per the real-chip A/B in DESIGN.md.
     gram_d2: bool = False
+    # lax.scan unroll factor for the annealing loop: >1 amortizes the
+    # per-iteration loop/dispatch overhead at the cost of a proportionally
+    # larger program. Measured knob (see DESIGN.md); 1 = off.
+    scan_unroll: int = 1
     # fold the ENTIRE step (pair+bond gradient, Adam, Langevin noise,
     # coordinate update) into one kernel invocation per row tile. Valid only
     # on the exact-restraint Pallas path; measured: the unfused step spends

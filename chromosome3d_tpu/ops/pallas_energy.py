@@ -73,12 +73,20 @@ def _pick_tile_fused(Lp: int):
     """Row-tile size for the FUSED step. Its T-layout state blocks are
     (1, 3, TM), so Mosaic's lane rule forces TM % 128 == 0 (a (3, 64) block
     of a (3, 4096) array does not lower) — which also bounds the fused
-    step's reach: past Lp ~= 3840 no 128-multiple tile fits the scoped-VMEM
-    budget and the caller must use the triangular/unfused path instead
-    (solver.anneal picks that automatically). Returns None when infeasible."""
-    budget = 14 * 1024 * 1024
+    step's reach: past Lp ~= 2048 no 128-multiple tile fits the scoped-VMEM
+    budget and the caller uses the triangular/semi-fused path instead
+    (solver.anneal picks that automatically). Returns None when infeasible.
+
+    Cost model calibrated from REAL compiler reports (round 3): the fused
+    step's live set is ~14.5 * TM * Lp * 4 bytes — Mosaic reported 16.96M
+    scoped at TM=384/Lp=768 (an OOM the old 8.5 factor missed; bucket 768
+    had never compiled on hardware), while TM=512/Lp=512 and TM=256/Lp=1024
+    and TM=128/Lp=2048 all fit under the 16M hardware limit, consistent
+    with u ~= 14.5. Budget 15.5M keeps the production 512 bucket on its
+    measured whole-row tile while rejecting the shapes that actually OOM."""
+    budget = 15.5e6
     for t in (Lp, 512, 384, 256, 128):
-        if t <= Lp and Lp % t == 0 and t % 128 == 0 and 8.5 * t * Lp * 4 <= budget:
+        if t <= Lp and Lp % t == 0 and t % 128 == 0 and 14.5 * t * Lp * 4 <= budget:
             return t
     return None
 
@@ -447,7 +455,7 @@ def _kernel_fused_update(
     noise, coordinate update — everything per-step EXCEPT the O(L^2) pair
     terms, which arrive as gT from whichever pair kernel ran (the triangular
     kernel at large L, where the fully fused step cannot lower past
-    Lp ~= 3840 — _pick_tile_fused). This closes the ~15%/step XLA op-launch
+    Lp ~= 2048 — _pick_tile_fused). This closes the ~15%/step XLA op-launch
     glue the unfused scan paid exactly where the triangular kernel wins
     (round-2 VERDICT item 2). One grid point per structure; all state in the
     full-lane (3, L) T layout. The noise stream is BITWISE identical to
@@ -1059,13 +1067,18 @@ def use_triangular(L: int, for_unfused: bool = False) -> bool:
     defaults from the round-2 measurement session (276-step turbo,
     4 models, ±8% single-run variance): against the FULLY FUSED
     whole-matrix step, L=1024 fused 0.111 s vs tri 0.131-0.139 (fused
-    wins), L=2048 0.221 vs 0.217-0.224 (tie) — and past Lp ~= 3840 the
+    wins), L=2048 0.221 vs 0.217-0.224 (tie) — and past Lp ~= 2048 the
     fused step cannot lower at all (fused_step_feasible), so the
     fused-path crossover defaults to 2048. When the fused step is NOT an
     option (for_unfused=True: or-group solves, fuse_update=False, the
     enantiomer hot pick), the comparison is against the full-matrix row
     kernel doing ~2x the pair math, so the default crossover is 1024.
-    CHROM3D_NO_TRI=1 disables the dispatch (A/B measurement)."""
+    CHROM3D_NO_TRI=1 disables the dispatch (A/B measurement).
+
+    Round-3 frozen fallback (no table): the calibrated measurement showed
+    the FUSED step wins (or ties) wherever it can lower — 1024 tie, 2048
+    win — so without a table the fused path defers to the triangular
+    kernel only where the fused step is infeasible."""
     import math
     import os
 
@@ -1081,13 +1094,17 @@ def use_triangular(L: int, for_unfused: bool = False) -> bool:
         best = min(
             entries, key=lambda e: abs(math.log(max(L, 1) / max(e["L"], 1)))
         )
+        # 3% hysteresis: a within-noise "win" (measured rel_spread is a
+        # few %) must not flip dispatch away from the simpler variant
         if for_unfused:
-            return best["tri_unfused_s"] < best["row_unfused_s"]
+            return best["tri_unfused_s"] < 0.97 * best["row_unfused_s"]
         if not fused_step_feasible(L):
             return True
-        return best["semi_s"] < best["fused_s"]
+        return best["semi_s"] < 0.97 * best["fused_s"]
 
-    return L >= (1024 if for_unfused else 2048)
+    if for_unfused:
+        return L >= 1024
+    return not fused_step_feasible(L)
 
 
 def pallas_energy_grad_tri_batched(

@@ -305,7 +305,7 @@ def solve_ensemble_impl(
     if fusable:
         # at large L the triangular (symmetry-exploiting) pair kernel beats
         # the fully fused whole-matrix step: each unordered tile pair is
-        # computed once (33-45% less pair math) — and past Lp ~= 3840 the
+        # computed once (33-45% less pair math) — and past Lp ~= 2048 the
         # fused step cannot lower at all. There the scan runs SEMI-fused:
         # the triangular/row pair kernel + the fused UPDATE companion
         # (pallas_fused_update_batched), which folds the bond/clip/Adam/
@@ -387,10 +387,7 @@ def solve_ensemble_impl(
 
             def step(carry, srow):
                 xT, muT, nuT, count = carry
-                lr, sigma, vdw_w, repel = srow
-                t = (count + 1).astype(jnp.float32)
-                bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(0.9), t))
-                bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(0.999), t))
+                lr, sigma, vdw_w, repel, bc1, bc2 = srow
                 e, xT, muT, nuT = pallas_fused_step_batched(
                     xT, muT, nuT, restraints, sched_weights(vdw_w, repel),
                     bead_mask, lr, sigma, bc1, bc2, seed, count, clip_val,
@@ -412,16 +409,13 @@ def solve_ensemble_impl(
 
             def step(carry, srow):
                 xT, muT, nuT, count = carry
-                lr, sigma, vdw_w, repel = srow
+                lr, sigma, vdw_w, repel, bc1, bc2 = srow
                 weights = sched_weights(vdw_w, repel)
                 x = jnp.swapaxes(xT, 1, 2)
                 e_pair, g = _pairwise_energy_grad_batched(
                     x, restraints, weights, bead_mask, interpret, True,
                     cfg.gram_d2,
                 )
-                t = (count + 1).astype(jnp.float32)
-                bc1 = 1.0 / (1.0 - jnp.power(jnp.float32(0.9), t))
-                bc2 = 1.0 / (1.0 - jnp.power(jnp.float32(0.999), t))
                 e_b, xT, muT, nuT = pallas_fused_update_batched(
                     xT, jnp.swapaxes(g, 1, 2), muT, nuT, weights, bead_mask,
                     lr, sigma, bc1, bc2, seed, count, clip_val,
@@ -441,7 +435,7 @@ def solve_ensemble_impl(
 
         def step(carry, srow):
             x, opt_state, k = carry
-            lr, sigma, vdw_w, repel = srow
+            lr, sigma, vdw_w, repel = srow[0], srow[1], srow[2], srow[3]
             e, g = vag(x, sched_weights(vdw_w, repel))
             g = _clip_per_bead(g, cfg.gradient_clip)
             updates, opt_state = opt.update(g, opt_state)
@@ -465,11 +459,24 @@ def solve_ensemble_impl(
         def carry_coords(carry):
             return carry[0]
 
-    srows = jnp.stack([sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1)
+    # Adam bias corrections precomputed for the WHOLE schedule as srow
+    # columns: the scan body then has zero per-step scalar ops for them
+    # (the Adam time index == global schedule position — `count` survives
+    # the enantiomer selection, so the alignment holds across both scans)
+    tsteps = jnp.arange(1, sched.lr.shape[0] + 1, dtype=jnp.float32)
+    bc1s = 1.0 / (1.0 - jnp.power(jnp.float32(0.9), tsteps))
+    bc2s = 1.0 / (1.0 - jnp.power(jnp.float32(0.999), tsteps))
+    srows = jnp.stack(
+        [sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale,
+         bc1s, bc2s],
+        axis=-1,
+    )
+    unroll = max(1, cfg.scan_unroll)
     if cfg.enantiomer:
         # hot phase on all 2n mirror-pair members
         hot = cfg.hot_steps
-        carry, hist_hot = jax.lax.scan(step, carry0, srows[:hot])
+        carry, hist_hot = jax.lax.scan(step, carry0, srows[:hot],
+                                       unroll=unroll)
         # pick handedness per pair by energy under the end-of-hot weights
         # (ref :1710-1727: CNS evaluates with the flags active at that point)
         w_hot = sched_weights(sched.vdw_weight[hot - 1], sched.repel_scale[hot - 1])
@@ -479,10 +486,11 @@ def solve_ensemble_impl(
         carry = select(carry, sel)
         hist_hot = hist_hot[:, sel]                             # (hot, n)
         # only the winners pay for slow-cool + final minimization
-        carry, hist_rest = jax.lax.scan(step, carry, srows[hot:])
+        carry, hist_rest = jax.lax.scan(step, carry, srows[hot:],
+                                        unroll=unroll)
         history = jnp.concatenate([hist_hot, hist_rest], axis=0).T  # (n, T)
     else:
-        carry, history = jax.lax.scan(step, carry0, srows)
+        carry, history = jax.lax.scan(step, carry0, srows, unroll=unroll)
         history = history.T                        # (n_eff, T)
     coords = carry_coords(carry)
 

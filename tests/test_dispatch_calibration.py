@@ -93,8 +93,9 @@ def test_without_table_frozen_defaults(monkeypatch, tmp_path):
     )
     _DISPATCH_CACHE.clear()
     assert dispatch_table_fingerprint() == "none"
-    assert not use_triangular(1024)          # fused default wins below 2048
-    assert use_triangular(2048)
+    assert not use_triangular(1024)          # fused default wins wherever feasible
+    assert not use_triangular(2048)
+    assert use_triangular(2176)              # past the fused VMEM cap
     assert use_triangular(1024, for_unfused=True)
     monkeypatch.setenv("CHROM3D_NO_TRI", "1")
     assert not use_triangular(4096)

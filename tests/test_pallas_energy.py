@@ -378,7 +378,10 @@ def test_triangular_dispatch_threshold():
     assert not use_triangular(456)
     assert not use_triangular(512)
     assert not use_triangular(1024)
-    assert use_triangular(2048)
+    # round-3 calibration: the fused step wins wherever it lowers (ties at
+    # 1024, wins at 2048) -> tri engages only past the fused VMEM cap
+    assert not use_triangular(2048)
+    assert use_triangular(2176)
     assert use_triangular(4096)
 
 
