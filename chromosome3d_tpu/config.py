@@ -153,8 +153,11 @@ class AnnealConfig:
     gram_d2: bool = False
     # lax.scan unroll factor for the annealing loop: >1 amortizes the
     # per-iteration loop/dispatch overhead at the cost of a proportionally
-    # larger program. Measured knob (see DESIGN.md); 1 = off.
-    scan_unroll: int = 1
+    # larger program. Measured on the real chip at the shipped bucket
+    # (B=10, L=456, 5 repeats): unroll=2 +6.3% end-to-end, unroll=4 +7.2%
+    # (diminishing); default 2 balances the win against program size /
+    # compile time (DESIGN.md).
+    scan_unroll: int = 2
     # fold the ENTIRE step (pair+bond gradient, Adam, Langevin noise,
     # coordinate update) into one kernel invocation per row tile. Valid only
     # on the exact-restraint Pallas path; measured: the unfused step spends
