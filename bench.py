@@ -88,9 +88,14 @@ def main() -> int:
         cfg = AnnealConfig(use_pallas=False, exact_restraints=True)
         solve = make_solve(cfg)
         run(0)
-    t0 = time.time()
-    result, coords_np = run(82364)
-    wall = time.time() - t0
+    # min over 3 timed runs: the remote execute/transfer path varies ±5-8%
+    # run to run, and the metric should reflect the device, not the tunnel's
+    # worst draw (same discipline as the A/B measurements in DESIGN.md)
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        result, coords_np = run(82364)
+        wall = min(wall, time.time() - t0)
 
     n_structs = n_models * (2 if cfg.enantiomer else 1)
     steps_per_sec = cfg.total_steps / wall

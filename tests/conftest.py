@@ -52,6 +52,7 @@ SLOW_TESTS = {
     "test_sharded_solve_matches_single",
     "test_genome_sharded_matches_plain_bucket",
     "test_run_genome_mixed_scale",
+    "test_run_genome_resume_with_large_bucket",
     # end-to-end pipeline variants
     "test_bucketed_single_runs_share_one_program",
     "test_genome_sharded_matches_single_device",
@@ -62,6 +63,7 @@ SLOW_TESTS = {
     "test_genome_alpha_ensemble",
     "test_run_pipeline_aot_roundtrip",
     "test_run_pipeline_from_cooler",
+    "test_run_pipeline_from_hic_v9_with_norm",
     "test_restraints_file_request",
     "test_solve_from_rr",
     "test_cli_coinit",

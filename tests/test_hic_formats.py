@@ -2,6 +2,7 @@
 (HDF5), and juicer .hic v8 — each round-tripped against a file built here
 from the public format specs."""
 
+import os
 import struct
 import zlib
 
@@ -497,3 +498,39 @@ def test_cooler_balance_weights(tmp_path):
     make_cool(p2, m)
     with pytest.raises(ValueError, match="bins/weight"):
         load_cooler(p2, balance=True)
+
+
+def test_run_pipeline_from_hic_v9_with_norm(tmp_path):
+    """End-to-end: a juicer v9 file with a KR vector drives the pipeline
+    through `run` semantics (load_any -> materialized .txt -> solve)."""
+    from chromosome3d_tpu.config import (
+        AnnealConfig,
+        PipelineConfig,
+        RestraintConfig,
+        fast_anneal,
+    )
+    from chromosome3d_tpu.pipeline import run_pipeline
+
+    rng = np.random.RandomState(12)
+    m = dense_case(20, seed=12) + 1.0
+    kr = rng.uniform(0.8, 1.2, 20)
+    p = str(tmp_path / "v9_matrix.hic")
+    make_hic_v9(p, m, chrom="chr21", resolution=100, norms={"KR": kr})
+    cfg = PipelineConfig(
+        model_count=2,
+        restraints=RestraintConfig(alpha=1.1, separation=2),
+        anneal=fast_anneal(AnnealConfig()),
+        length_buckets=(32,),
+    )
+    out = str(tmp_path / "out")
+    summary = run_pipeline(
+        p, out, cfg, chrom="chr21", resolution=100, norm="KR"
+    )
+    assert summary["L"] == 20
+    # the materialized matrix carries the NORMALIZED values
+    from chromosome3d_tpu.io.matrix import load_if_matrix
+
+    kr32 = kr.astype(np.float32).astype(np.float64)
+    want = m / kr32[:, None] / kr32[None, :]
+    got = load_if_matrix(os.path.join(out, "v9_matrix.txt"))
+    np.testing.assert_allclose(got, want, rtol=1e-4)

@@ -185,3 +185,33 @@ def test_genome_sharded_matches_plain_bucket(tmp_path):
         for i in range(2)
     ]
     assert max(scores) > 0.7
+
+
+def test_run_genome_resume_with_large_bucket(tmp_path):
+    """Checkpoint/resume must cover at-scale (sharded) buckets: a second
+    run with resume=True returns every summary without re-solving."""
+    import chromosome3d_tpu.parallel.genome as gn
+
+    indir = tmp_path / "input"
+    indir.mkdir()
+    np.savetxt(indir / "chr1_1mb_matrix.txt", structured_matrix(24, seed=4),
+               fmt="%.3f")
+    np.savetxt(indir / "chr2_1mb_matrix.txt", structured_matrix(96, seed=5),
+               fmt="%.3f")
+    out = str(tmp_path / "out")
+    cfg = scale_cfg()
+    first = gn.run_genome(str(indir), out, cfg)
+    assert set(first) == {"chr1_1mb", "chr2_1mb"}
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        gn, "solve_bucket_sharded",
+        side_effect=AssertionError("resume must not re-solve"),
+    ), mock.patch.object(
+        gn, "solve_bucket",
+        side_effect=AssertionError("resume must not re-solve"),
+    ):
+        again = gn.run_genome(str(indir), out, cfg, resume=True)
+    assert set(again) == {"chr1_1mb", "chr2_1mb"}
+    assert again["chr2_1mb"]["L"] == 96
