@@ -111,12 +111,17 @@ def _use_sharded(L: int, cfg: PipelineConfig) -> bool:
     )
 
 
+_SHARDED_PROGRAMS: dict = {}
+
+
 def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int):
     """Sequence-parallel ensemble solve over ALL devices (`beads` mesh axis):
     the product-surface entry to solver.sharded.solve_ensemble_sharded for
     chromosomes beyond the largest bucket. Pads to a multiple of
     lcm(shard_quantum, n_devices) so distinct big inputs share programs;
-    routes through the AOT executable cache like every other solve."""
+    routes through the AOT executable cache like every other solve, and
+    memoizes the compiled program in-process so repeated at-scale requests
+    (a long-lived server, an alpha ensemble) never retrace."""
     import math
 
     import jax.numpy as jnp
@@ -132,19 +137,22 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int):
     L = restraints.length
     L_pad = -(-L // unit) * unit
     dense, _ = _padded_dense(restraints, rc, L_pad)
-    bm = np.zeros(L_pad, dtype=np.float32)
-    bm[:L] = 1.0
-    mesh = Mesh(np.asarray(devices), ("beads",))
+    bm = jnp.asarray(np.pad(np.ones(L, np.float32), (0, L_pad - L)))
     an, n = cfg.anneal, n_models
-    solve = load_or_compile(
-        jax.jit(
-            lambda d, k, b: solve_ensemble_sharded(mesh, d, an, k, n, b)
-        ),
-        (dense, key, jnp.asarray(bm)),
-        tag="pipeline_sharded",
-        statics=f"{an!r}|n={n}|nb={nb}|devs={[d.id for d in devices]}",
-    )
-    return solve(dense, key, jnp.asarray(bm)), L_pad
+    prog_key = (tuple(d.id for d in devices), an, n, L_pad)
+    solve = _SHARDED_PROGRAMS.get(prog_key)
+    if solve is None:
+        mesh = Mesh(np.asarray(devices), ("beads",))
+        solve = load_or_compile(
+            jax.jit(
+                lambda d, k, b: solve_ensemble_sharded(mesh, d, an, k, n, b)
+            ),
+            (dense, key, bm),
+            tag="pipeline_sharded",
+            statics=f"{an!r}|n={n}|nb={nb}|devs={[d.id for d in devices]}",
+        )
+        _SHARDED_PROGRAMS[prog_key] = solve
+    return solve(dense, key, bm), L_pad
 
 
 def auto_exact(cfg: PipelineConfig, restraints) -> PipelineConfig:

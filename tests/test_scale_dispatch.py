@@ -215,3 +215,38 @@ def test_run_genome_resume_with_large_bucket(tmp_path):
         again = gn.run_genome(str(indir), out, cfg, resume=True)
     assert set(again) == {"chr1_1mb", "chr2_1mb"}
     assert again["chr2_1mb"]["L"] == 96
+
+
+def test_sharded_solve_program_memoized(tmp_path, monkeypatch):
+    """Repeated at-scale solves with the same shape/config reuse one
+    compiled program (a long-lived server must not retrace per request)."""
+    import jax
+
+    import chromosome3d_tpu.pipeline as pl
+
+    builds = []
+    import chromosome3d_tpu.utils.aot as aot
+
+    real = aot.load_or_compile
+
+    def spy(jitted, args, **kw):
+        builds.append(kw.get("tag"))
+        return real(jitted, args, **kw)
+
+    monkeypatch.setattr(pl, "load_or_compile", spy, raising=False)
+    # pipeline imports load_or_compile inside the function; patch the module
+    monkeypatch.setattr(aot, "load_or_compile", spy)
+    pl._SHARDED_PROGRAMS.clear()
+
+    cfg = scale_cfg()
+    from chromosome3d_tpu.restraints import build_restraints
+
+    m = structured_matrix(96, seed=9)
+    r = build_restraints(m, cfg.restraints)
+    r1, _ = pl._sharded_solve(r, cfg.restraints, cfg, jax.random.PRNGKey(0), 2)
+    n_builds = len(builds)
+    assert n_builds == 1
+    r2, _ = pl._sharded_solve(r, cfg.restraints, cfg, jax.random.PRNGKey(1), 2)
+    assert len(builds) == n_builds  # no retrace/rebuild
+    assert np.isfinite(np.asarray(r2.coords)).all()
+    pl._SHARDED_PROGRAMS.clear()
