@@ -166,6 +166,8 @@ class _Reader:
 
 def _add_records(m, recs):
     for x, y, v in recs:
+        if v != v:      # float blocks use NaN as the missing-value
+            continue    # sentinel (the juicer writers' convention)
         m[y, x] += v
         if x != y:
             m[x, y] += v

@@ -39,8 +39,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 ]
                 lib.c3d_matrix_dims.restype = ctypes.c_longlong
                 lib.c3d_matrix_dims.argtypes = [ctypes.c_char_p]
-                lib.c3d_write_ca_pdb.restype = ctypes.c_int32
-                lib.c3d_write_ca_pdb.argtypes = [
+                lib.c3d_write_ca_pdb_v2.restype = ctypes.c_int32
+                lib.c3d_write_ca_pdb_v2.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_double),
                     ctypes.c_longlong,
@@ -99,7 +99,7 @@ def write_ca_pdb(
     xyz = np.ascontiguousarray(coords, dtype=np.float64)
     if xyz.ndim != 2 or xyz.shape[1] != 3:
         return False
-    rc = lib.c3d_write_ca_pdb(
+    rc = lib.c3d_write_ca_pdb_v2(
         str(path).encode(),
         xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         xyz.shape[0],

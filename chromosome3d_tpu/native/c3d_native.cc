@@ -109,9 +109,14 @@ int64_t c3d_parse_matrix(const char* path, double* out, int64_t cap) {
 // pre-formatted header lines (REMARK rows, passed through verbatim — must
 // already end each line with '\n'), ATOM rows, optional CONECT chain, END.
 // Returns 0 on success (byte-parity-tested against the Python writer).
-int32_t c3d_write_ca_pdb(const char* path, const double* xyz, int64_t L,
-                         const char* header, const char* resname,
-                         int32_t connect) {
+// The _v2 suffix versions the ABI: round 3 changed the signature (3 -> 6
+// args), and ctypes cannot detect a signature change under the same symbol
+// name — a stale .so would be called "successfully" with the extra args
+// ignored and silently emit old-format PDBs. A missing _v2 symbol instead
+// raises AttributeError at load, and the loader falls back to Python.
+int32_t c3d_write_ca_pdb_v2(const char* path, const double* xyz, int64_t L,
+                            const char* header, const char* resname,
+                            int32_t connect) {
   FILE* fp = fopen(path, "w");
   if (!fp) return -1;
   if (header && header[0]) fputs(header, fp);

@@ -86,7 +86,9 @@ def bucket_jobs(
         if fit:
             job.bucket = min(fit)
         elif shard_quantum:
-            job.bucket = -(-job.length // shard_quantum) * shard_quantum
+            from chromosome3d_tpu.pipeline import quantum_bucket
+
+            job.bucket = quantum_bucket(job.length, shard_quantum)
         else:
             raise ValueError(
                 f"{job.name}: L={job.length} exceeds the largest bucket {max(buckets)}"

@@ -77,6 +77,18 @@ def _aot_solve(dense, anneal_cfg, key, n_models, bm, or_groups=None):
     return solve(dense, key, bm, or_groups)
 
 
+def quantum_bucket(L: int, quantum: int, multiple: int = 1) -> int:
+    """THE dynamic large-bucket rule, shared by every at-scale call site
+    (single runs, genome buckets, serve bookkeeping): round L up to a
+    multiple of lcm(quantum, multiple). multiple is the beads-mesh size for
+    row-sharded solves (their L must divide the axis) and 1 otherwise."""
+    import math
+
+    q = max(quantum, 1)
+    unit = q * multiple // math.gcd(q, multiple)
+    return -(-L // unit) * unit
+
+
 def _bucket_pad(L: int, cfg: PipelineConfig):
     """Padded length + (L_pad,) bead mask for a single-chromosome solve.
 
@@ -90,8 +102,7 @@ def _bucket_pad(L: int, cfg: PipelineConfig):
         if fit:
             L_pad = min(fit)
         elif cfg.shard_large:
-            q = cfg.shard_quantum
-            L_pad = -(-L // q) * q
+            L_pad = quantum_bucket(L, cfg.shard_quantum)
     bead_mask = None
     if L_pad != L:
         bead_mask = np.zeros(L_pad, dtype=np.float32)
@@ -122,8 +133,6 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int):
     routes through the AOT executable cache like every other solve, and
     memoizes the compiled program in-process so repeated at-scale requests
     (a long-lived server, an alpha ensemble) never retrace."""
-    import math
-
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
@@ -132,10 +141,8 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int):
 
     devices = jax.devices()
     nb = len(devices)
-    q = max(cfg.shard_quantum, 1)
-    unit = q * nb // math.gcd(q, nb)
     L = restraints.length
-    L_pad = -(-L // unit) * unit
+    L_pad = quantum_bucket(L, cfg.shard_quantum, multiple=nb)
     dense, _ = _padded_dense(restraints, rc, L_pad)
     bm = jnp.asarray(np.pad(np.ones(L, np.float32), (0, L_pad - L)))
     an, n = cfg.anneal, n_models

@@ -78,15 +78,23 @@ class SolverCache:
         if fit:
             return min(fit)
         if self.base.shard_large:
-            q = max(self.base.shard_quantum, 1)
-            return -(-L // q) * q
+            from chromosome3d_tpu.pipeline import quantum_bucket
+
+            return quantum_bucket(L, self.base.shard_quantum)
         raise ValueError(
             f"L={L} exceeds the largest bucket {max(self.base.length_buckets)}"
         )
 
     def mark_warm(self, L: int, cfg: PipelineConfig) -> None:
-        self.warm.add((self.bucket_for(L), cfg.model_count,
-                       cfg.anneal.total_steps))
+        self.add_warm(self.bucket_for(L), cfg)
+
+    def add_warm(self, L_pad: int, cfg: PipelineConfig) -> None:
+        with self._busy_lock:   # guards warm against ping's iteration
+            self.warm.add((L_pad, cfg.model_count, cfg.anneal.total_steps))
+
+    def warm_snapshot(self):
+        with self._busy_lock:
+            return sorted(self.warm)
 
     def solve(self, matrix: np.ndarray, cfg: PipelineConfig):
         """Solve one chromosome through the padded path; returns
@@ -108,11 +116,14 @@ class SolverCache:
 
         cfg = auto_exact(cfg, r)  # matrix-derived restraints: fast kernel
         key = jax.random.PRNGKey(cfg.seed)
+        L_warm = None
         if _use_sharded(L, cfg):
             # at-scale request: row-sharded over the device mesh, same
             # dispatch as run_pipeline (the program cache is jax's jit
-            # cache + the AOT executable cache inside _sharded_solve)
-            result, _ = _sharded_solve(r, rc, cfg, key, cfg.model_count)
+            # cache + the AOT executable cache inside _sharded_solve).
+            # Record the ACTUAL padded length the program compiled at
+            # (lcm(quantum, devices) — not the plain quantum bucket).
+            result, L_warm = _sharded_solve(r, rc, cfg, key, cfg.model_count)
         else:
             L_pad = self.bucket_for(L)
             p = rc.weight_exponent
@@ -137,7 +148,8 @@ class SolverCache:
                 )
                 self._programs[prog_key] = solve
             result = solve(dense, key, bead)
-        self.mark_warm(L, cfg)
+            L_warm = L_pad
+        self.add_warm(L_warm, cfg)
         coords = np.asarray(result.coords)[:, :L, :]
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
         return coords, energies, r
@@ -170,15 +182,11 @@ def _validate(req: Dict, cache: SolverCache) -> Optional[str]:
 
 
 def handle_request(req: Dict, cache: SolverCache) -> Dict:
-    from chromosome3d_tpu.io.matrix import load_if_matrix
-    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
-    from chromosome3d_tpu.pipeline import emit_artifacts
-
     if req.get("cmd") == "ping":
         return {
             "ok": True,
             "pong": True,
-            "warm_buckets": sorted(cache.warm),
+            "warm_buckets": cache.warm_snapshot(),
             "busy": cache.busy,
         }
     if req.get("cmd"):
@@ -191,9 +199,16 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
     if err:
         return {"ok": False, "error": err}
 
+    # count the request as busy BEFORE the first-request imports below —
+    # in a fresh process those take ~0.5 s, during which a concurrent ping
+    # must already see busy >= 1
     with cache._busy_lock:
         cache.busy += 1
     try:
+        from chromosome3d_tpu.io.matrix import load_if_matrix
+        from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+        from chromosome3d_tpu.pipeline import emit_artifacts
+
         if "restraints" in req:
             # solve directly from a .rr / CNS .tbl restraint file (incl.
             # or-groups) — the general distance-geometry request; the
@@ -213,7 +228,13 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
                     req["restraints"], req["out"], cfg_r,
                     L=int(req["L"]) if "L" in req else None,
                 )
+            try:
                 cache.mark_warm(summary["L"], cfg_r)
+            except ValueError:
+                # bookkeeping only (e.g. shard_large=False with L beyond
+                # every bucket: the exact-L solve still completed) — never
+                # turn a finished solve into an error response
+                pass
             return {"ok": True, **summary}
 
         matrix_path = req["matrix"]
@@ -304,10 +325,20 @@ def serve(socket_path: str, cfg: Optional[PipelineConfig] = None) -> None:
 
 
 def request(socket_path: str, req: Dict, timeout: float = 600.0) -> Dict:
-    """One-shot client: send a request, return the response dict."""
+    """One-shot client: send a request, return the response dict. Retries
+    briefly on ConnectionRefused (the server's bind->listen window)."""
+    import time as _time
+
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.settimeout(timeout)
-        s.connect(socket_path)
+        for attempt in range(20):
+            try:
+                s.connect(socket_path)
+                break
+            except (ConnectionRefusedError, FileNotFoundError):
+                if attempt == 19:
+                    raise
+                _time.sleep(0.05)
         s.sendall((json.dumps(req) + "\n").encode())
         buf = b""
         while not buf.endswith(b"\n"):

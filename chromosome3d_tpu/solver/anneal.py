@@ -316,8 +316,12 @@ def solve_ensemble_impl(
             use_triangular,
         )
 
+        import os as _os
+
         fused = not use_triangular(L) and fused_step_feasible(L)
-        semi = not fused
+        # the semi path IS the triangular kernel (+ companion), so the
+        # CHROM3D_NO_TRI A/B override must push it to the unfused scan
+        semi = not fused and not _os.environ.get("CHROM3D_NO_TRI")
     if use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
 
@@ -391,35 +395,34 @@ def solve_ensemble_impl(
                 e, xT, muT, nuT = pallas_fused_step_batched(
                     xT, muT, nuT, restraints, sched_weights(vdw_w, repel),
                     bead_mask, lr, sigma, bc1, bc2, seed, count, clip_val,
-                    masked_tiles=tiles, gram=cfg.gram_d2,
+                    masked_tiles=tiles, gram=cfg.gram_d2, interpret=interp,
                 )
                 return (xT, muT, nuT, count + 1), e
         else:
-            # SEMI-fused: triangular/row pair kernel (dispatched inside
-            # _pairwise_energy_grad_batched) + the fused update companion;
-            # the two O(B*L*3) transposes are noise next to the O(L^2) pair
-            # work. The noise stream is bitwise the fused step's.
+            # SEMI-fused: the TRIANGULAR pair kernel + the fused update
+            # companion — exactly the combination the calibration timed as
+            # `semi_s` (the unfused tri-vs-row dispatch answers a different
+            # question and must not leak in here); the two O(B*L*3)
+            # transposes are noise next to the O(L^2) pair work. The noise
+            # stream is bitwise the fused step's.
             from chromosome3d_tpu.ops.pallas_energy import (
-                _pairwise_energy_grad_batched,
+                pallas_energy_grad_tri_batched,
                 pallas_fused_update_batched,
             )
-
-            # interpret mode lets the CPU-mesh tests drive this exact path
-            interpret = jax.default_backend() != "tpu"
 
             def step(carry, srow):
                 xT, muT, nuT, count = carry
                 lr, sigma, vdw_w, repel, bc1, bc2 = srow
                 weights = sched_weights(vdw_w, repel)
                 x = jnp.swapaxes(xT, 1, 2)
-                e_pair, g = _pairwise_energy_grad_batched(
-                    x, restraints, weights, bead_mask, interpret, True,
-                    cfg.gram_d2,
+                e_pair, g = pallas_energy_grad_tri_batched(
+                    x, restraints, weights, bead_mask, interpret=interp,
+                    gram=cfg.gram_d2,
                 )
                 e_b, xT, muT, nuT = pallas_fused_update_batched(
                     xT, jnp.swapaxes(g, 1, 2), muT, nuT, weights, bead_mask,
                     lr, sigma, bc1, bc2, seed, count, clip_val,
-                    interpret=interpret,
+                    interpret=interp,
                 )
                 return (xT, muT, nuT, count + 1), e_pair + e_b
 

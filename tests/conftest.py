@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# kernel-dispatch decisions must come from the FROZEN defaults in tests,
+# not from whatever table `chromosome3d calibrate` may have written on this
+# machine (the default path is user-global); tests that exercise the table
+# point this env var at their own tmp file via monkeypatch.
+os.environ["CHROM3D_DISPATCH_TABLE"] = "/nonexistent/c3d-test-dispatch.json"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -534,3 +534,36 @@ def test_run_pipeline_from_hic_v9_with_norm(tmp_path):
     want = m / kr32[:, None] / kr32[None, :]
     got = load_if_matrix(os.path.join(out, "v9_matrix.txt"))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_hic_float_dense_nan_sentinel(tmp_path):
+    """Float dense blocks use NaN as the missing-value sentinel (the juicer
+    writers' convention; short blocks use -32768): NaN cells must be
+    skipped, not accumulated into the matrix."""
+    m = dense_case(6, seed=13) + 0.5
+    p = str(tmp_path / "nan.hic")
+    # v9 dense float block: the writer emits 0.0 for the lower triangle; a
+    # juicer writer would emit NaN there — patch the file's block to use NaN
+    make_hic_v9(p, m, use_float=True, representation=2)
+    got = load_hic(p, "chr21", 100)
+    np.testing.assert_allclose(got, m)
+
+    # hand-build the NaN variant through the same writer path
+    import chromosome3d_tpu.io.hic as hic
+
+    raw = open(p, "rb").read()
+    # decode, patch the one zlib block: rewrite lower-triangle 0.0 -> NaN
+    # (simpler: rebuild with a writer tweak via monkeypatching struct is
+    # overkill — directly exercise the parser)
+    blk = struct.pack("<i", 3)                       # nRecords (unused count)
+    blk += struct.pack("<ii", 0, 0)
+    blk += struct.pack("<bbbb", 1, 0, 0, 2)          # float, short pos, dense
+    blk += struct.pack("<i", 4) + struct.pack("<h", 2)
+    for v in (1.5, float("nan"), float("nan"), 2.5):
+        blk += struct.pack("<f", v)
+    recs = hic._parse_block_v9(hic._Reader(blk))
+    mat = np.zeros((2, 2))
+    hic._add_records(mat, recs)
+    assert mat[0, 0] == 1.5 and mat[1, 1] == 2.5
+    assert mat[0, 1] == 0.0 and mat[1, 0] == 0.0     # NaN skipped
+    assert np.isfinite(mat).all()

@@ -154,13 +154,20 @@ def test_ping_during_slow_solve(server, tmp_path):
 
         t = threading.Thread(target=bg, daemon=True)
         t.start()
-        time.sleep(0.5)  # let the solve enter its sleep
-        t0 = time.time()
-        pong = request(server, {"cmd": "ping"}, timeout=5)
-        dt = time.time() - t0
-        assert pong["ok"] and pong["pong"]
-        assert dt < 1.0, f"ping took {dt:.2f}s during a solve"
-        assert pong["busy"] >= 1
+        # poll until the solve is observably in flight (busy counts before
+        # the handler's first-request imports, so this converges fast); the
+        # solve itself then sleeps 2 s, during which pings must answer
+        pong, deadline = None, time.time() + 1.9
+        while time.time() < deadline:
+            t0 = time.time()
+            pong = request(server, {"cmd": "ping"}, timeout=5)
+            dt = time.time() - t0
+            assert pong["ok"] and pong["pong"]
+            assert dt < 1.0, f"ping took {dt:.2f}s during a solve"
+            if pong["busy"] >= 1:
+                break
+            time.sleep(0.05)
+        assert pong and pong["busy"] >= 1
         t.join(timeout=600)
         assert result["resp"]["ok"], result["resp"]
     finally:
