@@ -27,7 +27,7 @@ from chromosome3d_tpu.config import (
     turbo_anneal,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
@@ -48,6 +48,10 @@ def __getattr__(name):
         "ice_balance": ("chromosome3d_tpu.io.hic", "ice_balance"),
         "read_contact_tbl_full": ("chromosome3d_tpu.restraints", "read_contact_tbl_full"),
         "or_group_energy": ("chromosome3d_tpu.ops.energy", "or_group_energy"),
+        "calibrate_dispatch": ("chromosome3d_tpu.ops.calibrate", "calibrate_dispatch"),
+        "solve_bucket_sharded": ("chromosome3d_tpu.parallel.genome", "solve_bucket_sharded"),
+        "quantum_bucket": ("chromosome3d_tpu.pipeline", "quantum_bucket"),
+        "serve": ("chromosome3d_tpu.serve", "serve"),
     }
     if name in lazy:
         import importlib
@@ -75,5 +79,8 @@ __all__ = [
     "load_cooler",
     "load_hic",
     "ice_balance",
+    "calibrate_dispatch",
+    "solve_bucket_sharded",
+    "serve",
     "__version__",
 ]
