@@ -110,6 +110,11 @@ def restraint_spec_strings(r: Restraints) -> List[str]:
     ]
 
 
+# per-restraint report rows beyond this count switch to violated-rows-only
+# (the reference's 663-bead cap tops out ~219k pairs, always below it)
+FULL_REPORT_MAX = 500_000
+
+
 def write_violation_report(
     path: str | os.PathLike,
     coords: np.ndarray,
@@ -127,7 +132,13 @@ def write_violation_report(
     append=True adds this model's report after existing ones — the reference
     appends one report per assessed model into the same file (print2file
     appends, and assess_dgsa calls count_satisfied_tbl_rows per PDB,
-    chromosome3D.pl:323-338, 804-810)."""
+    chromosome3D.pl:323-338, 804-810).
+
+    Beyond reference scale (restraint count > FULL_REPORT_MAX; the
+    reference caps at 663 beads ~ 219k pairs, always below it) the report
+    keeps only the VIOLATED rows plus a summary line — at L=3000 the full
+    4-model report measured 1.6 GB of text and dominated the end-to-end
+    wall; violated-only keeps the report useful at any scale."""
     # fully vectorized: genome runs write one report per model (10+ per
     # chromosome, up to ~100k restraints each) — the per-row Python loop
     # this replaces cost ~10 s per chromosome and dominated the production
@@ -148,7 +159,11 @@ def write_violation_report(
     flag = np.where(under_hi & ~under_lo, 0, 1)
     dev = np.where(under_lo, -(lo - pd_), np.where(under_hi, 0.0, pd_ - hi))
     satisfied = int(under_hi.sum()) - int(under_lo.sum())
+    total = int(len(ii))
     order = np.argsort(-flag, kind="stable")
+    truncated = total > FULL_REPORT_MAX
+    if truncated:
+        order = order[: int(flag.sum())]       # violated rows only
     if specs is None:
         specs = restraint_spec_strings(r)
     spec_sorted = [specs[k] for k in order.tolist()]
@@ -162,8 +177,14 @@ def write_violation_report(
     with open(path, "a" if append else "w") as f:
         f.write(f"#NOE violation check; {pdb_name} against {tbl_name}\n")
         f.write("#violation-flag, deviation, actual-measurement, Input-NOE-restraint\n")
+        if truncated:
+            f.write(
+                f"#beyond-reference scale: {total} restraints, listing the "
+                f"{len(lines)} violated rows only "
+                f"({satisfied}/{total} satisfied)\n"
+            )
         f.writelines(lines)
-    return satisfied, len(lines)
+    return satisfied, total
 
 
 def write_tbl_violation_report(

@@ -84,6 +84,16 @@ SLOW_TESTS = {
     "test_solver_deterministic",
     "test_group_term_composes_with_pallas_kernel",
     "test_solver_satisfies_group_restraint",
+    # round-3 additions measured >= 10 s each with a faster sibling kept
+    # in the default tier
+    "test_restraints_pipeline_auto_enables",
+    "test_fused_update_matches_unfused",
+    "test_solve_from_tbl",
+    "test_ping_during_slow_solve",
+    "test_sharded_ensemble_padded_bead_mask",
+    "test_sharded_solve_program_memoized",
+    "test_run_pipeline_shard_large_off_keeps_plain_path",
+    "test_solve_bucket_2d_model_axis",
 }
 
 

@@ -117,3 +117,44 @@ def test_assess_ensemble_matches_violation_stats():
     np.testing.assert_array_equal(host["satisfied"], np.asarray(dev[0]).astype(int))
     np.testing.assert_array_equal(host["total"], np.asarray(dev[1]).astype(int))
     np.testing.assert_allclose(host["sum_dev"], np.asarray(dev[2]), rtol=1e-4)
+
+
+def test_violation_report_truncates_beyond_reference_scale(tmp_path, monkeypatch):
+    """Past FULL_REPORT_MAX restraints, the report lists violated rows only
+    (plus a summary line) — the totals returned are unchanged."""
+    import numpy as np
+
+    import chromosome3d_tpu.assess as assess
+    from chromosome3d_tpu.config import PipelineConfig, RestraintConfig
+    from chromosome3d_tpu.restraints import build_restraints
+
+    rng = np.random.RandomState(0)
+    L = 20
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    r = build_restraints(m, RestraintConfig(alpha=1.1))
+    coords = rng.randn(L, 3) * 10
+    cfg = PipelineConfig()
+
+    full = tmp_path / "full.txt"
+    s1, t1 = assess.write_violation_report(full, coords, r, cfg)
+    n_rows_full = sum(
+        1 for line in full.read_text().splitlines() if not line.startswith("#")
+    )
+    assert n_rows_full == t1
+
+    monkeypatch.setattr(assess, "FULL_REPORT_MAX", 10)
+    cut = tmp_path / "cut.txt"
+    s2, t2 = assess.write_violation_report(cut, coords, r, cfg)
+    assert (s2, t2) == (s1, t1)          # stats identical
+    text = cut.read_text()
+    assert "violated rows only" in text
+    n_rows_cut = sum(
+        1 for line in text.splitlines() if not line.startswith("#")
+    )
+    assert n_rows_cut == t1 - s1         # exactly the violated rows
+    assert all(
+        line.split("\t")[0].strip() == "1"
+        for line in text.splitlines() if not line.startswith("#")
+    )
