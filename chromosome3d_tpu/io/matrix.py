@@ -95,6 +95,12 @@ def write_dist_matrix(path: str | os.PathLike, dist: np.ndarray) -> None:
     """Write the `$ID.dist` artifact: L x L of '%.1f ' cells, one row per line,
     -1 sentinel already applied by the caller (ref: chromosome3D.pl:156-161)."""
     dist = np.asarray(dist)
+    from chromosome3d_tpu import native
+
+    # native single-pass emitter when built (byte-identical; the per-cell
+    # f-string loop costs minutes at L ~ 10^3-10^4)
+    if native.write_dist(path, dist):
+        return
     with open(path, "w") as f:
         for row in dist:
             f.write("".join(f"{v:.1f} " for v in row))

@@ -48,6 +48,27 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.c_char_p,
                     ctypes.c_int32,
                 ]
+                lib.c3d_write_dist.restype = ctypes.c_int32
+                lib.c3d_write_dist.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.c_longlong,
+                ]
+                lib.c3d_write_rr_rows.restype = ctypes.c_int32
+                lib.c3d_write_rr_rows.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.c_longlong,
+                ]
+                lib.c3d_rr_to_tbl.restype = ctypes.c_longlong
+                lib.c3d_rr_to_tbl.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_char_p,
+                    ctypes.c_double,
+                    ctypes.c_double,
+                ]
                 _LIB = lib
             except (OSError, AttributeError):
                 # missing symbol = stale .so from an older ABI; rebuild needed
@@ -108,3 +129,56 @@ def write_ca_pdb(
         1 if connect else 0,
     )
     return rc == 0
+
+
+def write_dist(path: str, dist: np.ndarray) -> bool:
+    """Native `$ID.dist` emission ("%.1f " cells; byte-parity-tested).
+    False = library absent/failed; caller falls back to Python."""
+    lib = _load()
+    if lib is None:
+        return False
+    m = np.ascontiguousarray(dist, dtype=np.float64)
+    if m.ndim != 2 or m.shape[0] != m.shape[1]:
+        return False
+    rc = lib.c3d_write_dist(
+        str(path).encode(),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        m.shape[0],
+    )
+    return rc == 0
+
+
+def write_rr_rows(path: str, ii: np.ndarray, jj: np.ndarray,
+                  dd: np.ndarray) -> bool:
+    """Native `$ID.rr` row emission for PRE-ORDERED (i, j, d) arrays
+    ('i j %.2f %.2f 1.0'; byte-parity-tested)."""
+    lib = _load()
+    if lib is None:
+        return False
+    i32 = np.ascontiguousarray(ii, dtype=np.int32)
+    j32 = np.ascontiguousarray(jj, dtype=np.int32)
+    d64 = np.ascontiguousarray(dd, dtype=np.float64)
+    if not (len(i32) == len(j32) == len(d64)):
+        return False
+    rc = lib.c3d_write_rr_rows(
+        str(path).encode(),
+        i32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        j32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        d64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(d64),
+    )
+    return rc == 0
+
+
+def rr_to_tbl(rr_path: str, tbl_path: str, zero_d: float,
+              zero_neg: float):
+    """Native carr2tbl (incl. the literal lo=='0' string special case).
+    Returns the row count, or None when the library is absent/failed."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.c3d_rr_to_tbl(
+        str(rr_path).encode(), str(tbl_path).encode(),
+        float(zero_d), float(zero_neg),
+    )
+    return None if n < 0 else int(n)

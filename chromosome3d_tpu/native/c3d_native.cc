@@ -139,4 +139,100 @@ int32_t c3d_write_ca_pdb_v2(const char* path, const double* xyz, int64_t L,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Text-artifact emitters (round 3): at L=3000 the Python per-cell f-string
+// loops spent minutes writing .dist/.rr/contact.tbl. Formatting semantics
+// are byte-identical to the Python writers (parity-tested): glibc printf
+// and CPython both produce correctly-rounded fixed-precision decimals.
+// ---------------------------------------------------------------------------
+
+// `$ID.dist`: L x L of "%.1f " cells, one row per line. Returns 0.
+int32_t c3d_write_dist(const char* path, const double* v, int64_t L) {
+  FILE* fp = fopen(path, "w");
+  if (!fp) return -1;
+  setvbuf(fp, nullptr, _IOFBF, 1 << 20);
+  for (int64_t i = 0; i < L; ++i) {
+    for (int64_t j = 0; j < L; ++j) {
+      fprintf(fp, "%.1f ", v[i * L + j]);
+    }
+    fputc('\n', fp);
+  }
+  if (fclose(fp) != 0) return -1;
+  return 0;
+}
+
+// `$ID.rr` rows "i j %.2f %.2f 1.0" for PRE-ORDERED (i, j, d) arrays (the
+// caller computes the reference's string-key sort order). Returns 0.
+int32_t c3d_write_rr_rows(const char* path, const int32_t* ii,
+                          const int32_t* jj, const double* dd, int64_t n) {
+  FILE* fp = fopen(path, "w");
+  if (!fp) return -1;
+  setvbuf(fp, nullptr, _IOFBF, 1 << 20);
+  for (int64_t k = 0; k < n; ++k) {
+    fprintf(fp, "%d %d %.2f %.2f 1.0\n", ii[k], jj[k], dd[k], dd[k]);
+  }
+  if (fclose(fp) != 0) return -1;
+  return 0;
+}
+
+// carr2tbl (chromosome3D.pl:340-362): rr rows -> CNS NOE tbl rows, incl.
+// the literal `lo == "0"` STRING special case. Returns the row count or -1.
+int64_t c3d_rr_to_tbl(const char* rr_path, const char* tbl_path,
+                      double zero_d, double zero_neg) {
+  FILE* probe = fopen(rr_path, "rb");
+  if (!probe) return -1;
+  fclose(probe);
+  std::string text = read_file(rr_path);  // empty = zero restraints, legal
+  FILE* out = fopen(tbl_path, "w");
+  if (!out) return -1;
+  setvbuf(out, nullptr, _IOFBF, 1 << 20);
+  int64_t n = 0;
+  const char* p = text.c_str();
+  const char* end = p + text.size();
+  while (p < end) {
+    const char* eol = static_cast<const char*>(memchr(p, '\n', end - p));
+    const char* line_end = eol ? eol : end;
+    // skip leading whitespace; keep lines starting with a digit (the same
+    // `line[0].isdigit()` acceptance as the Python writer)
+    const char* q = p;
+    while (q < line_end && (*q == ' ' || *q == '\t' || *q == '\r')) ++q;
+    if (q < line_end && *q >= '0' && *q <= '9') {
+      char tok[4][64];
+      int nt = 0;
+      const char* r = q;
+      while (r < line_end && nt < 4) {
+        while (r < line_end && (*r == ' ' || *r == '\t' || *r == '\r')) ++r;
+        if (r >= line_end) break;
+        int len = 0;
+        while (r < line_end && !(*r == ' ' || *r == '\t' || *r == '\r') &&
+               len < 63) {
+          tok[nt][len++] = *r++;
+        }
+        tok[nt][len] = '\0';
+        ++nt;
+      }
+      if (nt >= 4) {
+        double lo = strtod(tok[2], nullptr);
+        double hi = strtod(tok[3], nullptr);
+        double distance = (hi + lo) / 2.0;
+        double negdev = (hi - lo) / 2.0;
+        double posdev = negdev;
+        if (strcmp(tok[2], "0") == 0) {
+          distance = zero_d;
+          negdev = zero_neg;
+          posdev = hi - zero_d;
+        }
+        fprintf(out,
+                "assign45 (resid %3d and name ca) (resid %3d and name ca) "
+                "%.2f %.2f %.2f\n",
+                atoi(tok[0]), atoi(tok[1]), distance, negdev, posdev);
+        ++n;
+      }
+    }
+    p = eol ? eol + 1 : end;
+  }
+  if (fclose(out) != 0) return -1;
+  return n;
+}
+
 }  // extern "C"

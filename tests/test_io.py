@@ -143,3 +143,55 @@ def test_native_pdb_writer_byte_parity(tmp_path, monkeypatch):
     pdbio.write_ca_pdb(tmp_path / "rt.pdb", coords, remarks={"noe": 2.0})
     got = pdbio.read_ca_pdb(tmp_path / "rt.pdb")
     np.testing.assert_allclose(got, coords, atol=5e-4)
+
+
+def test_native_text_writers_byte_parity(tmp_path, monkeypatch):
+    """The native .dist/.rr/contact.tbl emitters must be byte-identical to
+    the Python fallbacks (the perl-oracle tests separately pin both against
+    the reference's own subs)."""
+    from chromosome3d_tpu import native
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.restraints import if_to_dist, write_contact_tbl, write_rr
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(3)
+    L = 40
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    m[1, 8] = m[8, 1] = 0.0
+    rc = RestraintConfig(alpha=1.1)
+    dist = if_to_dist(m, rc)
+
+    def run(prefix):
+        dpath = tmp_path / f"{prefix}.dist"
+        rpath = tmp_path / f"{prefix}.rr"
+        tpath = tmp_path / f"{prefix}.tbl"
+        write_dist_matrix(dpath, dist)
+        n_rr = write_rr(rpath, dist, rc)
+        n_tbl = write_contact_tbl(tpath, rpath, rc)
+        return dpath.read_bytes(), rpath.read_bytes(), tpath.read_bytes(), n_rr, n_tbl
+
+    nat = run("native")
+    monkeypatch.setattr(native, "write_dist", lambda *a, **k: False)
+    monkeypatch.setattr(native, "write_rr_rows", lambda *a, **k: False)
+    monkeypatch.setattr(native, "rr_to_tbl", lambda *a, **k: None)
+    py = run("python")
+    assert nat[0] == py[0]      # .dist bytes
+    assert nat[1] == py[1]      # .rr bytes
+    assert nat[2] == py[2]      # .tbl bytes
+    assert nat[3] == py[3] and nat[4] == py[4]
+
+    # the lo=="0" special case goes through the native tbl path too
+    rr0 = tmp_path / "zero.rr"
+    rr0.write_text("1 9 0 8.0 1.0\n2 9 3.0 5.0 1.0\n")
+    t_nat = tmp_path / "zero_nat.tbl"
+    t_py = tmp_path / "zero_py.tbl"
+    monkeypatch.undo()
+    n1 = write_contact_tbl(t_nat, rr0, rc)
+    monkeypatch.setattr(native, "rr_to_tbl", lambda *a, **k: None)
+    n2 = write_contact_tbl(t_py, rr0, rc)
+    assert n1 == n2 == 2
+    assert t_nat.read_bytes() == t_py.read_bytes()
+    assert "3.60 0.10" in t_nat.read_text()   # the zero-lo rewrite applied
