@@ -51,7 +51,11 @@ def __getattr__(name):
         "calibrate_dispatch": ("chromosome3d_tpu.ops.calibrate", "calibrate_dispatch"),
         "solve_bucket_sharded": ("chromosome3d_tpu.parallel.genome", "solve_bucket_sharded"),
         "quantum_bucket": ("chromosome3d_tpu.pipeline", "quantum_bucket"),
-        "serve": ("chromosome3d_tpu.serve", "serve"),
+        # NOTE: the serve() FUNCTION is deliberately not lazy-exported: the
+        # name collides with the chromosome3d_tpu.serve SUBMODULE (the
+        # import system binds the module onto the package after any
+        # import, shadowing __getattr__) — use
+        # `from chromosome3d_tpu.serve import serve`.
     }
     if name in lazy:
         import importlib
@@ -81,6 +85,5 @@ __all__ = [
     "ice_balance",
     "calibrate_dispatch",
     "solve_bucket_sharded",
-    "serve",
     "__version__",
 ]

@@ -164,9 +164,22 @@ def write_violation_report(
     truncated = total > FULL_REPORT_MAX
     if truncated:
         order = order[: int(flag.sum())]       # violated rows only
-    if specs is None:
-        specs = restraint_spec_strings(r)
-    spec_sorted = [specs[k] for k in order.tolist()]
+    if specs is None and truncated:
+        # spec strings only for the kept rows — formatting all >500k would
+        # defeat the truncation (specs are ~60% of per-row formatting cost)
+        kept = order
+        spec_sorted = [
+            f"assign45  resid {i:3d} and name ca   resid {j:3d} and name ca  "
+            f"{tv:.2f} {ndv:.2f} {pdvv:.2f}"
+            for i, j, tv, ndv, pdvv in zip(
+                (ii[kept] + 1).tolist(), (jj[kept] + 1).tolist(),
+                t[kept].tolist(), nd[kept].tolist(), pdv[kept].tolist(),
+            )
+        ]
+    else:
+        if specs is None:
+            specs = restraint_spec_strings(r)
+        spec_sorted = [specs[k] for k in order.tolist()]
     lines = [
         f"{f:3d}\t{dv:.2f}\t{pdist:.2f} # {spec}\n"
         for f, dv, pdist, spec in zip(

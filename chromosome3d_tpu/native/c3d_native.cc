@@ -176,7 +176,18 @@ int32_t c3d_write_rr_rows(const char* path, const int32_t* ii,
 }
 
 // carr2tbl (chromosome3D.pl:340-362): rr rows -> CNS NOE tbl rows, incl.
-// the literal `lo == "0"` STRING special case. Returns the row count or -1.
+// the literal `lo == "0"` STRING special case. Returns the row count, or -1
+// on I/O failure OR any digit-leading row the Python writer would reject
+// (< 4 tokens, non-integer i/j, non-numeric lo/hi) — declining hands the
+// file to the Python fallback so malformed input raises the same loud
+// error with or without the .so built (the library's parity contract).
+
+static bool all_digits(const char* t) {
+  if (!*t) return false;
+  for (; *t; ++t)
+    if (*t < '0' || *t > '9') return false;
+  return true;
+}
 int64_t c3d_rr_to_tbl(const char* rr_path, const char* tbl_path,
                       double zero_d, double zero_neg) {
   FILE* probe = fopen(rr_path, "rb");
@@ -211,9 +222,23 @@ int64_t c3d_rr_to_tbl(const char* rr_path, const char* tbl_path,
         tok[nt][len] = '\0';
         ++nt;
       }
-      if (nt >= 4) {
-        double lo = strtod(tok[2], nullptr);
-        double hi = strtod(tok[3], nullptr);
+      if (nt < 4) {
+        fclose(out);
+        return -1;                    // Python raises IndexError here
+      }
+      {
+        if (!all_digits(tok[0]) || !all_digits(tok[1])) {
+          fclose(out);
+          return -1;                  // Python's int() would raise
+        }
+        char* e2 = nullptr;
+        char* e3 = nullptr;
+        double lo = strtod(tok[2], &e2);
+        double hi = strtod(tok[3], &e3);
+        if (e2 == tok[2] || *e2 != '\0' || e3 == tok[3] || *e3 != '\0') {
+          fclose(out);
+          return -1;                  // Python's float() would raise
+        }
         double distance = (hi + lo) / 2.0;
         double negdev = (hi - lo) / 2.0;
         double posdev = negdev;

@@ -430,15 +430,19 @@ def run_restraints_pipeline(
         _use_sharded(Lr, cfg) and or_groups_np is None and conf is None
     )
     key = jax.random.PRNGKey(cfg.seed)
+    L_solved = Lr
     if sharded:
         banner(
             log,
             f"Scale      : L={Lr} beyond the largest bucket; row-sharded "
             f"solve over {len(jax.devices())} devices",
         )
-        result, _ = _sharded_solve(restraints, rc, cfg, key, cfg.model_count)
+        result, L_solved = _sharded_solve(
+            restraints, rc, cfg, key, cfg.model_count
+        )
     else:
         L_pad, bead_mask = _bucket_pad(Lr, cfg)
+        L_solved = L_pad
         dense, _ = _padded_dense(restraints, rc, L_pad)
         if conf is not None:
             # fold rr confidences into the stress weights
@@ -489,6 +493,9 @@ def run_restraints_pipeline(
     summary = {
         "id": ident,
         "L": int(restraints.length),
+        # the padded length the compiled program actually used (bucket or
+        # lcm(quantum, devices) for sharded solves) — warm-cache bookkeeping
+        "L_solved": int(L_solved),
         "restraints": int(restraints.count),
         "or_groups": int(n_groups),
         "models": int(cfg.model_count),

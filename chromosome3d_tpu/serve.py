@@ -229,8 +229,11 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
                     L=int(req["L"]) if "L" in req else None,
                 )
             try:
-                cache.mark_warm(summary["L"], cfg_r)
-            except ValueError:
+                # the pipeline reports the padded length its program
+                # actually compiled at (L_solved) — record THAT, not the
+                # plain quantum bucket (they differ for sharded solves)
+                cache.add_warm(int(summary["L_solved"]), cfg_r)
+            except (ValueError, KeyError):
                 # bookkeeping only (e.g. shard_large=False with L beyond
                 # every bucket: the exact-L solve still completed) — never
                 # turn a finished solve into an error response

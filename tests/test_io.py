@@ -195,3 +195,22 @@ def test_native_text_writers_byte_parity(tmp_path, monkeypatch):
     assert n1 == n2 == 2
     assert t_nat.read_bytes() == t_py.read_bytes()
     assert "3.60 0.10" in t_nat.read_text()   # the zero-lo rewrite applied
+
+
+def test_native_tbl_declines_malformed_rr(tmp_path):
+    """Malformed rr rows must make the NATIVE converter decline (so the
+    Python fallback raises the same loud error with or without the .so):
+    silent acceptance would emit a wrong contact.tbl."""
+    from chromosome3d_tpu import native
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.restraints import write_contact_tbl
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rc = RestraintConfig()
+    for bad in ("1 2 3.0\n", "12x 5 3.0 4.0 1.0\n", "1 2 3.0 4x.0 1.0\n"):
+        rr = tmp_path / "bad.rr"
+        rr.write_text(bad)
+        assert native.rr_to_tbl(rr, tmp_path / "n.tbl", 3.6, 0.1) is None
+        with pytest.raises((ValueError, IndexError)):
+            write_contact_tbl(tmp_path / "p.tbl", rr, rc)
