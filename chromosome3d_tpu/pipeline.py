@@ -377,12 +377,19 @@ def run_restraints_pipeline(
     dir_out: str,
     cfg: Optional[PipelineConfig] = None,
     L: Optional[int] = None,
+    max_L: Optional[int] = None,
 ) -> Dict:
     """Solve directly from a restraint file — a CONFOLD-style `.rr` or a CNS
     `.tbl` — with no IF matrix. This is the general distance-geometry entry
     point (the reference only reaches CNS through its own generated tbl;
     here external restraint sets are first-class). Spearman ranking needs a
-    matrix, so models rank by NOE energy only."""
+    matrix, so models rank by NOE energy only.
+
+    max_L: reject (ValueError) any file whose explicit-or-inferred length
+    exceeds it, BEFORE dense tensors are allocated or any solve is queued —
+    request-serving callers (serve.MAX_L) pass their cap here, closing the
+    hole where a file naming a huge residue index walked past the request
+    validator (which only sees an explicit "L" field)."""
     from chromosome3d_tpu.restraints import read_contact_tbl_full, read_rr
 
     cfg = cfg or PipelineConfig()
@@ -398,12 +405,21 @@ def run_restraints_pipeline(
         from chromosome3d_tpu.assess import parse_tbl_rows
 
         tbl_rows = parse_tbl_rows(restraints_file)  # parsed ONCE, shared
+        if max_L is not None:
+            L_eff = L if L is not None else max(
+                (r for g1, g2, *_ in tbl_rows for r, _ in (*g1, *g2)),
+                default=0,
+            )
+            if L_eff > max_L:
+                raise ValueError(
+                    f"{restraints_file}: L={L_eff} exceeds the cap {max_L}"
+                )
         restraints, or_groups_np = read_contact_tbl_full(
             restraints_file, L, rows=tbl_rows
         )
         conf = None
     else:
-        restraints, conf = read_rr(restraints_file, L, rc)
+        restraints, conf = read_rr(restraints_file, L, rc, max_L=max_L)
     n_groups = 0 if or_groups_np is None else or_groups_np.count
     banner(
         log,

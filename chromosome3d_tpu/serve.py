@@ -49,6 +49,9 @@ MAX_MODELS = 256
 MAX_L = 65536
 MAX_ALPHA = 16.0
 MAX_KSCALING = 1e6
+# solves in flight or waiting on the device lock before new ones are
+# rejected: bounds the queue a runaway client can build up
+MAX_QUEUE = 32
 
 
 class SolverCache:
@@ -201,8 +204,15 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
 
     # count the request as busy BEFORE the first-request imports below —
     # in a fresh process those take ~0.5 s, during which a concurrent ping
-    # must already see busy >= 1
+    # must already see busy >= 1. The queue-depth cap rides the same lock
+    # acquisition: check-and-increment is atomic.
     with cache._busy_lock:
+        if cache.busy >= MAX_QUEUE:
+            return {
+                "ok": False,
+                "error": f"server busy: {cache.busy} solves in flight or "
+                         f"queued (max {MAX_QUEUE})",
+            }
         cache.busy += 1
     try:
         from chromosome3d_tpu.io.matrix import load_if_matrix
@@ -223,11 +233,18 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
                 model_count=int(req.get("models", cache.base.model_count)),
                 anneal=anneal_r,
             )
-            with cache.device_lock:
-                summary = run_restraints_pipeline(
-                    req["restraints"], req["out"], cfg_r,
-                    L=int(req["L"]) if "L" in req else None,
-                )
+            try:
+                with cache.device_lock:
+                    # max_L guards the INFERRED length too: a file naming
+                    # resid 200000 with no "L" field must be rejected
+                    # before tensors are allocated or a solve is queued
+                    summary = run_restraints_pipeline(
+                        req["restraints"], req["out"], cfg_r,
+                        L=int(req["L"]) if "L" in req else None,
+                        max_L=MAX_L,
+                    )
+            except ValueError as e:
+                return {"ok": False, "error": str(e)}
             try:
                 # the pipeline reports the padded length its program
                 # actually compiled at (L_solved) — record THAT, not the
@@ -329,19 +346,25 @@ def serve(socket_path: str, cfg: Optional[PipelineConfig] = None) -> None:
 
 def request(socket_path: str, req: Dict, timeout: float = 600.0) -> Dict:
     """One-shot client: send a request, return the response dict. Retries
-    briefly on ConnectionRefused (the server's bind->listen window)."""
+    briefly on ConnectionRefused (the server's bind->listen window) with a
+    FRESH socket per attempt — POSIX leaves a socket's state unspecified
+    after a failed connect, so reusing one can fail with EINVAL."""
     import time as _time
 
-    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+    s = None
+    for attempt in range(20):
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         s.settimeout(timeout)
-        for attempt in range(20):
-            try:
-                s.connect(socket_path)
-                break
-            except (ConnectionRefusedError, FileNotFoundError):
-                if attempt == 19:
-                    raise
-                _time.sleep(0.05)
+        try:
+            s.connect(socket_path)
+            break
+        except (ConnectionRefusedError, FileNotFoundError):
+            s.close()
+            s = None
+            if attempt == 19:
+                raise
+            _time.sleep(0.05)
+    try:
         s.sendall((json.dumps(req) + "\n").encode())
         buf = b""
         while not buf.endswith(b"\n"):
@@ -349,4 +372,6 @@ def request(socket_path: str, req: Dict, timeout: float = 600.0) -> Dict:
             if not chunk:
                 break
             buf += chunk
+    finally:
+        s.close()
     return json.loads(buf.decode())

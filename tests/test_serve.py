@@ -201,6 +201,62 @@ def test_request_bounds(server, tmp_path):
     assert request(server, {"cmd": "ping"})["ok"]
 
 
+def test_restraint_file_oversized_L_rejected(server, tmp_path):
+    """A restraint file naming a residue index beyond MAX_L must be rejected
+    with ok=false BEFORE any tensors are allocated or a solve is queued
+    (round-3 finding: the validator only saw an explicit "L" field; a file
+    whose length is INFERRED from its max resid walked past the cap)."""
+    import chromosome3d_tpu.serve as srv
+
+    big = srv.MAX_L + 1000
+    tbl = tmp_path / "huge.tbl"
+    tbl.write_text(
+        f"assign45 (resid   1 and name ca) (resid {big} and name ca) "
+        "3.80 0.00 0.00\n"
+    )
+    resp = request(server, {"restraints": str(tbl), "out": str(tmp_path / "o")})
+    assert not resp["ok"] and "exceeds the cap" in resp["error"], resp
+
+    rr = tmp_path / "huge.rr"
+    rr.write_text(f"1 {big} 3.8 3.8 1.0\n")
+    resp = request(server, {"restraints": str(rr), "out": str(tmp_path / "o2")})
+    assert not resp["ok"] and "exceeds the cap" in resp["error"], resp
+    # server alive and still solving after both rejections
+    assert request(server, {"cmd": "ping"})["ok"]
+    small = tmp_path / "small.rr"
+    small.write_text("\n".join(f"{i} {i + 1} 3.8 3.8 1.0" for i in range(1, 8)) + "\n")
+    resp = request(
+        server, {"restraints": str(small), "out": str(tmp_path / "o3"),
+                 "models": 2}, timeout=600,
+    )
+    assert resp["ok"], resp
+
+
+def test_queue_depth_cap():
+    """Requests beyond MAX_QUEUE in-flight solves are rejected immediately
+    (no thread needed: preload the busy counter and call the handler)."""
+    from chromosome3d_tpu.serve import MAX_QUEUE, SolverCache, handle_request
+
+    cache = SolverCache(PipelineConfig(model_count=2))
+    cache.busy = MAX_QUEUE
+    resp = handle_request(
+        {"restraints": "/nonexistent-but-unreached.rr", "out": "/tmp/x"}, cache
+    )
+    # validation runs before the queue check and rejects the missing file;
+    # use a real file so the queue check is what fires
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".rr", mode="w", delete=False) as f:
+        f.write("1 2 3.8 3.8 1.0\n")
+        path = f.name
+    try:
+        resp = handle_request({"restraints": path, "out": "/tmp/x"}, cache)
+        assert not resp["ok"] and "busy" in resp["error"], resp
+        assert cache.busy == MAX_QUEUE  # not leaked by the rejection
+    finally:
+        os.unlink(path)
+
+
 def test_restraint_request_marks_warm(server, tmp_path):
     """Restraint-file requests must register their bucket in the warm set
     (round-2 finding: they bypassed bookkeeping)."""
