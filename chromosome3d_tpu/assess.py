@@ -222,35 +222,52 @@ def write_tbl_violation_report(
     coords = np.asarray(coords, dtype=np.float64)
     if rows is None:
         rows = parse_tbl_rows(tbl_path)
-    satisfied, entries = 0, []
-    for g1, g2, dt, neg, pos in rows:
-        pd_ = min_group_distance(coords, g1, g2)
-        lo, hi = dt - neg, dt + pos
-        under_hi = pd_ < hi + cfg.dist_relax
-        under_lo = pd_ < lo - cfg.dist_relax
-        flag = 0 if (under_hi and not under_lo) else 1
-        satisfied += int(under_hi) - int(under_lo)
-        dev = -(lo - pd_) if under_lo else (0.0 if under_hi else pd_ - hi)
+    pd_ = tbl_row_distances(coords, rows)
+    dt = np.asarray([r[2] for r in rows], np.float64)
+    neg = np.asarray([r[3] for r in rows], np.float64)
+    pos = np.asarray([r[4] for r in rows], np.float64)
+    lo = dt - neg
+    hi = dt + pos
+    under_hi = pd_ < hi + cfg.dist_relax
+    under_lo = pd_ < lo - cfg.dist_relax
+    flag = np.where(under_hi & ~under_lo, 0, 1)
+    satisfied = int(under_hi.sum()) - int(under_lo.sum())
+    total = len(rows)
+    dev = np.where(under_lo, -(lo - pd_), np.where(under_hi, 0.0, pd_ - hi))
+    order = np.argsort(-flag, kind="stable")   # violated rows first (stable)
+    truncated = total > FULL_REPORT_MAX
+    if truncated:
+        # same at-scale policy as the dense writer: violated rows only plus
+        # a summary line (formatting >500k spec strings would dominate)
+        order = order[: int(flag.sum())]
 
-        def sel(g):
-            if len(g) == 1:
-                r, a = g[0]
-                return f"(resid {r:3d} and name {a})"
-            return (
-                "("
-                + " or ".join(f"(resid {r:3d} and name {a})" for r, a in g)
-                + ")"
-            )
+    def sel(g):
+        if len(g) == 1:
+            r, a = g[0]
+            return f"(resid {r:3d} and name {a})"
+        return (
+            "("
+            + " or ".join(f"(resid {r:3d} and name {a})" for r, a in g)
+            + ")"
+        )
 
+    lines = []
+    for k in order.tolist():
+        g1, g2 = rows[k][0], rows[k][1]
         token = "assign45" if len(g1) == 1 and len(g2) == 1 else "assign"
-        spec = f"{token} {sel(g1)} {sel(g2)} {dt:.2f} {neg:.2f} {pos:.2f}"
-        entries.append((flag, f"{flag:3d}\t{dev:.2f}\t{pd_:.2f} # {spec}\n"))
-    entries.sort(key=lambda e: -e[0])  # violated rows first (stable)
+        spec = f"{token} {sel(g1)} {sel(g2)} {dt[k]:.2f} {neg[k]:.2f} {pos[k]:.2f}"
+        lines.append(f"{flag[k]:3d}\t{dev[k]:.2f}\t{pd_[k]:.2f} # {spec}\n")
     with open(path, "w") as f:
         f.write(f"#NOE violation check; {pdb_name} against {os.path.basename(str(tbl_path))}\n")
         f.write("#violation-flag, deviation, actual-measurement, Input-NOE-restraint\n")
-        f.writelines(line for _, line in entries)
-    return satisfied, len(entries)
+        if truncated:
+            f.write(
+                f"#beyond-reference scale: {total} tbl rows, listing the "
+                f"{len(lines)} violated rows only "
+                f"({satisfied}/{total} satisfied)\n"
+            )
+        f.writelines(lines)
+    return satisfied, total
 
 
 def append_model_info(
@@ -353,25 +370,57 @@ def min_group_distance(coords: np.ndarray, g1, g2) -> float:
     return best
 
 
+def tbl_row_distances(coords: np.ndarray, rows) -> np.ndarray:
+    """Per-tbl-row model distance: ONE vectorized gather covers all
+    single-pair rows (the overwhelming majority of any real file); only
+    or-group rows take the Python cross-product loop. Measured on this
+    machine at R = 10^6 synthetic single-pair rows: ~0.6 s vs ~3.6 s for
+    the per-row min_group_distance loop it replaced (~6x; the residual
+    cost is the unavoidable per-row categorization scan -- the numpy math
+    itself is ~0.05 s)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    pd_ = np.empty(len(rows), np.float64)
+    # flat-list comprehensions + per-list np.asarray: measured 3x faster
+    # than building one (k, i, j)-tuple list (np.asarray on a list of
+    # tuples is itself the bottleneck at 10^6 rows)
+    is_single = [len(r[0]) == 1 and len(r[1]) == 1 for r in rows]
+    if all(is_single):
+        si = np.asarray([r[0][0][0] for r in rows], dtype=np.int64)
+        sj = np.asarray([r[1][0][0] for r in rows], dtype=np.int64)
+        diff = coords[si - 1] - coords[sj - 1]
+        pd_[:] = np.sqrt((diff * diff).sum(-1))
+        return pd_
+    sidx = np.asarray(
+        [k for k, s in enumerate(is_single) if s], dtype=np.int64
+    )
+    for k, s in enumerate(is_single):
+        if not s:
+            pd_[k] = min_group_distance(coords, rows[k][0], rows[k][1])
+    if len(sidx):
+        si = np.asarray([rows[k][0][0][0] for k in sidx], dtype=np.int64)
+        sj = np.asarray([rows[k][1][0][0] for k in sidx], dtype=np.int64)
+        diff = coords[si - 1] - coords[sj - 1]
+        pd_[sidx] = np.sqrt((diff * diff).sum(-1))
+    return pd_
+
+
 def assess_pdb_vs_tbl(
     coords: np.ndarray, tbl_path: str | os.PathLike, cfg: PipelineConfig
 ) -> Tuple[int, int, float]:
     """count_satisfied_tbl_rows + sum_noe_dev semantics against an arbitrary
     tbl file (incl. or-groups). Returns (satisfied, total, sum_dev)."""
-    coords = np.asarray(coords)
+    coords = np.asarray(coords, dtype=np.float64)
     rows = parse_tbl_rows(tbl_path)
-    satisfied, sum_dev = 0, 0.0
-    for g1, g2, d, neg, pos in rows:
-        pd_ = min_group_distance(coords, g1, g2)
-        lo, hi = d - neg, d + pos
-        if pd_ < hi + cfg.dist_relax:
-            satisfied += 1
-        if pd_ < lo - cfg.dist_relax:
-            satisfied -= 1
-        if pd_ > hi + cfg.sum_dev_margin:
-            sum_dev += pd_ - hi
-        if pd_ < lo - cfg.sum_dev_margin:
-            sum_dev += lo - pd_
+    pd_ = tbl_row_distances(coords, rows)
+    dt = np.asarray([r[2] for r in rows], np.float64)
+    lo = dt - np.asarray([r[3] for r in rows], np.float64)
+    hi = dt + np.asarray([r[4] for r in rows], np.float64)
+    satisfied = int((pd_ < hi + cfg.dist_relax).sum()) - int(
+        (pd_ < lo - cfg.dist_relax).sum()
+    )
+    over = pd_ > hi + cfg.sum_dev_margin
+    under = pd_ < lo - cfg.sum_dev_margin
+    sum_dev = float(((pd_ - hi) * over).sum() + ((lo - pd_) * under).sum())
     return satisfied, len(rows), sum_dev
 
 
@@ -403,12 +452,13 @@ def violation_coverage_string(
     coords = np.asarray(coords, dtype=np.float64)
     # host-side numpy (not the jnp pairwise op): this runs per emitted model
     # with the chromosome's real length — see assess_ensemble's rationale
-    d = np.sqrt(((coords[:, None] - coords[None, :]) ** 2).sum(-1))
     ii, jj = np.nonzero(np.triu(r.mask, k=1))
+    diff = coords[ii] - coords[jj]
+    d = np.sqrt((diff * diff).sum(-1))
+    lo = (r.target[ii, jj] - r.negdev[ii, jj]).astype(np.float64)
+    hi = (r.target[ii, jj] + r.posdev[ii, jj]).astype(np.float64)
+    viol = ~((lo - cfg.dist_relax <= d) & (d < hi + cfg.dist_relax))
     flags = np.zeros(r.length, dtype=bool)
-    for i, j in zip(ii, jj):
-        lo = r.target[i, j] - r.negdev[i, j]
-        hi = r.target[i, j] + r.posdev[i, j]
-        if not (lo - cfg.dist_relax <= d[i, j] < hi + cfg.dist_relax):
-            flags[i] = flags[j] = True
+    flags[ii[viol]] = True
+    flags[jj[viol]] = True
     return "".join("x" if f else "-" for f in flags)
