@@ -182,8 +182,13 @@ def main(argv=None) -> int:
              "the dispatch table use_triangular consults (>=5 repeats; "
              "replaces the frozen defaults)",
     )
-    cal.add_argument("-L", "--lengths", default="1024,2048,4096",
-                     help="comma-separated bead counts to measure")
+    cal.add_argument("-L", "--lengths", default=None,
+                     help="comma-separated cases to measure: LxB pairs "
+                          "(e.g. 512x10,2048x4) or bare bead counts "
+                          "(measured at --batch). Default: the production "
+                          "shapes (512x10, 512x20, 1024x4, 2048x4, 4096x4)")
+    cal.add_argument("--batch", type=int, default=4,
+                     help="structure count for bare -L lengths (default 4)")
     cal.add_argument("--repeats", type=int, default=5)
     cal.add_argument("--out", default=None,
                      help="table path (default CHROM3D_DISPATCH_TABLE or "
@@ -376,9 +381,20 @@ def main(argv=None) -> int:
     if args.command == "calibrate":
         from chromosome3d_tpu.ops.calibrate import calibrate_dispatch
 
-        lengths = [int(x) for x in args.lengths.split(",") if x.strip()]
+        cases = None
+        if args.lengths:
+            cases = []
+            for tok in args.lengths.split(","):
+                tok = tok.strip()
+                if not tok:
+                    continue
+                if "x" in tok:
+                    L, B = tok.split("x", 1)
+                    cases.append((int(L), int(B)))
+                else:
+                    cases.append((int(tok), args.batch))
         table = calibrate_dispatch(
-            lengths=lengths, repeats=args.repeats, out_path=args.out
+            cases=cases, repeats=args.repeats, out_path=args.out
         )
         print(json.dumps(table, indent=1))
         return 0

@@ -2,27 +2,39 @@
 
 `use_triangular`'s defaults are frozen from one round-2 measurement session
 (±8% single-run variance). This module measures the per-step cost of every
-step variant at a set of lengths with >= `repeats` repeats and writes a
-dispatch table that `ops.pallas_energy.use_triangular` consults (nearest
-measured L in log space), keyed by device kind:
+step variant at a set of (length, batch) cases with >= `repeats` repeats and
+writes a dispatch table that `ops.pallas_energy.use_triangular` consults
+(nearest measured (L, B) in log space, with a 2x log-L distance bound),
+keyed by device kind:
 
     {"<device_kind>": {"entries": [
-        {"L": 2048, "fused_s": ..., "semi_s": ...,
+        {"L": 2048, "B": 4, "fused_s": ..., "semi_s": ...,
          "tri_unfused_s": ..., "row_unfused_s": ...,
          "rel_spread": {...}}, ...],
-      "repeats": 5, "steps": 24, "batch": 4}}
+      "repeats": 5, "steps": 24}}
+
+Infeasible variants store null (strict-JSON safe; the reader treats
+missing/null as infinity). Legacy round-3 entries carry no "B" (they were
+measured at B=4) and the nonstandard Infinity token — both still load.
 
 Variants (all exact-restraint, the production path):
-  fused        — the fully fused whole-matrix step (inf where it cannot
+  fused        — the fully fused whole-matrix step (null where it cannot
                  lower, fused_step_feasible)
   semi         — triangular pair kernel + the fused update companion
   tri_unfused  — triangular pair kernel + jnp Adam/noise glue
-  row_unfused  — whole-matrix row kernel + jnp glue (CHROM3D_NO_TRI path)
+  row_unfused  — whole-matrix row kernel + jnp glue (the static no_tri
+                 argument pins it; an env-var read at trace time would not
+                 key jax's in-memory jit cache)
+
+The default cases cover the PRODUCTION shapes: the shipped length bucket at
+its real model counts (512 x B=10 and B=20 — round-3 item: probe-vs-
+production shape mismatch once flipped the L=456 bench onto a 40%-slower
+path) plus the at-scale lengths at a small batch.
 
 Run via `chromosome3d calibrate` (NOT on first use: on a remote-compile
-backend each variant x length costs a multi-minute XLA compile, so
+backend each variant x case costs a multi-minute XLA compile, so
 calibration is an explicit, cacheable step; the table file is content-
-hashed into the AOT executable cache key). The table merges per length,
+hashed into the AOT executable cache key). The table merges per (L, B),
 so repeated runs refine coverage. Tests inject a fake `timer`.
 """
 
@@ -31,13 +43,18 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
+# production-shape default cases: (L, B)
+DEFAULT_CASES: Tuple[Tuple[int, int], ...] = (
+    (512, 10), (512, 20), (1024, 4), (2048, 4), (4096, 4),
+)
 
-def _real_timer(steps: int, batch: int):
-    """Build the measured-variant timer: returns timer(variant, L) ->
+
+def _real_timer(steps: int):
+    """Build the measured-variant timer: returns timer(variant, L, B) ->
     seconds per scan call (min over caller's repeats happens outside)."""
     import jax
     import jax.numpy as jnp
@@ -51,7 +68,7 @@ def _real_timer(steps: int, batch: int):
     cfg = AnnealConfig(exact_restraints=True)
     weights = _final_weights(cfg)
 
-    def make_case(L: int):
+    def make_case(L: int, batch: int):
         rng = np.random.RandomState(L)
         # synthetic exact restraints with realistic density/coverage
         t = np.abs(np.subtract.outer(np.arange(L), np.arange(L))).astype(
@@ -80,8 +97,8 @@ def _real_timer(steps: int, batch: int):
 
         return jax.jit(run), carry0
 
-    def build(variant: str, L: int):
-        dense, bead, x = make_case(L)
+    def build(variant: str, L: int, batch: int):
+        dense, bead, x = make_case(L, batch)
         xT = jnp.swapaxes(x, 1, 2)
         z = jnp.zeros_like(xT)
 
@@ -138,24 +155,14 @@ def _real_timer(steps: int, batch: int):
 
         elif variant == "row_unfused":
 
-            def _row_kernel(x):
-                # force the whole-matrix row kernel (bypass tri dispatch;
-                # the env var is read at trace time inside use_triangular)
-                had = os.environ.get("CHROM3D_NO_TRI")
-                os.environ["CHROM3D_NO_TRI"] = "1"
-                try:
-                    return pe._pairwise_energy_grad_batched(
-                        x, dense, weights, bead, interpret, True
-                    )
-                finally:
-                    if had is None:
-                        os.environ.pop("CHROM3D_NO_TRI", None)
-                    else:
-                        os.environ["CHROM3D_NO_TRI"] = had
-
             def step(carry, i):
                 x, opt_state, k = carry
-                e, g = _row_kernel(x)
+                # no_tri is a STATIC argument: it keys both jax's in-memory
+                # jit cache and the AOT disk cache, so this trace can never
+                # leak into a later dispatch-driven exact solve
+                e, g = pe._pairwise_energy_grad_batched(
+                    x, dense, weights, bead, interpret, True, no_tri=True
+                )
                 return glue(x, opt_state, k, e, g)
 
         else:
@@ -164,10 +171,10 @@ def _real_timer(steps: int, batch: int):
 
     built_cache: dict = {}
 
-    def timer(variant: str, L: int) -> Optional[float]:
-        key = (variant, L)
+    def timer(variant: str, L: int, batch: int) -> Optional[float]:
+        key = (variant, L, batch)
         if key not in built_cache:
-            built = build(variant, L)
+            built = build(variant, L, batch)
             if built is not None:
                 fn, carry0 = built
                 out = fn(carry0)          # compile + warm ONCE per variant
@@ -189,18 +196,22 @@ VARIANTS = ("fused", "semi", "tri_unfused", "row_unfused")
 
 
 def calibrate_dispatch(
-    lengths: Sequence[int] = (1024, 2048, 4096),
+    cases: Optional[Sequence[Tuple[int, int]]] = None,
+    lengths: Optional[Sequence[int]] = None,
     repeats: int = 5,
     steps: int = 24,
     batch: int = 4,
     out_path: Optional[str] = None,
-    timer: Optional[Callable[[str, int], Optional[float]]] = None,
+    timer: Optional[Callable[[str, int, int], Optional[float]]] = None,
     device_kind: Optional[str] = None,
 ) -> Dict:
-    """Measure every variant at every length (min over `repeats`, relative
-    spread recorded) and write/merge the dispatch table. Returns the table.
+    """Measure every variant at every (L, B) case (min over `repeats`,
+    relative spread recorded) and write/merge the dispatch table. Returns
+    the table.
 
-    timer(variant, L) -> seconds (or None = variant infeasible at L);
+    cases: (L, B) pairs; default DEFAULT_CASES (production shapes).
+    lengths: legacy spelling — lengths all measured at `batch`.
+    timer(variant, L, B) -> seconds (or None = variant infeasible);
     injectable for tests. The default timer runs real kernels on the
     current backend."""
     from chromosome3d_tpu.ops.pallas_energy import (
@@ -209,22 +220,28 @@ def calibrate_dispatch(
         _dispatch_table_path,
     )
 
-    timer = timer or _real_timer(steps, batch)
+    if cases is None:
+        cases = (
+            tuple((int(L), int(batch)) for L in lengths)
+            if lengths is not None
+            else DEFAULT_CASES
+        )
+    timer = timer or _real_timer(steps)
     kind = device_kind or _device_kind()
     out_path = out_path or _dispatch_table_path()
 
     entries = []
-    for L in lengths:
-        row: Dict = {"L": int(L), "rel_spread": {}}
+    for L, B in cases:
+        row: Dict = {"L": int(L), "B": int(B), "rel_spread": {}}
         for variant in VARIANTS:
             ts = []
             for _ in range(repeats):
-                t = timer(variant, L)
+                t = timer(variant, L, B)
                 if t is None:
                     break
                 ts.append(t)
             if not ts:
-                row[f"{variant}_s"] = float("inf")
+                row[f"{variant}_s"] = None      # infeasible: strict-JSON null
                 row["rel_spread"][variant] = 0.0
             else:
                 best = min(ts)
@@ -242,16 +259,33 @@ def calibrate_dispatch(
         except (OSError, ValueError):
             table = {}
     dev = table.setdefault(kind, {})
-    old = {e["L"]: e for e in dev.get("entries", [])}
+
+    def _sanitize(e):
+        # legacy tables stored inf (the nonstandard Infinity token); the
+        # round-4 schema stores null — rewrite on merge so the output is
+        # strict JSON end to end
+        import math
+
+        for v_ in VARIANTS:
+            k = f"{v_}_s"
+            if isinstance(e.get(k), float) and not math.isfinite(e[k]):
+                e[k] = None
+        return e
+
+    # merge on (L, B); legacy entries without B were measured at batch=4
+    old = {
+        (e["L"], e.get("B", 4)): _sanitize(e) for e in dev.get("entries", [])
+    }
     for e in entries:
-        old[e["L"]] = e
-    dev["entries"] = sorted(old.values(), key=lambda e: e["L"])
-    dev.update({"repeats": repeats, "steps": steps, "batch": batch})
+        old[(e["L"], e["B"])] = e
+    dev["entries"] = sorted(old.values(), key=lambda e: (e["L"], e.get("B", 4)))
+    dev.update({"repeats": repeats, "steps": steps})
+    dev.pop("batch", None)                       # superseded by per-entry B
 
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     tmp = out_path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(table, f, indent=1)
+        json.dump(table, f, indent=1, allow_nan=False)
     os.replace(tmp, out_path)
     _DISPATCH_CACHE.clear()
     return table

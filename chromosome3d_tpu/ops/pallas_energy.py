@@ -773,7 +773,9 @@ def pallas_fused_step_batched(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "exact", "gram"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "exact", "gram", "no_tri")
+)
 def _pairwise_energy_grad_batched(
     coords: jnp.ndarray,       # (B, L, 3)
     restraints: DenseRestraints,
@@ -782,6 +784,7 @@ def _pairwise_energy_grad_batched(
     interpret: bool = False,
     exact: bool = False,
     gram: bool = False,
+    no_tri: bool = False,
 ):
     """Run the fused kernel over a batch of structures SHARING one restraint
     set. Returns (pair_energy (B,), pair_grad (B, L, 3)).
@@ -799,9 +802,13 @@ def _pairwise_energy_grad_batched(
     Exact restraints at large L dispatch to the triangular kernel
     (pallas_energy_grad_tri_batched): once the matrix spans >= 3 blocks,
     computing each unordered tile pair once saves 33-45% of the pair math.
+    no_tri=True pins the whole-matrix row kernel — a STATIC argument (the
+    calibrator's row_unfused variant; an env-var read at trace time would
+    not key jax's in-memory jit cache and could leak a cached trace into a
+    later same-shape solve).
     """
     B, L, _ = coords.shape
-    if exact and use_triangular(L, for_unfused=True):
+    if exact and not no_tri and use_triangular(L, for_unfused=True, batch=B):
         return pallas_energy_grad_tri_batched(
             coords, restraints, weights, bead_mask, interpret, gram=gram
         )
@@ -1057,14 +1064,47 @@ def _device_kind() -> str:
     return getattr(d, "device_kind", d.platform)
 
 
-def use_triangular(L: int, for_unfused: bool = False) -> bool:
+def _select_dispatch_entry(entries, L: int, batch):
+    """Nearest measured entry: primary key |log(L/entry L)|, tie-broken by
+    |log(B/entry B)| when the caller knows its batch (entries without a
+    recorded B are legacy round-3 measurements at B=4). Returns None when
+    the nearest entry is more than 2x away in log-L space — a sparse table
+    must not steer shapes it never measured (the frozen defaults apply)."""
+    import math
+
+    def ld(e):
+        return abs(math.log(max(L, 1) / max(e["L"], 1)))
+
+    best = min(ld(e) for e in entries)
+    if best > math.log(2.0) + 1e-9:
+        return None
+    near = [e for e in entries if ld(e) <= best + 1e-9]
+    if batch is not None and len(near) > 1:
+        near = sorted(
+            near,
+            key=lambda e: abs(math.log(max(batch, 1) / max(e.get("B", 4), 1))),
+        )
+    return near[0]
+
+
+def _entry_seconds(entry, key: str) -> float:
+    """Variant seconds from a table entry; None/missing = infeasible
+    (stored as null since round 4 — strict-JSON safe; legacy files with
+    the nonstandard Infinity token still load through Python's json)."""
+    v = entry.get(key)
+    return float("inf") if v is None else float(v)
+
+
+def use_triangular(L: int, for_unfused: bool = False,
+                   batch: int | None = None) -> bool:
     """True when the symmetry-exploiting kernel pays at this length: the
     padded matrix spans >= 3 blocks AND the saving beats the alternative.
 
     The decision consults the MEASURED dispatch table when one exists
     (calibrate_dispatch writes it, keyed by device kind; nearest measured
-    L in log space decides) and otherwise falls back to the frozen
-    defaults from the round-2 measurement session (276-step turbo,
+    (L, B) in log space decides — see _select_dispatch_entry, which also
+    refuses entries >2x away in log-L) and otherwise falls back to the
+    frozen defaults from the round-2 measurement session (276-step turbo,
     4 models, ±8% single-run variance): against the FULLY FUSED
     whole-matrix step, L=1024 fused 0.111 s vs tri 0.131-0.139 (fused
     wins), L=2048 0.221 vs 0.217-0.224 (tie) — and past Lp ~= 2048 the
@@ -1074,6 +1114,10 @@ def use_triangular(L: int, for_unfused: bool = False) -> bool:
     enantiomer hot pick), the comparison is against the full-matrix row
     kernel doing ~2x the pair math, so the default crossover is 1024.
     CHROM3D_NO_TRI=1 disables the dispatch (A/B measurement).
+
+    batch: the caller's structure count, used to pick between same-L
+    entries measured at different B (round-4 tables carry the production
+    bucket shapes; the per-step glue amortizes differently with B).
 
     Round-3 frozen fallback (no table): the calibrated measurement showed
     the FUSED step wins (or ties) wherever it can lower — 1024 tie, 2048
@@ -1090,17 +1134,24 @@ def use_triangular(L: int, for_unfused: bool = False) -> bool:
 
     table = _dispatch_table()
     entries = (table or {}).get(_device_kind(), {}).get("entries", [])
-    if entries:
-        best = min(
-            entries, key=lambda e: abs(math.log(max(L, 1) / max(e["L"], 1)))
-        )
+    best = _select_dispatch_entry(entries, L, batch) if entries else None
+    if best is not None:
         # 3% hysteresis: a within-noise "win" (measured rel_spread is a
         # few %) must not flip dispatch away from the simpler variant
         if for_unfused:
-            return best["tri_unfused_s"] < 0.97 * best["row_unfused_s"]
+            return (
+                _entry_seconds(best, "tri_unfused_s")
+                < 0.97 * _entry_seconds(best, "row_unfused_s")
+            )
         if not fused_step_feasible(L):
             return True
-        return best["semi_s"] < 0.97 * best["fused_s"]
+        fused_s = _entry_seconds(best, "fused_s")
+        if math.isinf(fused_s):
+            # entry measured where the fused step could not lower, but it
+            # CAN at the query length: the entry says nothing about the
+            # comparison — frozen default (fused wherever feasible)
+            return False
+        return _entry_seconds(best, "semi_s") < 0.97 * fused_s
 
     if for_unfused:
         return L >= 1024

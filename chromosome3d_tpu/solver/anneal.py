@@ -318,7 +318,7 @@ def solve_ensemble_impl(
 
         import os as _os
 
-        fused = not use_triangular(L) and fused_step_feasible(L)
+        fused = not use_triangular(L, batch=n_eff) and fused_step_feasible(L)
         # the semi path IS the triangular kernel (+ companion), so the
         # CHROM3D_NO_TRI A/B override must push it to the unfused scan
         semi = not fused and not _os.environ.get("CHROM3D_NO_TRI")

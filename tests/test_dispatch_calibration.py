@@ -1,6 +1,8 @@
-"""Kernel-dispatch calibration (round-3 item 9): the crossover table is
-generated from measurements (here: a fake timer), cached to disk, and
-use_triangular honors it over the frozen defaults."""
+"""Kernel-dispatch calibration (round-3 item 9, round-4 schema): the
+crossover table is generated from measurements (here: a fake timer), cached
+to disk as strict JSON with per-entry (L, B), and use_triangular honors it
+over the frozen defaults — with a 2x log-L distance bound so a sparse table
+cannot steer shapes it never measured."""
 
 import json
 
@@ -24,7 +26,7 @@ def table_path(tmp_path, monkeypatch):
 
 
 def fake_timer(times):
-    def timer(variant, L):
+    def timer(variant, L, B):
         return times.get((variant, L))
 
     return timer
@@ -44,9 +46,12 @@ def test_calibration_writes_and_flips_dispatch(table_path):
     )
     assert "fakeTPU" in table
     entries = {e["L"]: e for e in table["fakeTPU"]["entries"]}
-    assert entries[4096]["fused_s"] == float("inf")
+    assert entries[4096]["fused_s"] is None     # infeasible: strict-JSON null
+    assert entries[1024]["B"] == 4
     with open(table_path) as f:
-        assert json.load(f)["fakeTPU"]["repeats"] == 5
+        text = f.read()
+    assert "Infinity" not in text               # valid for strict parsers
+    assert json.loads(text)["fakeTPU"]["repeats"] == 5
 
     import chromosome3d_tpu.ops.pallas_energy as pe
 
@@ -114,3 +119,126 @@ def test_merge_preserves_other_lengths(table_path):
     Ls = [e["L"] for e in table["fakeTPU"]["entries"]]
     assert Ls == [1024, 2048]
     assert dispatch_table_fingerprint() != "none"
+
+
+def test_merge_distinguishes_batches(table_path):
+    """Same L at different B are separate entries, and dispatch picks the
+    nearest-B entry (the production bucket runs B=10/20 while the at-scale
+    probes run B=4 — round-3 VERDICT weak #4)."""
+
+    def timer_b(variant, L, B):
+        # at B=16 the semi step wins; at B=2 the fused step wins
+        if variant == "fused":
+            return 0.10 if B <= 8 else 0.50
+        if variant == "semi":
+            return 0.50 if B <= 8 else 0.10
+        return 0.60
+
+    calibrate_dispatch(cases=((1024, 2), (1024, 16)), repeats=2,
+                       timer=timer_b, device_kind="fakeTPU")
+    table = json.load(open(__import__("os").environ["CHROM3D_DISPATCH_TABLE"]))
+    pairs = [(e["L"], e["B"]) for e in table["fakeTPU"]["entries"]]
+    assert pairs == [(1024, 2), (1024, 16)]
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    orig_kind = pe._device_kind
+    pe._device_kind = lambda: "fakeTPU"
+    try:
+        assert not use_triangular(1024, batch=2)     # fused wins at small B
+        assert use_triangular(1024, batch=20)        # semi wins at large B
+        # batch unknown: first (nearest-L) entry applies deterministically
+        assert use_triangular(1024) in (True, False)
+    finally:
+        pe._device_kind = orig_kind
+
+
+def test_sparse_table_distance_bound(table_path):
+    """An entry >2x away in log-L must NOT decide dispatch: a table with
+    only L=4096 (where fused is infeasible -> semi trivially 'wins') would
+    otherwise route fused-feasible L=1024 onto the slower semi path
+    (round-3 ADVICE finding)."""
+    times = {("fused", 4096): None, ("semi", 4096): 0.1,
+             ("tri_unfused", 4096): 0.1, ("row_unfused", 4096): 0.5}
+    calibrate_dispatch(lengths=(4096,), repeats=2,
+                       timer=fake_timer(times), device_kind="fakeTPU")
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    orig_kind = pe._device_kind
+    pe._device_kind = lambda: "fakeTPU"
+    try:
+        # L=1024 is 4x from the only entry: frozen defaults apply
+        assert not use_triangular(1024)
+        assert not use_triangular(1024, for_unfused=False)
+        # L=4096 itself still follows the measurement
+        assert use_triangular(4096)
+        assert use_triangular(4096, for_unfused=True)
+        # within 2x (L=2176, fused infeasible): entry applies, tri wins
+        assert use_triangular(2176)
+    finally:
+        pe._device_kind = orig_kind
+
+
+def test_feasible_query_ignores_infeasible_entry(table_path):
+    """A nearest entry whose fused_s is null (measured where the fused step
+    could not lower) says nothing about a query length where it CAN: the
+    frozen default (fused) must apply, not a trivial semi 'win'."""
+    times = {("fused", 2560): None, ("semi", 2560): 0.1,
+             ("tri_unfused", 2560): 0.1, ("row_unfused", 2560): 0.5}
+    calibrate_dispatch(lengths=(2560,), repeats=2,
+                       timer=fake_timer(times), device_kind="fakeTPU")
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    orig_kind = pe._device_kind
+    pe._device_kind = lambda: "fakeTPU"
+    try:
+        # 2048 is within 2x of 2560 and fused-feasible: frozen default
+        assert not use_triangular(2048)
+        # 2560 itself: fused infeasible -> tri
+        assert use_triangular(2560)
+    finally:
+        pe._device_kind = orig_kind
+
+
+def test_legacy_table_with_infinity_loads_and_merges(table_path):
+    """Round-3 tables stored Infinity and no B: they must still load
+    (Python json accepts the token), decide dispatch (inf = infeasible),
+    and be rewritten as strict JSON on the next merge."""
+    legacy = {
+        "fakeTPU": {
+            "entries": [{
+                "L": 4096,
+                "fused_s": float("inf"), "semi_s": 0.1,
+                "tri_unfused_s": 0.1, "row_unfused_s": 0.5,
+                "rel_spread": {},
+            }],
+            "repeats": 5, "steps": 24, "batch": 4,
+        }
+    }
+    import os
+
+    path = os.environ["CHROM3D_DISPATCH_TABLE"]
+    with open(path, "w") as f:
+        f.write(json.dumps(legacy))          # emits the Infinity token
+    _DISPATCH_CACHE.clear()
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    orig_kind = pe._device_kind
+    pe._device_kind = lambda: "fakeTPU"
+    try:
+        assert use_triangular(4096)          # legacy inf reads as infeasible
+        t1 = {("fused", 1024): 0.1, ("semi", 1024): 0.5,
+              ("tri_unfused", 1024): 0.5, ("row_unfused", 1024): 0.1}
+        table = calibrate_dispatch(lengths=(1024,), repeats=2,
+                                   timer=fake_timer(t1),
+                                   device_kind="fakeTPU")
+        pairs = [(e["L"], e.get("B", None)) for e in table["fakeTPU"]["entries"]]
+        assert pairs == [(1024, 4), (4096, None)]   # legacy row kept as-is
+        text = open(path).read()
+        assert "Infinity" not in text        # sanitized to null on rewrite
+        assert use_triangular(4096)          # and still decides the same
+    finally:
+        pe._device_kind = orig_kind
