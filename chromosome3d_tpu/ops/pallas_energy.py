@@ -1233,6 +1233,238 @@ def pallas_energy_grad_tri_batched(
     return jnp.sum(e_parts[:, :, :, 0], axis=(1, 2)), g[:, :L, :]
 
 
+def _kernel_exact_tri_strip(
+    params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, ...
+    row0t_ref,    # SMEM (1,) int32: this strip's first GLOBAL row TILE index
+    xrow_ref,     # (1, TM, 3) row-block coords (local block i of the strip)
+    xcolT_ref,    # (1, 3, TM) col-block coords from the ROLLED (B, 3, L)
+    t_ref,        # (TM, TM) exact target block (rolled strip, block (i, jj))
+    w_ref,        # (TM, TM) mask-folded weights block (rolled strip)
+    bmr_ref,      # (TM, 1) row-block bead mask (strip rows)
+    bmc_ref,      # (1, TM) col-block bead mask (rolled)
+    e_ref,        # out (1, 1, TM, 1): row-block energy partials of shell s
+    grow_ref,     # out (1, 1, TM, 3): row-block gradient of shell s
+    gcolT_ref,    # out (1, 1, 3, TM): col-block gradient, COMPACT slot i
+    *,
+    Tg: int,      # static: global column tile count (= L // TM)
+    gram: bool = False,
+):
+    """_kernel_exact_tri generalized to a SHARDED ROW STRIP: the global
+    round-robin tile pairing (row tile i_g pairs with col tile
+    (i_g + s) % Tg), with this device owning the strip's local row tiles
+    i = 0..Tl-1 at global offset row0t. The union over devices covers every
+    unordered tile pair exactly once — the triangular kernel's 33-45% pair-
+    math saving, lifted across the sequence-parallel mesh axis.
+
+    shard_map traces one SPMD program, so BlockSpec index maps cannot see
+    the device's row offset. Instead the caller pre-ROLLS the strip's
+    columns (and the replicated coords/bead mask) left by row0 = row0t*TM,
+    making the data's local column tile jj = (i + s) % Tg coincide with
+    global tile (i_g + s) % Tg; only the kernel BODY needs row0t (for the
+    |i-j| >= 2 vdw predicate and the even-Tg dedup), and it reads it from
+    SMEM. Col-block gradients land in COMPACT slot i (for fixed s the map
+    i -> jj is injective); the caller un-rolls them (static shell shifts +
+    one traced roll) and psums across the axis."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    S = pl.num_programs(1)
+    TM = t_ref.shape[0]
+    i_g = row0t_ref[0] + i
+
+    noe_w = params_ref[0]
+    vdw_w = params_ref[1]
+    vdw_radius = params_ref[2]
+
+    a = xrow_ref[0]                                # (TM, 3)
+    xjT = xcolT_ref[0]                             # (3, TM)
+
+    live = jnp.float32(1.0)
+    if Tg % 2 == 0:
+        # even Tg: shell s = Tg/2 double-covers; the i_g >= Tg/2 twin is dead
+        live = jnp.where((s == S - 1) & (i_g >= Tg // 2), 0.0, 1.0)
+
+    if gram:
+        a2 = jnp.sum(a * a, axis=1, keepdims=True)
+        x2 = jnp.sum(xjT * xjT, axis=0, keepdims=True)
+        ax = jax.lax.dot_general(
+            a, xjT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s2 = jnp.maximum(a2 + x2 - 2.0 * ax, 0.0) + _EPS
+    else:
+        s2 = jnp.full((TM, TM), _EPS, jnp.float32)
+        for c in range(3):
+            diff = a[:, c:c + 1] - xjT[c:c + 1, :]
+            s2 = s2 + diff * diff
+    rinv = jax.lax.rsqrt(s2)
+    u = 1.0 - t_ref[:] * rinv
+    pv = bmr_ref[:] * bmc_ref[:]                   # (TM, TM)
+    w = w_ref[:] * pv
+    wu = w * u
+    v = jnp.maximum(vdw_radius * rinv - 1.0, 0.0)
+    tj_g = jax.lax.rem(i_g + s, Tg)
+    rows_g = i_g * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, TM), 0)
+    cols_g = tj_g * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, TM), 1)
+    nb = (jnp.abs(rows_g - cols_g) >= 2).astype(jnp.float32) * pv
+    nv = nb * v
+
+    c_blk = ((2.0 * noe_w) * wu - (2.0 * vdw_w) * nv) * live   # (TM, TM)
+    e_scale = jnp.where(s == 0, 1.0, 2.0) * live
+    e_blk = s2 * (
+        (0.5 * noe_w) * (wu * u) + (0.5 * vdw_w) * (nv * v)
+    )
+    e_ref[0, 0] = e_scale * jnp.sum(e_blk, axis=1, keepdims=True)
+
+    crow = jnp.sum(c_blk, axis=1, keepdims=True)
+    cxj = jax.lax.dot_general(
+        c_blk, xjT, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    grow_ref[0, 0] = a * crow - cxj
+
+    col_live = jnp.where(s == 0, 0.0, 1.0)
+    ccol = jnp.sum(c_blk, axis=0, keepdims=True)
+    aTc = jax.lax.dot_general(
+        a, c_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    gcolT_ref[0, 0] = (xjT * ccol - aTc) * col_live
+
+
+def pick_tile_tri_strip(Lb: int) -> int:
+    """(TM, TM) block size for the strip-tri kernel: must divide the strip
+    height Lb (shard boundaries = tile boundaries, so rows need no padding
+    and Lp = L exactly), under the same scoped-VMEM budget as the
+    whole-matrix triangular kernel. Lb < 128 (tiny shards — CPU-mesh tests)
+    degrades to sub-lane tiles, which interpret mode handles."""
+    budget = 14 * 1024 * 1024
+    for t in (512, 384, 256, 128, 64, 32, 16, 8):
+        if t <= Lb and Lb % t == 0 and 22 * t * t * 4 <= budget:
+            return t
+    return 8
+
+
+def strip_tri_feasible(L: int, n_dev: int) -> bool:
+    """Whether the strip-tri kernel pays on an n_dev row-sharded solve:
+    tile boundaries must align with shard boundaries and the global matrix
+    must span >= 3 tiles (below that there is no symmetry to exploit —
+    callers use the row-block kernel)."""
+    if L % n_dev:
+        return False
+    Lb = L // n_dev
+    TM = pick_tile_tri_strip(Lb)
+    return Lb % TM == 0 and L % TM == 0 and L // TM >= 3
+
+
+def pallas_strip_tri_energy_grad_batched(
+    x_rows: jnp.ndarray,       # (B, Lb, 3) this strip's row coords
+    xT_rolled: jnp.ndarray,    # (B, 3, L) full coords, T layout, ROLLED by
+    #                            -row0 columns (caller does the roll)
+    t_rolled: jnp.ndarray,     # (Lb, L) exact target strip, cols rolled
+    w_rolled: jnp.ndarray,     # (Lb, L) mask-folded weights strip, rolled
+    bm_rows: jnp.ndarray,      # (Lb,) strip-row bead mask
+    bm_rolled: jnp.ndarray,    # (L,) bead mask, rolled
+    row0_tiles: jnp.ndarray,   # traced int32: global row TILE offset
+    weights: EnergyWeights,
+    interpret: bool = False,
+    gram: bool = False,
+):
+    """Symmetry-exploiting pair energy+grad for one row strip of a sharded
+    exact-restraint solve (see _kernel_exact_tri_strip). Returns
+    (e partial (B,), grow (B, S, Lb, 3), gcolT compact (B, S, 3, Lb));
+    assembly + collectives are the caller's (solver.sharded) job."""
+    B, Lb, _ = x_rows.shape
+    L = xT_rolled.shape[2]
+    TM = pick_tile_tri_strip(Lb)
+    if Lb % TM or L % TM:
+        raise ValueError(
+            f"strip-tri needs TM={TM} to divide Lb={Lb} and L={L}"
+        )
+    Tl = Lb // TM
+    Tg = L // TM
+    S = Tg // 2 + 1
+
+    params = jnp.stack([
+        weights.noe.astype(jnp.float32),
+        weights.vdw.astype(jnp.float32),
+        weights.vdw_radius.astype(jnp.float32),
+        jnp.float32(0), jnp.float32(L),
+        jnp.float32(0), jnp.float32(0), jnp.float32(0),
+    ])
+    row0t = jnp.full((1,), row0_tiles, jnp.int32)
+
+    def jj(i, s, b):
+        return (i + s) % Tg
+
+    grid = (Tl, S, B)
+    e_parts, g_row, g_colT = pl.pallas_call(
+        functools.partial(_kernel_exact_tri_strip, Tg=Tg, gram=gram),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TM, 3), lambda i, s, b: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TM), lambda i, s, b: (b, 0, jj(i, s, b)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TM), lambda i, s, b: (i, jj(i, s, b)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TM), lambda i, s, b: (i, jj(i, s, b)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, s, b: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda i, s, b: (0, jj(i, s, b)), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, TM, 1), lambda i, s, b: (b, s, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TM, 3), lambda i, s, b: (b, s, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, TM), lambda i, s, b: (b, s, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, Lb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, Lb, 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, 3, Lb), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(18 * TM) * TM * B * (Tl * S),
+            bytes_accessed=int(8 * TM) * TM * (Tl * S) + B * Lb * 4 * 16,
+            transcendentals=TM * TM * B * (Tl * S),
+        ),
+        interpret=interpret,
+    )(
+        params, row0t, x_rows.astype(jnp.float32), xT_rolled,
+        t_rolled, w_rolled,
+        bm_rows.astype(jnp.float32)[:, None],
+        bm_rolled.astype(jnp.float32)[None, :],
+    )
+    return jnp.sum(e_parts[:, :, :, 0], axis=(1, 2)), g_row, g_colT
+
+
+def assemble_strip_tri_grad(
+    g_row: jnp.ndarray,     # (B, S, Lb, 3) from pallas_strip_tri_...
+    g_colT: jnp.ndarray,    # (B, S, 3, Lb) compact col-block gradients
+    row0: jnp.ndarray,      # traced int32: global first ROW of the strip
+    L: int,
+):
+    """Scatter one strip's tri-kernel gradient contributions into a full
+    (B, 3, L) array (zeros elsewhere); psum over the mesh axis then yields
+    the complete replicated gradient. Compact col slot i of shell s holds
+    ROLLED column tile (i + s) % Tg, i.e. rolled columns [s*TM + i*TM)
+    wrapping — so shell s un-compacts with a STATIC roll by s*TM, and one
+    traced roll by row0 undoes the caller's strip roll."""
+    B, S, Lb, _ = g_row.shape
+    TM = pick_tile_tri_strip(Lb)
+    pad = L - Lb
+    acc = jnp.zeros((B, 3, L), jnp.float32)
+    for s in range(S):
+        strip = jnp.pad(g_colT[:, s], ((0, 0), (0, 0), (0, pad)))
+        acc = acc + (jnp.roll(strip, s * TM, axis=2) if s else strip)
+    g_col_global = jnp.roll(acc, row0, axis=2)
+    g_rows_T = jnp.swapaxes(jnp.sum(g_row, axis=1), 1, 2)      # (B, 3, Lb)
+    own = jax.lax.dynamic_slice(g_col_global, (0, 0, row0), (B, 3, Lb))
+    return jax.lax.dynamic_update_slice(
+        g_col_global, own + g_rows_T, (0, 0, row0)
+    )
+
+
 def _pick_tile_rows(Lb: int, Lp: int, exact: bool) -> int:
     """Row-tile size for a ROW-BLOCK call: must divide the block height Lb
     (so no row padding is needed and every x slice stays in bounds), sized

@@ -236,6 +236,21 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
     use_pallas = resolve_use_pallas(cfg) and (L // n_dev) % 8 == 0  # sublane-tileable blocks
     exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
     interpret = jax.default_backend() != "tpu"
+    # FUSED-UPDATE (semi) sharded path: the same gate as the single-chip
+    # solve_ensemble_impl `fusable` — the pair kernel feeds the fused update
+    # companion (bond/clip/Adam/noise/move in ONE kernel, T layout), killing
+    # the optax+threefry glue the round-3 VERDICT measured at ~15%/step.
+    # Where shard boundaries align with tri tiles, the pair math itself runs
+    # the STRIP-TRIANGULAR kernel: the global round-robin tile pairing
+    # distributed over the mesh axis, so each unordered tile pair is
+    # computed once ACROSS shards (~2x less pair work than the full-row
+    # convention); the gradient then needs a psum instead of an all_gather.
+    from chromosome3d_tpu.ops.pallas_energy import strip_tri_feasible
+
+    fusable = (
+        use_pallas and exact and cfg.fuse_update and cfg.angle_weight == 0.0
+    )
+    strip_tri = fusable and strip_tri_feasible(L, n_dev)
 
     def shard_fn(lo, hi, w, bead, key, srows):
         """Everything below runs per device on its (Lb, L) restraint rows;
@@ -279,9 +294,6 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
         )[:, None, :]
         xs = xs + cfg.init_noise * jax.random.normal(jkey, xs.shape) * bead[None, :, None]
 
-        opt = optax.scale_by_adam()
-        opt_state = opt.init(xs)
-
         def bond_energy(c):
             return _bonded_energy(c, bead, base)
 
@@ -319,46 +331,146 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
                 e_noe, e_vdw, g = pair_terms(x, weights)
                 return e_noe + e_vdw, g
 
-        def step(carry, srow):
-            x, opt_state, k = carry
-            lr, sigma, vdw_w, repel = srow
-            weights = _schedule_weights(cfg, base, vdw_w, repel)
-            e_pair, g = pair_total_and_grad(x, weights)
-            e_bond, g_bond = bond_vg(x)
-            e = e_pair + e_bond
-            g = _clip_per_bead(g + g_bond, cfg.gradient_clip)
-            updates, opt_state = opt.update(g, opt_state)
-            k, nkey = jax.random.split(k)
-            noise = sigma * jax.random.normal(nkey, x.shape)
-            x = x + (-lr * updates + noise) * bead[None, :, None]
-            return (x, opt_state, k), e
+        # Adam bias corrections precomputed for the whole schedule as srow
+        # columns (identical to solver.anneal's scheme; the fused update
+        # companion consumes them, the unfused path ignores them)
+        tsteps = jnp.arange(1, srows.shape[0] + 1, dtype=jnp.float32)
+        srows6 = jnp.concatenate(
+            [
+                srows,
+                (1.0 / (1.0 - jnp.power(jnp.float32(0.9), tsteps)))[:, None],
+                (1.0 / (1.0 - jnp.power(jnp.float32(0.999), tsteps)))[:, None],
+            ],
+            axis=1,
+        )
+
+        if fusable:
+            # SEMI-fused sharded step: pair kernel -> psum/all_gather ->
+            # fused update companion (pallas_fused_update_batched). The
+            # update runs replicated on every shard (its counter-hash noise
+            # is deterministic, so replicas stay bitwise identical); the
+            # seed derivation mirrors solve_ensemble_impl's key sequence.
+            from chromosome3d_tpu.ops.pallas_energy import (
+                assemble_strip_tri_grad,
+                pallas_fused_update_batched,
+                pallas_strip_tri_energy_grad_batched,
+                pick_tile_tri_strip,
+            )
+
+            if strip_tri:
+                TM_s = pick_tile_tri_strip(Lb)
+                row0t = row_start // TM_s
+                # rolled strips: static per solve (see the strip kernel's
+                # docstring — the roll makes local col tiles == global ones
+                # under shard_map's single SPMD trace)
+                t_roll = jnp.roll(lo, -row_start, axis=1)
+                w_roll = jnp.roll(w, -row_start, axis=1)
+                bm_roll = jnp.roll(bead, -row_start)
+                bm_rows_s = jax.lax.dynamic_slice(bead, (row_start,), (Lb,))
+
+                def pair_T(xT, weights):
+                    """(pair energy (n,), pair grad (n, 3, L)) — T layout,
+                    ready for the companion; ~half the pair math of the
+                    full-row convention, one psum of (n, 3, L)."""
+                    nB = xT.shape[0]
+                    x_row_view = jnp.swapaxes(xT, 1, 2)
+                    x_rows = jax.lax.dynamic_slice(
+                        x_row_view, (0, row_start, 0), (nB, Lb, 3)
+                    )
+                    e_p, grow, gcol = pallas_strip_tri_energy_grad_batched(
+                        x_rows, jnp.roll(xT, -row_start, axis=2),
+                        t_roll, w_roll, bm_rows_s, bm_roll, row0t, weights,
+                        interpret=interpret, gram=cfg.gram_d2,
+                    )
+                    g_loc = assemble_strip_tri_grad(grow, gcol, row_start, L)
+                    return (
+                        jax.lax.psum(e_p, axis),
+                        jax.lax.psum(g_loc, axis),
+                    )
+            else:
+                def pair_T(xT, weights):
+                    e, g = pair_total_and_grad(jnp.swapaxes(xT, 1, 2), weights)
+                    return e, jnp.swapaxes(g, 1, 2)
+
+            key_, skey = jax.random.split(key_)
+            seed = jax.random.randint(skey, (), 0, jnp.int32(2**31 - 1))
+            clip_val = -1.0 if cfg.gradient_clip is None else cfg.gradient_clip
+            xsT = jnp.swapaxes(xs, 1, 2)
+            carry0 = (xsT, jnp.zeros_like(xsT), jnp.zeros_like(xsT), jnp.int32(0))
+
+            def step(carry, srow):
+                xT, muT, nuT, count = carry
+                lr, sigma, vdw_w, repel = srow[0], srow[1], srow[2], srow[3]
+                weights = _schedule_weights(cfg, base, vdw_w, repel)
+                e_pair, gT = pair_T(xT, weights)
+                e_b, xT, muT, nuT = pallas_fused_update_batched(
+                    xT, gT, muT, nuT, weights, bead, lr, sigma,
+                    srow[4], srow[5], seed, count, clip_val,
+                    interpret=interpret,
+                )
+                return (xT, muT, nuT, count + 1), e_pair + e_b
+
+            def select(carry, sel):
+                xT, muT, nuT, count = carry
+                return (xT[sel], muT[sel], nuT[sel], count)
+
+            def carry_coords(carry):
+                return jnp.swapaxes(carry[0], 1, 2)
+
+            def hot_pair_energy(x, weights):
+                return pair_T(jnp.swapaxes(x, 1, 2), weights)[0]
+        else:
+            opt = optax.scale_by_adam()
+            carry0 = (xs, opt.init(xs), key_)
+
+            def step(carry, srow):
+                x, opt_state, k = carry
+                lr, sigma, vdw_w, repel = srow[0], srow[1], srow[2], srow[3]
+                weights = _schedule_weights(cfg, base, vdw_w, repel)
+                e_pair, g = pair_total_and_grad(x, weights)
+                e_bond, g_bond = bond_vg(x)
+                e = e_pair + e_bond
+                g = _clip_per_bead(g + g_bond, cfg.gradient_clip)
+                updates, opt_state = opt.update(g, opt_state)
+                k, nkey = jax.random.split(k)
+                noise = sigma * jax.random.normal(nkey, x.shape)
+                x = x + (-lr * updates + noise) * bead[None, :, None]
+                return (x, opt_state, k), e
+
+            def select(carry, sel):
+                x, opt_state, k = carry
+                opt_state = jax.tree.map(
+                    lambda a: a[sel]
+                    if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n_eff)
+                    else a,
+                    opt_state,
+                )
+                return (x[sel], opt_state, k)
+
+            def carry_coords(carry):
+                return carry[0]
+
+            def hot_pair_energy(x, weights):
+                e_noe, e_vdw, _ = pair_terms(x, weights)
+                return e_noe + e_vdw
 
         if cfg.enantiomer:
-            carry, hist_hot = jax.lax.scan(step, (xs, opt_state, key_), srows[:hot])
-            xs, opt_state, key_ = carry
+            carry, hist_hot = jax.lax.scan(step, carry0, srows6[:hot])
             w_hot = _schedule_weights(
                 cfg, base, sched.vdw_weight[hot - 1], sched.repel_scale[hot - 1]
             )
-            e_noe, e_vdw, _ = pair_terms(xs, w_hot)
-            e_bond, _ = bond_vg(xs)
-            e_hot = e_noe + e_vdw + e_bond
+            e_bond, _ = bond_vg(carry_coords(carry))
+            e_hot = hot_pair_energy(carry_coords(carry), w_hot) + e_bond
             pick = jnp.argmin(e_hot.reshape(n_models, 2), axis=1)
             sel = jnp.arange(n_models) * 2 + pick
-            xs = xs[sel]
-            opt_state = jax.tree.map(
-                lambda a: a[sel]
-                if (hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n_eff)
-                else a,
-                opt_state,
-            )
+            carry = select(carry, sel)
             hist_hot = hist_hot[:, sel]
-            (xs, _, _), hist_rest = jax.lax.scan(
-                step, (xs, opt_state, key_), srows[hot:]
-            )
+            carry, hist_rest = jax.lax.scan(step, carry, srows6[hot:])
             history = jnp.concatenate([hist_hot, hist_rest], axis=0).T
         else:
-            (xs, _, _), history = jax.lax.scan(step, (xs, opt_state, key_), srows)
+            carry, history = jax.lax.scan(step, carry0, srows6)
             history = history.T
+        xs = carry_coords(carry)
 
         # ---- final canonical-weight terms + centroid to origin ----
         e_noe, e_vdw, _ = pair_terms(xs, base)

@@ -54,6 +54,8 @@ SLOW_TESTS = {
     # sharded-solver equivalence on the CPU mesh
     "test_genome_sharded_2d_matches_1d",
     "test_sharded_ensemble_pallas_matches_jnp",
+    "test_sharded_ensemble_fused_matches_single_chip",
+    "test_sharded_ensemble_fused_rowblock_fallback",
     "test_sharded_ensemble_matches_dense_landmark",
     "test_sharded_solve_matches_single",
     "test_genome_sharded_matches_plain_bucket",

@@ -158,6 +158,81 @@ def test_sharded_ensemble_pallas_matches_jnp():
         )
 
 
+def test_sharded_ensemble_fused_matches_single_chip():
+    """The fused sharded path (strip-triangular pair kernel distributed over
+    the mesh axis + the fused update companion, round-4 item 1) must
+    reproduce the SINGLE-CHIP fused/semi solve on the same key: the
+    companion's counter-hash noise stream is seed-deterministic and the
+    seed derivation mirrors solve_ensemble_impl's key sequence, so the
+    trajectories coincide up to fp reordering of the pair sums."""
+    import dataclasses
+
+    from chromosome3d_tpu.ops.pallas_energy import strip_tri_feasible
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+
+    L = 16 * 8
+    assert strip_tri_feasible(L, 8)
+    dense = make_case(L)
+    cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig()), init="landmark", landmark_count=16,
+        use_pallas=True, exact_restraints=True, fuse_update=True,
+    )
+    key = jax.random.PRNGKey(13)
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    sharded = jax.jit(
+        lambda d, k: solve_ensemble_sharded(mesh, d, cfg, k, 2)
+    )(dense, key)
+    ref = jax.jit(
+        lambda d, k: solve_ensemble_impl(d, cfg, k, 2)
+    )(dense, key)
+    np.testing.assert_allclose(
+        np.asarray(sharded.history), np.asarray(ref.history), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.coords), np.asarray(ref.coords), atol=5e-3
+    )
+    for k2 in ("noe", "bon", "vdw", "overall"):
+        np.testing.assert_allclose(
+            np.asarray(sharded.energies[k2]), np.asarray(ref.energies[k2]),
+            rtol=2e-3,
+        )
+
+
+def test_sharded_ensemble_fused_rowblock_fallback(monkeypatch):
+    """When strip-tri tiling is infeasible the fused sharded path keeps the
+    row-block pair kernel but still runs the fused update companion; the
+    result must match the strip-tri route (same seed-deterministic noise)."""
+    import dataclasses
+
+    import chromosome3d_tpu.solver.sharded as sh
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+
+    L = 16 * 8
+    dense = make_case(L)
+    cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig()), init="landmark", landmark_count=16,
+        use_pallas=True, exact_restraints=True, fuse_update=True,
+    )
+    key = jax.random.PRNGKey(17)
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    r_strip = jax.jit(
+        lambda d, k: solve_ensemble_sharded(mesh, d, cfg, k, 2)
+    )(dense, key)
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    monkeypatch.setattr(pe, "strip_tri_feasible", lambda L, n: False)
+    r_row = jax.jit(
+        lambda d, k: solve_ensemble_sharded(mesh, d, cfg, k, 2)
+    )(dense, key)
+    np.testing.assert_allclose(
+        np.asarray(r_row.history), np.asarray(r_strip.history), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_row.coords), np.asarray(r_strip.coords), atol=5e-3
+    )
+
+
 def test_genome_sharded_2d_matches_1d():
     """solve_genome_sharded on a (2 chrom x 4 beads) mesh must reproduce
     each chromosome's solve_ensemble_sharded result from a 4-device beads
