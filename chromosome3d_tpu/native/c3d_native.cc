@@ -219,6 +219,13 @@ int64_t c3d_rr_to_tbl(const char* rr_path, const char* tbl_path,
                len < 63) {
           tok[nt][len++] = *r++;
         }
+        if (len == 63 && r < line_end &&
+            !(*r == ' ' || *r == '\t' || *r == '\r')) {
+          // token overflows the buffer: decline to the Python writer rather
+          // than silently splitting it into two parsed values
+          fclose(out);
+          return -1;
+        }
         tok[nt][len] = '\0';
         ++nt;
       }

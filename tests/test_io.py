@@ -214,3 +214,12 @@ def test_native_tbl_declines_malformed_rr(tmp_path):
         assert native.rr_to_tbl(rr, tmp_path / "n.tbl", 3.6, 0.1) is None
         with pytest.raises((ValueError, IndexError)):
             write_contact_tbl(tmp_path / "p.tbl", rr, rc)
+
+    # a >63-char token overflows the native tokenizer's buffer: it must
+    # DECLINE (not silently split the token into two parsed values) so the
+    # Python writer — which parses arbitrary-width fields — handles the row
+    rr = tmp_path / "wide.rr"
+    rr.write_text("1 9 3." + "0" * 70 + " 4.0 1.0\n")
+    assert native.rr_to_tbl(rr, tmp_path / "n.tbl", 3.6, 0.1) is None
+    write_contact_tbl(tmp_path / "p.tbl", rr, rc)   # Python path succeeds
+    assert "resid   9" in (tmp_path / "p.tbl").read_text()
