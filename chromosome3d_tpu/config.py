@@ -95,8 +95,10 @@ class AnnealConfig:
     # 1471-1489) instead of completing the single midpoint-target matrix.
     # Auto-enabled by run_restraints_pipeline when an external .rr/.tbl
     # carries nonzero windows; meaningless (and off) for the pipeline's
-    # exact restraints. Applies to init="mds"; the landmark init keeps
-    # the midpoint target (its relaxation rows are upper bounds only).
+    # exact restraints. Applies to init="mds" AND init="landmark" (incl.
+    # the row-sharded solver): the landmark relaxation raises its rows'
+    # lower bounds by the inverse-triangle sweep and clips restrained
+    # targets into the smoothed window (solver.init.landmark_targets).
     embed_two_sided: bool = False
     init_noise: float = 2.0        # per-restart jitter added to the shared embed (A)
     # init="landmark" (and the row-sharded solver, which always uses it):

@@ -48,6 +48,45 @@ class DenseRestraints(NamedTuple):
     weight: jnp.ndarray  # (L, L) float32
 
 
+class ExactRestraints(NamedTuple):
+    """TWO-tensor restraint representation for the exact production path.
+
+    The pipeline's own restraints are always exact (negdev = posdev = 0,
+    chromosome3D.pl:352-354), so lo == hi == target and mask is recoverable
+    as (weight > 0) — the dense four-tensor DenseRestraints form carries 2x
+    redundant (L, L) data for them. At scale that redundancy IS the memory
+    ceiling: at L = 16384 each extra live (L, L) f32 costs 1 GiB of HBM.
+
+    This form ships exactly what the exact kernels read: the target matrix
+    and the folded weight w = mask * weight (zero where no restraint or
+    either bead is padding). The lo/hi/mask/weight properties make it a
+    drop-in for every DenseRestraints consumer — aliases or cheap transient
+    recomputations, never persistent copies. Only valid when the well is
+    pure quadratic (auto_exact is the gate, same as the exact kernel)."""
+
+    target: jnp.ndarray  # (L, L) float32 restraint target distances
+    w: jnp.ndarray       # (L, L) float32 folded weights (mask * weight)
+
+    @property
+    def lo(self):
+        return self.target
+
+    @property
+    def hi(self):
+        return self.target
+
+    @property
+    def mask(self):
+        # transient; exact under both weighting modes (weight > 0 iff mask)
+        return (self.w > 0).astype(self.w.dtype)
+
+    @property
+    def weight(self):
+        # consumers only ever read mask * weight == w; returning w keeps
+        # that product exact while mask supplies the pure indicator
+        return self.w
+
+
 class OrGroupRestraints(NamedTuple):
     """Ambiguous (`or`-group) NOE restraints on device.
 
@@ -136,6 +175,45 @@ def auto_weight_exponent(L: int) -> float:
     return float(np.clip(100.0 / (L ** 0.85), 0.5, 2.5))
 
 
+def _restraint_weights(target, mask_np, weighting: str, weight_exponent):
+    """Per-restraint weights as float32 host numpy (see
+    dense_restraints_from_numpy's docstring for the weighting semantics).
+    Zero wherever mask is false — i.e. already folded with the mask."""
+    if weight_exponent is None:
+        weight_exponent = auto_weight_exponent(target.shape[0])
+    if weighting == "relative":
+        w = np.where(mask_np, 1.0 / np.maximum(target, 1.0) ** weight_exponent, 0.0)
+        denom = w[mask_np].mean() if mask_np.any() else 1.0
+        return (w / max(denom, 1e-30)).astype(np.float32)
+    elif weighting == "absolute":
+        return mask_np.astype(np.float32)
+    raise ValueError(f"unknown weighting {weighting!r}")
+
+
+def exact_restraints_from_numpy(
+    r, weighting: str = "relative", weight_exponent: Optional[float] = None,
+    as_numpy: bool = False,
+) -> ExactRestraints:
+    """chromosome3d_tpu.restraints.Restraints -> the TWO-tensor exact form.
+
+    Same weighting semantics as dense_restraints_from_numpy (shared
+    implementation), but only target + folded weight are built and uploaded
+    — half the host->device transfer (each transfer round-trips the remote
+    tunnel) and half the live restraint HBM of the four-tensor form. The
+    caller must have proven exactness (pipeline.auto_exact: all deviations
+    zero AND the pure-quadratic well active)."""
+    target = np.asarray(r.target, dtype=np.float64)
+    mask_np = np.asarray(r.mask)
+    weight = _restraint_weights(target, mask_np, weighting, weight_exponent)
+    out = ExactRestraints(
+        target=np.where(mask_np, target, 0.0).astype(np.float32),
+        w=weight,
+    )
+    if as_numpy:
+        return out
+    return ExactRestraints(*(jnp.asarray(t) for t in out))
+
+
 def dense_restraints_from_numpy(
     r, weighting: str = "relative", weight_exponent: Optional[float] = None,
     as_numpy: bool = False,
@@ -161,16 +239,7 @@ def dense_restraints_from_numpy(
     target = np.asarray(r.target, dtype=np.float64)
     mask_np = np.asarray(r.mask)
     mask = mask_np.astype(np.float32)
-    if weight_exponent is None:
-        weight_exponent = auto_weight_exponent(target.shape[0])
-    if weighting == "relative":
-        w = np.where(mask_np, 1.0 / np.maximum(target, 1.0) ** weight_exponent, 0.0)
-        denom = w[mask_np].mean() if mask_np.any() else 1.0
-        weight = (w / max(denom, 1e-30)).astype(np.float32)
-    elif weighting == "absolute":
-        weight = mask
-    else:
-        raise ValueError(f"unknown weighting {weighting!r}")
+    weight = _restraint_weights(target, mask_np, weighting, weight_exponent)
     out = DenseRestraints(
         lo=(target - np.asarray(r.negdev)).astype(np.float32),
         hi=(target + np.asarray(r.posdev)).astype(np.float32),

@@ -39,10 +39,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from chromosome3d_tpu.ops.energy import DenseRestraints, EnergyWeights
+from chromosome3d_tpu.ops.energy import (
+    DenseRestraints,
+    EnergyWeights,
+    ExactRestraints,
+)
 
 _EPS = 1e-12
 TILE_M = 128
+
+
+def exact_pair_tiles(restraints):
+    """(target, folded weight) for the exact kernels. For the two-tensor
+    ExactRestraints these are ALIASES of the stored tensors — zero copies,
+    zero compute; for DenseRestraints the fold materializes once at the call
+    site (callers running a scan should hoist this outside the step)."""
+    if isinstance(restraints, ExactRestraints):
+        return (restraints.target, restraints.w)
+    return (restraints.lo, restraints.mask * restraints.weight)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -636,15 +650,15 @@ def fused_step_tiles(
     coefficient is just w_tile * u), and the pre-masked vdw predicate
     (|i-j| >= 2 AND both beads real). Computed ONCE per solve (outside the
     scan) — folding these saves ~7 per-pair VPU ops every step."""
-    L = restraints.lo.shape[0]
+    tgt, w_folded = exact_pair_tiles(restraints)
+    L = tgt.shape[0]
     bm = bead_mask.astype(jnp.float32)
     pair_valid = bm[:, None] * bm[None, :]
     idx = jnp.arange(L)
     nonbonded = (jnp.abs(idx[:, None] - idx[None, :]) >= 2).astype(jnp.float32)
     return (
-        restraints.lo,
-        (2.0 * jnp.asarray(noe_weight, jnp.float32))
-        * restraints.mask * restraints.weight * pair_valid,
+        tgt,
+        (2.0 * jnp.asarray(noe_weight, jnp.float32)) * w_folded * pair_valid,
         nonbonded * pair_valid,
     )
 
@@ -819,7 +833,8 @@ def _pairwise_energy_grad_batched(
         return jnp.pad(m, ((0, padn), (0, padn)))
 
     x = jnp.pad(coords.astype(jnp.float32), ((0, 0), (0, padn), (0, 0)))
-    w = pad2(restraints.mask * restraints.weight)
+    tgt, w_folded = exact_pair_tiles(restraints)
+    w = pad2(w_folded)
     bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
     xt = jnp.swapaxes(x, 1, 2)                     # (B, 3, Lp)
 
@@ -847,7 +862,7 @@ def _pairwise_energy_grad_batched(
     if exact:
         kernel = _kernel_exact
         # exact restraints: lo == hi == target, ONE restraint tensor
-        tensors = (pad2(restraints.lo), w)
+        tensors = (pad2(tgt), w)
         n_restraint_tiles = 2
     else:
         kernel = _kernel
@@ -1166,12 +1181,17 @@ def pallas_energy_grad_tri_batched(
     interpret: bool = False,
     tile: int | None = None,
     gram: bool = False,
+    tiles=None,
 ):
     """Batched exact-restraint pair energy+grad via the triangular kernel
     (valid only when lo == hi and the well is pure quadratic — the same
     contract as _kernel_exact). Drop-in for the exact path of
     _pairwise_energy_grad_batched; pays off once L spans several blocks
-    (the dispatch in that function picks it for large L)."""
+    (the dispatch in that function picks it for large L).
+
+    tiles: optional precomputed (target, folded weight) pair
+    (exact_pair_tiles) — scan callers pass it so the fold is hoisted
+    outside the step rather than left to XLA's loop-invariant motion."""
     B, L, _ = coords.shape
     TM = tile or _pick_tile_tri(L)
     Lp = _round_up(max(L, 8), TM)
@@ -1179,10 +1199,12 @@ def pallas_energy_grad_tri_batched(
     T = Lp // TM
     S = T // 2 + 1
 
+    if tiles is None:
+        tiles = exact_pair_tiles(restraints)
     x = jnp.pad(coords.astype(jnp.float32), ((0, 0), (0, padn), (0, 0)))
     xt = jnp.swapaxes(x, 1, 2)
-    t = jnp.pad(restraints.lo, ((0, padn), (0, padn)))
-    w = jnp.pad(restraints.mask * restraints.weight, ((0, padn), (0, padn)))
+    t = jnp.pad(tiles[0], ((0, padn), (0, padn)))
+    w = jnp.pad(tiles[1], ((0, padn), (0, padn)))
     bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
 
     params = jnp.stack([

@@ -107,33 +107,37 @@ def _stack_bucket(
     restraints) happens BEFORE padding, so the padded batch is numerically
     identical to solving each chromosome alone."""
     rc = cfg.restraints
-    denses, masks, matrices, raw = [], [], [], []
+    masks, matrices, raw = [], [], []
     for job in jobs:
         m = load_if_matrix(job.path)
         matrices.append(m)
-        r = build_restraints(m, rc)
-        raw.append(r)
+        raw.append(build_restraints(m, rc))
+        bead = np.zeros(L_pad, dtype=np.float32)
+        bead[: m.shape[0]] = 1.0
+        masks.append(bead)
+    # pipeline-generated restraints are exact (zero deviations) whenever the
+    # pure-quadratic well is active — then the TWO-tensor form ships half
+    # the bucket's restraint bytes (mirrors pipeline.auto_exact's proof)
+    exact = cfg.anneal.noe_rswitch >= 1e8 and all(
+        not r.negdev.any() and not r.posdev.any() for r in raw
+    )
+    from chromosome3d_tpu.ops.energy import exact_restraints_from_numpy
+
+    builder = exact_restraints_from_numpy if exact else dense_restraints_from_numpy
+    denses = []
+    for r in raw:
         # length-adaptive exponent from the TRUE length, not the padded one
         p = rc.weight_exponent
         if p is None:
             from chromosome3d_tpu.ops.energy import auto_weight_exponent
 
             p = auto_weight_exponent(r.length)
-        denses.append(
-            dense_restraints_from_numpy(
-                r.padded(L_pad), rc.weighting, p, as_numpy=True
-            )
-        )
-        bead = np.zeros(L_pad, dtype=np.float32)
-        bead[: m.shape[0]] = 1.0
-        masks.append(bead)
-    # stack on the HOST, upload once per tensor: 4 device transfers for the
-    # whole bucket instead of 4 per chromosome (tunnel round-trips)
-    batched = DenseRestraints(
-        lo=jnp.asarray(np.stack([d.lo for d in denses])),
-        hi=jnp.asarray(np.stack([d.hi for d in denses])),
-        mask=jnp.asarray(np.stack([d.mask for d in denses])),
-        weight=jnp.asarray(np.stack([d.weight for d in denses])),
+        denses.append(builder(r.padded(L_pad), rc.weighting, p, as_numpy=True))
+    # stack on the HOST, upload once per tensor: 2 (exact) or 4 device
+    # transfers for the whole bucket instead of one set per chromosome
+    # (each transfer is a tunnel round-trip)
+    batched = type(denses[0])(
+        *(jnp.asarray(np.stack(ts)) for ts in zip(*denses))
     )
     return batched, jnp.asarray(np.stack(masks)), matrices, raw
 
@@ -197,7 +201,7 @@ def solve_bucket(
     def expand(a):
         return jnp.repeat(a, m_shards, axis=0) if m_shards > 1 else a
 
-    batched = DenseRestraints(*(expand(t) for t in batched))
+    batched = type(batched)(*(expand(t) for t in batched))
     bead_masks = expand(bead_masks)
     B_eff = B * m_shards
     B_pad = -(-B_eff // n_dev) * n_dev
@@ -206,7 +210,7 @@ def solve_bucket(
         return jnp.concatenate([a, jnp.repeat(a[:1], B_pad - B_eff, axis=0)], axis=0) \
             if B_pad > B_eff else a
 
-    batched = DenseRestraints(*(pad(t) for t in batched))
+    batched = type(batched)(*(pad(t) for t in batched))
     bead_masks = pad(bead_masks)
     keys = jax.random.split(
         jax.random.PRNGKey(cfg.seed if base_seed is None else base_seed), B_pad
@@ -222,7 +226,7 @@ def solve_bucket(
     solve = jax.jit(
         solve,
         in_shardings=(
-            DenseRestraints(*(batch_sharding,) * 4),
+            type(batched)(*(batch_sharding,) * len(batched)),
             batch_sharding,
             batch_sharding,
         ),
@@ -298,7 +302,7 @@ def solve_bucket_sharded(
             a = jnp.concatenate([a, jnp.repeat(a[:1], B_pad - B, axis=0)])
         return a
 
-    batched_p = DenseRestraints(*(pad_mat(t) for t in batched))
+    batched_p = type(batched)(*(pad_mat(t) for t in batched))
     masks_p = jnp.pad(bead_masks, ((0, 0), (0, padr)))
     if B_pad > B:
         masks_p = jnp.concatenate(

@@ -38,7 +38,10 @@ from chromosome3d_tpu.config import PipelineConfig
 from chromosome3d_tpu.io.matrix import load_if_matrix, write_dist_matrix
 from chromosome3d_tpu.io.pdb import write_ca_pdb
 from chromosome3d_tpu.metrics import clash_count
-from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+from chromosome3d_tpu.ops.energy import (
+    dense_restraints_from_numpy,
+    exact_restraints_from_numpy,
+)
 from chromosome3d_tpu.restraints import (
     dist_to_restraints,
     if_to_dist,
@@ -143,7 +146,7 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int):
     nb = len(devices)
     L = restraints.length
     L_pad = quantum_bucket(L, cfg.shard_quantum, multiple=nb)
-    dense, _ = _padded_dense(restraints, rc, L_pad)
+    dense, _ = _padded_dense(restraints, rc, L_pad, exact=_exact_provable(cfg))
     bm = jnp.asarray(np.pad(np.ones(L, np.float32), (0, L_pad - L)))
     an, n = cfg.anneal, n_models
     prog_key = (tuple(d.id for d in devices), an, n, L_pad)
@@ -177,18 +180,29 @@ def auto_exact(cfg: PipelineConfig, restraints) -> PipelineConfig:
     return cfg
 
 
-def _padded_dense(restraints, rc, L_pad: int):
+def _exact_provable(cfg: PipelineConfig) -> bool:
+    """Whether the solve runs the exact-restraint algebra (the same gate as
+    solver.anneal: auto_exact/explicit exact_restraints AND pure-quadratic
+    well) — exactly when the TWO-tensor ExactRestraints form is valid."""
+    return cfg.anneal.exact_restraints and cfg.anneal.noe_rswitch >= 1e8
+
+
+def _padded_dense(restraints, rc, L_pad: int, exact: bool = False):
     """Device tensors padded to L_pad. The weight exponent and the mean-1
     normalization both come from the TRUE length (padding is masked), so the
-    padded solve is numerically identical to the exact-L solve."""
+    padded solve is numerically identical to the exact-L solve.
+
+    exact=True (callers pass _exact_provable(cfg)) builds the two-tensor
+    ExactRestraints form: half the upload, half the live restraint HBM —
+    the at-scale single-chip memory ceiling is set by live (L, L) tensor
+    count, so this is what buys the larger-L headroom."""
     p = rc.weight_exponent
     if p is None:
         from chromosome3d_tpu.ops.energy import auto_weight_exponent
 
         p = auto_weight_exponent(restraints.length)
-    return dense_restraints_from_numpy(
-        restraints.padded(L_pad), rc.weighting, p
-    ), p
+    builder = exact_restraints_from_numpy if exact else dense_restraints_from_numpy
+    return builder(restraints.padded(L_pad), rc.weighting, p), p
 
 
 _ALT_FORMATS = (".cool", ".mcool", ".hic", ".matrix")
@@ -287,7 +301,12 @@ def run_pipeline(
         raise AssertionError(msg)
     banner(log, f"Coverage   : {coverage_string(restraints)}")
     cfg = auto_exact(cfg, restraints)
-    dense = dense_restraints_from_numpy(restraints, rc.weighting, rc.weight_exponent)
+    # assessment-only tensors: HOST numpy (assess_ensemble is host-side by
+    # the documented rule — uploading these four true-L tensors would cost
+    # four tunnel round-trips for data the device never reads)
+    dense = dense_restraints_from_numpy(
+        restraints, rc.weighting, rc.weight_exponent, as_numpy=True
+    )
     # solver tensors are padded to the length bucket, so different-L runs
     # share one compiled program (each distinct L otherwise costs a fresh
     # multi-minute remote compile — the genome runner's discipline, applied
@@ -305,7 +324,9 @@ def run_pipeline(
             res, _ = _sharded_solve(restr_np, rc_x, cfg_solve, k,
                                     cfg_solve.model_count)
             return res
-        dense_x, _ = _padded_dense(restr_np, rc_x, L_pad)
+        dense_x, _ = _padded_dense(
+            restr_np, rc_x, L_pad, exact=_exact_provable(cfg_solve)
+        )
         return _aot_solve(dense_x, cfg_solve.anneal, k, cfg_solve.model_count, bm)
 
     # ---- L2/L1: solve (sentinel-file failure protocol, ref :261-284) ----
@@ -459,16 +480,22 @@ def run_restraints_pipeline(
     else:
         L_pad, bead_mask = _bucket_pad(Lr, cfg)
         L_solved = L_pad
-        dense, _ = _padded_dense(restraints, rc, L_pad)
+        dense, _ = _padded_dense(
+            restraints, rc, L_pad, exact=_exact_provable(cfg)
+        )
         if conf is not None:
             # fold rr confidences into the stress weights
             import jax.numpy as jnp
 
+            from chromosome3d_tpu.ops.energy import ExactRestraints
+
             conf_pad = np.ones((L_pad, L_pad), np.float32)
             conf_pad[:Lr, :Lr] = conf
-            dense = dense._replace(
-                weight=dense.weight * jnp.asarray(conf_pad, jnp.float32)
-            )
+            conf_j = jnp.asarray(conf_pad, jnp.float32)
+            if isinstance(dense, ExactRestraints):
+                dense = dense._replace(w=dense.w * conf_j)
+            else:
+                dense = dense._replace(weight=dense.weight * conf_j)
 
         bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
         or_groups = None

@@ -268,6 +268,7 @@ def solve_ensemble_impl(
                 k=cfg.landmark_count,
                 n_iters=cfg.landmark_iters,
                 bead_mask=bead_mask,
+                two_sided=cfg.embed_two_sided,
             )
         elif init == "spiral":
             x0 = spiral_init(L, bond_length=cfg.bond_length)
@@ -406,9 +407,16 @@ def solve_ensemble_impl(
             # transposes are noise next to the O(L^2) pair work. The noise
             # stream is bitwise the fused step's.
             from chromosome3d_tpu.ops.pallas_energy import (
+                exact_pair_tiles,
                 pallas_energy_grad_tri_batched,
                 pallas_fused_update_batched,
             )
+
+            # (target, folded weight) hoisted OUTSIDE the scan: aliases of
+            # the stored tensors for the two-tensor ExactRestraints form
+            # (zero copies — the at-scale path's live restraint HBM is then
+            # exactly the two uploaded tensors), one explicit fold otherwise
+            tri_tiles = exact_pair_tiles(restraints)
 
             def step(carry, srow):
                 xT, muT, nuT, count = carry
@@ -417,7 +425,7 @@ def solve_ensemble_impl(
                 x = jnp.swapaxes(xT, 1, 2)
                 e_pair, g = pallas_energy_grad_tri_batched(
                     x, restraints, weights, bead_mask, interpret=interp,
-                    gram=cfg.gram_d2,
+                    gram=cfg.gram_d2, tiles=tri_tiles,
                 )
                 e_b, xT, muT, nuT = pallas_fused_update_batched(
                     xT, jnp.swapaxes(g, 1, 2), muT, nuT, weights, bead_mask,

@@ -284,12 +284,18 @@ def edge_weights(
     restraints: DenseRestraints,
     bond_length: float,
     bead_mask: jnp.ndarray | None = None,
+    use_hi: bool = False,
 ) -> jnp.ndarray:
     """The (L, L) graph edge matrix: restraint target where a restraint
     exists, bond_length between consecutive real beads, _BIG otherwise,
-    zero diagonal. (The same construction smooth_bounds starts from.)"""
+    zero diagonal. (The same construction smooth_bounds starts from.)
+
+    use_hi=True paths through the UPPER bounds instead of the midpoints —
+    the bounds-matrix convention (smooth_bounds_two_sided): a midpoint path
+    is not a valid upper bound when windows are wide, which is exactly how
+    the one-sided relaxation undercuts lower bounds."""
     L = restraints.lo.shape[0]
-    target = 0.5 * (restraints.lo + restraints.hi)
+    target = restraints.hi if use_hi else 0.5 * (restraints.lo + restraints.hi)
     w = jnp.where(restraints.mask > 0, target, _BIG)
     idx = jnp.arange(L)
     adjacent = jnp.abs(idx[:, None] - idx[None, :]) == 1
@@ -344,6 +350,52 @@ def relax_landmarks_block(
     return cands.reshape(nchunks * chunk, L)[:k]
 
 
+def relax_landmarks_lower_block(
+    delta: jnp.ndarray,      # (k, L) landmark-to-all UPPER bounds
+    lo_block: jnp.ndarray,   # (Lb, L) lower-bound rows owned by this block
+    row_start,               # global index of lo_block's first row
+    chunk: int = 8,
+) -> jnp.ndarray:
+    """One inverse-triangle lower-bound sweep on the landmark rows,
+    restricted to this row block (the landmark counterpart of
+    _maxminus_sweep, mmdg bounds-matrix semantics chromosome3D.pl:1471-1489):
+
+        cand[l, j] = max_{m in block} lo[m, j] - delta[l, m]
+
+    (d_lj >= d_mj - d_lm >= lo_mj - up_lm). Returns (k, L); the caller
+    max-reduces across blocks (jnp.maximum locally, lax.pmax across
+    devices). Chunked over landmarks like relax_landmarks_block."""
+    k, L = delta.shape
+    Lb = lo_block.shape[0]
+    d_cols = jax.lax.dynamic_slice(delta, (0, row_start), (k, Lb))  # (k, Lb)
+    nchunks = -(-k // chunk)
+    pad = nchunks * chunk - k
+    d_cols = jnp.pad(d_cols, ((0, pad), (0, 0)), constant_values=_BIG)
+
+    def body(_, cstart):
+        dc = jax.lax.dynamic_slice(d_cols, (cstart, 0), (chunk, Lb))
+        cand = jnp.max(lo_block[None, :, :] - dc[:, :, None], axis=1)  # (chunk, L)
+        return None, cand
+
+    _, cands = jax.lax.scan(body, None, jnp.arange(nchunks) * chunk)
+    return cands.reshape(nchunks * chunk, L)[:k]
+
+
+def clip_landmark_targets(
+    delta: jnp.ndarray,      # (k, L) relaxed upper bounds
+    lo_land: jnp.ndarray,    # (k, L) raised lower bounds on the landmark rows
+    mask_land: jnp.ndarray,  # (k, L) restrained-pair indicator on those rows
+) -> jnp.ndarray:
+    """Two-sided embed targets for the landmark rows: restrained pairs land
+    at the midpoint of their smoothed [lo, up] window (never below the
+    raised lower bound), unrestrained pairs keep the shortest-path upper —
+    exactly smooth_bounds_two_sided's convention on k rows. Equal to delta
+    when lo == hi everywhere (the exact case)."""
+    lo_land = jnp.minimum(lo_land, delta)   # contradictions collapse upward
+    mid = jnp.clip(0.5 * (lo_land + delta), lo_land, delta)
+    return jnp.where(mask_land > 0, mid, delta)
+
+
 def landmark_triangulate(
     delta: jnp.ndarray,      # (k, L) landmark-to-all distances
     lidx: jnp.ndarray,       # (k,) landmark indices
@@ -371,23 +423,32 @@ def landmark_triangulate(
     return -0.5 * ((delta * delta - mu[:, None]).T @ proj)  # (L, 3)
 
 
-def landmark_init(
+def landmark_targets(
     restraints: DenseRestraints,
     bond_length: float = 3.8,
     k: int = 64,
     n_iters: int = 4,
     bead_mask: jnp.ndarray | None = None,
-    method: str = "subspace",
-) -> jnp.ndarray:
-    """Landmark-MDS embedding -> (L, 3); the O(k L^2) / O(k L)-memory init
-    for L beyond classical MDS's reach. Single-device reference version of
-    the row-sharded init inside solver.sharded.solve_ensemble_sharded
-    (tested equal)."""
+    two_sided: bool = False,
+    lower_iters: int = 1,
+):
+    """The (k, L) landmark embed-target rows + landmark indices.
+
+    two_sided=True applies the bounds-MATRIX semantics to the landmark
+    relaxation (mmdg smooths the full bounds matrix regardless of problem
+    size, chromosome3D.pl:1471-1489): upper bounds relax by shortest path
+    as always, lower bounds on the landmark rows are RAISED by the
+    inverse-triangle sweep (relax_landmarks_lower_block), and restrained
+    pairs embed at the midpoint of their smoothed window — so a large
+    windowed external restraint set gets the same two-sided embed the
+    small-L mds path has (AnnealConfig.embed_two_sided)."""
     L = restraints.lo.shape[0]
     k = min(k, L)
     n_real = bead_mask.sum() if bead_mask is not None else L
     lidx = landmark_indices(L, k, n_real)
-    w = edge_weights(restraints, bond_length, bead_mask)
+    # two-sided: relax through the HI edges (valid upper bounds); one-sided
+    # keeps the validated midpoint-target graph
+    w = edge_weights(restraints, bond_length, bead_mask, use_hi=two_sided)
     # start from the chain-walk metric; the first sweep already reaches every
     # direct edge through the zero diagonal (delta[l, l] + w[l, j])
     delta = chain_metric_rows(lidx, L, bond_length)
@@ -397,6 +458,40 @@ def landmark_init(
         return jnp.minimum(delta, cand), None
 
     delta, _ = jax.lax.scan(sweep, delta, None, length=n_iters)
+    if two_sided:
+        mask_f = (restraints.mask > 0).astype(delta.dtype)
+        if bead_mask is not None:
+            mask_f = mask_f * bead_mask[:, None] * bead_mask[None, :]
+        lo_mat = jnp.where(mask_f > 0, restraints.lo, 0.0)
+        lo_land = jnp.take(lo_mat, lidx, axis=0)             # direct bounds
+        # one sweep is the fixed point here: the sweep reads the FULL lo
+        # matrix (which never updates — only the k landmark rows are
+        # tracked), so repeating it reproduces the same candidates
+        for _ in range(lower_iters):
+            cand = relax_landmarks_lower_block(delta, lo_mat, 0)
+            lo_land = jnp.maximum(lo_land, cand)
+        delta = clip_landmark_targets(
+            delta, lo_land, jnp.take(mask_f, lidx, axis=0)
+        )
+    return delta, lidx
+
+
+def landmark_init(
+    restraints: DenseRestraints,
+    bond_length: float = 3.8,
+    k: int = 64,
+    n_iters: int = 4,
+    bead_mask: jnp.ndarray | None = None,
+    method: str = "subspace",
+    two_sided: bool = False,
+) -> jnp.ndarray:
+    """Landmark-MDS embedding -> (L, 3); the O(k L^2) / O(k L)-memory init
+    for L beyond classical MDS's reach. Single-device reference version of
+    the row-sharded init inside solver.sharded.solve_ensemble_sharded
+    (tested equal). two_sided: see landmark_targets."""
+    delta, lidx = landmark_targets(
+        restraints, bond_length, k, n_iters, bead_mask, two_sided
+    )
     x = landmark_triangulate(delta, lidx, method)
     if bead_mask is not None:
         x = x * bead_mask[:, None]

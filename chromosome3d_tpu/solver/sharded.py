@@ -45,9 +45,11 @@ from chromosome3d_tpu.solver.anneal import (
 )
 from chromosome3d_tpu.solver.init import (
     chain_metric_rows,
+    clip_landmark_targets,
     landmark_indices,
     landmark_triangulate,
     relax_landmarks_block,
+    relax_landmarks_lower_block,
 )
 
 _EPS = 1e-12
@@ -124,7 +126,12 @@ def solve_single_sharded(
         check_vma=False,
     )
 
-    w_folded = restraints.mask * restraints.weight
+    # alias-aware fold: for the two-tensor ExactRestraints form this is the
+    # stored w (and lo/hi below are the SAME value, which XLA aliases to one
+    # buffer) — the sharded solve then holds exactly 2 restraint tensors
+    from chromosome3d_tpu.ops.pallas_energy import exact_pair_tiles
+
+    _, w_folded = exact_pair_tiles(restraints)
 
     key, jkey = jax.random.split(key)
     x = x0 + cfg.init_noise * jax.random.normal(jkey, x0.shape) * bead_mask[:, None]
@@ -206,10 +213,13 @@ def solve_ensemble_sharded(
         out_specs=(P(), {"noe": P(), "bon": P(), "vdw": P(), "overall": P()}, P()),
         check_vma=False,
     )
+    from chromosome3d_tpu.ops.pallas_energy import exact_pair_tiles
+
+    t_lo, w_folded = exact_pair_tiles(restraints)
     coords, terms, history = mapped(
-        restraints.lo,
-        restraints.hi,
-        restraints.mask * restraints.weight,
+        t_lo,
+        restraints.hi,   # == t_lo for ExactRestraints: XLA aliases, no copy
+        w_folded,
         bead_mask,
         key,
         srows,
@@ -261,7 +271,9 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
         row_start = idx * Lb
 
         # ---- landmark init from the sharded rows ----
-        target = 0.5 * (lo + hi)
+        # two-sided: the upper relaxation paths through HI edges (the
+        # bounds-matrix convention — see solver.init.edge_weights use_hi)
+        target = hi if cfg.embed_two_sided else 0.5 * (lo + hi)
         rows_g = row_start + jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 0)
         cols_g = jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 1)
         bm_rows = jax.lax.dynamic_slice(bead, (row_start,), (Lb,))
@@ -280,6 +292,32 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
             return jnp.minimum(delta, cand), None
 
         delta, _ = jax.lax.scan(sweep, delta, None, length=cfg.landmark_iters)
+        if cfg.embed_two_sided:
+            # bounds-MATRIX semantics at scale (solver.init.landmark_targets
+            # run on the sharded rows): raise landmark-row lower bounds by
+            # the inverse-triangle sweep over this block's lo rows (pmax
+            # across the axis), then clip restrained targets into their
+            # smoothed window — identical to the single-device two-sided
+            # landmark path (tested equal on the CPU mesh)
+            mask_rows = (w > 0).astype(delta.dtype) * pair_real.astype(delta.dtype)
+            lo_rows = jnp.where(mask_rows > 0, lo, 0.0)
+            lrel = lidx - row_start
+            own = (lrel >= 0) & (lrel < Lb)
+            lsafe = jnp.clip(lrel, 0, Lb - 1)
+            lo_land = jnp.where(
+                own[:, None], jnp.take(lo_rows, lsafe, axis=0), -_BIG
+            )
+            mask_land = jnp.where(
+                own[:, None], jnp.take(mask_rows, lsafe, axis=0), -_BIG
+            )
+            lo_land = jax.lax.pmax(lo_land, axis)
+            mask_land = jax.lax.pmax(mask_land, axis)
+            cand = jax.lax.pmax(
+                relax_landmarks_lower_block(delta, lo_rows, row_start), axis
+            )
+            delta = clip_landmark_targets(
+                delta, jnp.maximum(lo_land, cand), mask_land
+            )
         x0 = landmark_triangulate(delta, lidx).astype(jnp.float32)
         x0 = x0 * bead[:, None]
 
@@ -537,10 +575,13 @@ def solve_genome_sharded(
         out_specs=(Pc, {"noe": Pc, "bon": Pc, "vdw": Pc, "overall": Pc}, Pc),
         check_vma=False,
     )
+    from chromosome3d_tpu.ops.pallas_energy import exact_pair_tiles
+
+    t_lo, w_folded = exact_pair_tiles(batched)
     coords, terms, history = mapped(
-        batched.lo,
-        batched.hi,
-        batched.mask * batched.weight,
+        t_lo,
+        batched.hi,      # == t_lo for ExactRestraints: XLA aliases, no copy
+        w_folded,
         bead_masks,
         keys,
         srows,

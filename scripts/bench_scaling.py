@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--devices", type=int, default=0,
                     help="force host device count (CPU only)")
     ap.add_argument("--turbo", action="store_true", default=True)
+    ap.add_argument("--dense-form", action="store_true",
+                    help="force the four-tensor DenseRestraints form "
+                         "(default: the two-tensor ExactRestraints form, "
+                         "which halves live restraint HBM at scale)")
     args = ap.parse_args()
 
     if args.devices:
@@ -58,7 +62,10 @@ def main():
     import dataclasses
 
     from chromosome3d_tpu.config import AnnealConfig, RestraintConfig, turbo_anneal
-    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.ops.energy import (
+        dense_restraints_from_numpy,
+        exact_restraints_from_numpy,
+    )
     from chromosome3d_tpu.restraints import build_restraints
     from chromosome3d_tpu.solver.anneal import solve_ensemble
     from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
@@ -71,9 +78,13 @@ def main():
     ))
     rc = RestraintConfig()
 
+    builder = (
+        dense_restraints_from_numpy if args.dense_form
+        else exact_restraints_from_numpy
+    )
     results = []
     for L in [int(s) for s in args.sizes.split(",")]:
-        dense = dense_restraints_from_numpy(build_restraints(synthetic_matrix(L), rc))
+        dense = builder(build_restraints(synthetic_matrix(L), rc))
         t0 = time.time()
         if args.sharded:
             # the full at-scale program: row-sharded landmark init +
@@ -111,6 +122,7 @@ def main():
             "platform": platform,
             "devices": len(jax.devices()),
             "sharded": args.sharded,
+            "form": "dense" if args.dense_form else "exact2",
         }
         results.append(row)
         print(json.dumps(row), flush=True)

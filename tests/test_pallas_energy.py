@@ -505,7 +505,9 @@ def test_semi_fused_solve_matches_unfused(monkeypatch):
     cfg_ref = dataclasses.replace(cfg_semi, use_pallas=False)
     key = jax.random.PRNGKey(5)
 
-    monkeypatch.setattr(pe, "use_triangular", lambda L, for_unfused=False: True)
+    monkeypatch.setattr(
+        pe, "use_triangular", lambda L, for_unfused=False, batch=None: True
+    )
     res_semi = solve_ensemble_impl(dense, cfg_semi, key, 2, bead)
     monkeypatch.undo()
     res_ref = solve_ensemble_impl(dense, cfg_ref, key, 2, bead)

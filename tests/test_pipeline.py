@@ -320,7 +320,7 @@ def test_dp_sharded_anneal_trajectory_equal(tmp_path):
                     d, cfg.anneal, k, cfg.model_count, bead, x
                 )
             ),
-            in_shardings=(DenseRestraints(*(sh,) * 4), sh, sh, sh),
+            in_shardings=(type(batched)(*(sh,) * len(batched)), sh, sh, sh),
             out_shardings=sh,
         )
         return f(batched, keys, masks, x0)

@@ -92,6 +92,86 @@ def test_mds_init_two_sided_flag():
     assert d_two > d_mid
 
 
+def test_landmark_targets_respect_lower_bounds():
+    """Round-4 item: the landmark relaxation (the init the at-scale path
+    ALWAYS uses) must give two-sided semantics too — no restrained landmark
+    pair's embed target below its lower bound."""
+    from chromosome3d_tpu.solver.init import landmark_init, landmark_targets
+
+    # triangle gadgets (a,b)/(b,c)/(a,c) with lo(a,c) strictly between the
+    # MIDPOINT path (what the one-sided relaxation walks — undercuts) and
+    # the HI path (a valid upper bound — doesn't): consistent bounds, real
+    # failure mode. Disjoint index ranges so gadgets can't shortcut each
+    # other; chain-walk paths are far longer than every gadget distance.
+    L = 40
+    entries = {}
+    for a, b, c in ((0, 6, 13), (14, 20, 26), (27, 32, 39)):
+        entries[(a, b)] = (8.0, 12.0)    # mid 10, hi 12
+        entries[(b, c)] = (8.0, 12.0)
+        entries[(a, c)] = (21.0, 23.0)   # mid-path 20 < lo 21 < hi-path 24
+    r = make_windowed(L, entries)
+
+    d_mid, lidx = landmark_targets(r, BOND, k=L, n_iters=6)
+    d_two, _ = landmark_targets(r, BOND, k=L, n_iters=6, two_sided=True)
+    d_mid, d_two, lidx = map(np.asarray, (d_mid, d_two, lidx))
+    lo = np.asarray(r.lo)
+    mask = np.asarray(r.mask) > 0
+    # with k = L every bead is a landmark: check every restrained pair
+    violations_mid = violations_two = 0
+    for a, l in enumerate(lidx):
+        for j in range(L):
+            if mask[l, j]:
+                if d_mid[a, j] < lo[l, j] - 1e-4:
+                    violations_mid += 1
+                if d_two[a, j] < lo[l, j] - 1e-4:
+                    violations_two += 1
+    assert violations_mid > 0      # the gap being closed is real
+    assert violations_two == 0     # and closed
+    # exact restraints: two_sided is a no-op
+    exact_entries = {k_: (v[0], v[0]) for k_, v in entries.items()}
+    re_ = make_windowed(L, exact_entries)
+    t1, _ = landmark_targets(re_, BOND, k=16)
+    t2, _ = landmark_targets(re_, BOND, k=16, two_sided=True)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5)
+    # and the embedding is finite
+    x = np.asarray(landmark_init(r, BOND, k=16, two_sided=True))
+    assert np.isfinite(x).all()
+
+
+def test_sharded_landmark_two_sided_matches_single():
+    """The sharded two-sided landmark init (pmax-reduced inverse-triangle
+    sweep) must reproduce the single-device solve on the CPU mesh."""
+    import dataclasses
+
+    import jax
+    from jax.sharding import Mesh
+
+    from chromosome3d_tpu.config import AnnealConfig, fast_anneal
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+
+    L = 16 * len(jax.devices())
+    rng = np.random.RandomState(6)
+    entries = {}
+    for _ in range(L * 4):
+        i, j = sorted(rng.choice(L, 2, replace=False))
+        if j - i >= 2:
+            d = float(rng.uniform(6, 30))
+            entries[(i, j)] = (d - 1.5, d + 1.5)
+    r = make_windowed(L, entries)
+    cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig()),
+        init="landmark", embed_two_sided=True, use_pallas=False,
+    )
+    key = jax.random.PRNGKey(9)
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    rs = jax.jit(lambda d, k: solve_ensemble_sharded(mesh, d, cfg, k, 2))(r, key)
+    rd = solve_ensemble(r, cfg, key, 2)
+    np.testing.assert_allclose(
+        np.asarray(rs.coords), np.asarray(rd.coords), rtol=1e-4, atol=1e-3
+    )
+
+
 def test_restraints_pipeline_auto_enables(tmp_path, monkeypatch):
     """run_restraints_pipeline on a tbl with real deviation windows must
     auto-enable embed_two_sided (and still solve)."""
