@@ -128,14 +128,21 @@ def _use_sharded(L: int, cfg: PipelineConfig) -> bool:
 _SHARDED_PROGRAMS: dict = {}
 
 
-def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int):
+def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
+                   or_groups_np=None, conf=None):
     """Sequence-parallel ensemble solve over ALL devices (`beads` mesh axis):
     the product-surface entry to solver.sharded.solve_ensemble_sharded for
     chromosomes beyond the largest bucket. Pads to a multiple of
     lcm(shard_quantum, n_devices) so distinct big inputs share programs;
     routes through the AOT executable cache like every other solve, and
     memoizes the compiled program in-process so repeated at-scale requests
-    (a long-lived server, an alpha ensemble) never retrace."""
+    (a long-lived server, an alpha ensemble) never retrace.
+
+    or_groups_np / conf: ambiguous restraint groups and rr confidence
+    weights from external restraint files — both first-class here (round-4:
+    an at-scale external tbl/rr no longer falls back to the single-program
+    padded path). The group term rides replicated in the shard body; conf
+    folds into the stress weights exactly as the plain path does."""
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
@@ -147,22 +154,42 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int):
     L = restraints.length
     L_pad = quantum_bucket(L, cfg.shard_quantum, multiple=nb)
     dense, _ = _padded_dense(restraints, rc, L_pad, exact=_exact_provable(cfg))
+    if conf is not None:
+        from chromosome3d_tpu.ops.energy import ExactRestraints
+
+        conf_pad = np.ones((L_pad, L_pad), np.float32)
+        conf_pad[:L, :L] = conf
+        conf_j = jnp.asarray(conf_pad, jnp.float32)
+        if isinstance(dense, ExactRestraints):
+            dense = dense._replace(w=dense.w * conf_j)
+        else:
+            dense = dense._replace(weight=dense.weight * conf_j)
+    og = None
+    og_sig = None
+    if or_groups_np is not None:
+        from chromosome3d_tpu.ops.energy import dense_or_groups_from_numpy
+
+        og = dense_or_groups_from_numpy(or_groups_np)
+        og_sig = tuple(np.asarray(og.idx_i).shape)
     bm = jnp.asarray(np.pad(np.ones(L, np.float32), (0, L_pad - L)))
     an, n = cfg.anneal, n_models
-    prog_key = (tuple(d.id for d in devices), an, n, L_pad)
+    prog_key = (tuple(d.id for d in devices), an, n, L_pad,
+                type(dense).__name__, conf is not None, og_sig)
     solve = _SHARDED_PROGRAMS.get(prog_key)
     if solve is None:
         mesh = Mesh(np.asarray(devices), ("beads",))
         solve = load_or_compile(
             jax.jit(
-                lambda d, k, b: solve_ensemble_sharded(mesh, d, an, k, n, b)
+                lambda d, k, b, og_: solve_ensemble_sharded(
+                    mesh, d, an, k, n, b, or_groups=og_
+                )
             ),
-            (dense, key, bm),
+            (dense, key, bm, og),
             tag="pipeline_sharded",
             statics=f"{an!r}|n={n}|nb={nb}|devs={[d.id for d in devices]}",
         )
         _SHARDED_PROGRAMS[prog_key] = solve
-    return solve(dense, key, bm), L_pad
+    return solve(dense, key, bm, og), L_pad
 
 
 def auto_exact(cfg: PipelineConfig, restraints) -> PipelineConfig:
@@ -461,11 +488,10 @@ def run_restraints_pipeline(
         )
     Lr = restraints.length
     # at-scale dispatch: like run_pipeline, L beyond every bucket row-shards
-    # over the mesh — except or-group solves (the group-min term is not in
-    # the sharded solver), which keep the dynamic large-bucket plain path
-    sharded = (
-        _use_sharded(Lr, cfg) and or_groups_np is None and conf is None
-    )
+    # over the mesh — or-group rows and rr confidences included (round 4:
+    # the group term rides replicated in the shard body, conf folds into
+    # the stress weights, so external restraint files keep the sharded path)
+    sharded = _use_sharded(Lr, cfg)
     key = jax.random.PRNGKey(cfg.seed)
     L_solved = Lr
     if sharded:
@@ -475,7 +501,8 @@ def run_restraints_pipeline(
             f"solve over {len(jax.devices())} devices",
         )
         result, L_solved = _sharded_solve(
-            restraints, rc, cfg, key, cfg.model_count
+            restraints, rc, cfg, key, cfg.model_count,
+            or_groups_np=or_groups_np, conf=conf,
         )
     else:
         L_pad, bead_mask = _bucket_pad(Lr, cfg)

@@ -297,10 +297,12 @@ def solve_ensemble_impl(
     use_pallas = resolve_use_pallas(cfg)
     # the fused step / update-companion kernels carry bond but not the
     # optional angle term; a nonzero angle_weight rides the unfused path
-    # (where _bond_energy includes it)
+    # (where _bond_energy includes it). Or-group solves can still run SEMI
+    # (the group term joins the pair gradient before the update companion)
+    # but not the fully fused step (its update happens inside the kernel,
+    # before any external gradient could join).
     fusable = (
-        use_pallas and exact and cfg.fuse_update and or_groups is None
-        and cfg.angle_weight == 0.0
+        use_pallas and exact and cfg.fuse_update and cfg.angle_weight == 0.0
     )
     fused = semi = False
     if fusable:
@@ -319,7 +321,11 @@ def solve_ensemble_impl(
 
         import os as _os
 
-        fused = not use_triangular(L, batch=n_eff) and fused_step_feasible(L)
+        fused = (
+            or_groups is None
+            and not use_triangular(L, batch=n_eff)
+            and fused_step_feasible(L)
+        )
         # the semi path IS the triangular kernel (+ companion), so the
         # CHROM3D_NO_TRI A/B override must push it to the unfused scan
         semi = not fused and not _os.environ.get("CHROM3D_NO_TRI")
@@ -418,6 +424,9 @@ def solve_ensemble_impl(
             # exactly the two uploaded tensors), one explicit fold otherwise
             tri_tiles = exact_pair_tiles(restraints)
 
+            if or_groups is not None:
+                _og_vg_semi = jax.value_and_grad(or_group_energy)
+
             def step(carry, srow):
                 xT, muT, nuT, count = carry
                 lr, sigma, vdw_w, repel, bc1, bc2 = srow
@@ -427,6 +436,16 @@ def solve_ensemble_impl(
                     x, restraints, weights, bead_mask, interpret=interp,
                     gram=cfg.gram_d2, tiles=tri_tiles,
                 )
+                if or_groups is not None:
+                    # the O(R*G) group-min term joins the pair gradient
+                    # BEFORE the update companion — or-group solves keep
+                    # the semi-fused path (round-4: at-scale external tbl
+                    # files with ambiguous rows, chromosome3D.pl:487-554)
+                    e_og, g_og = jax.vmap(
+                        lambda c: _og_vg_semi(c, or_groups, weights, bead_mask)
+                    )(x)
+                    e_pair = e_pair + e_og
+                    g = g + g_og
                 e_b, xT, muT, nuT = pallas_fused_update_batched(
                     xT, jnp.swapaxes(g, 1, 2), muT, nuT, weights, bead_mask,
                     lr, sigma, bc1, bc2, seed, count, clip_val,

@@ -404,7 +404,14 @@ def landmark_triangulate(
     """Landmark-MDS triangulation: classical MDS on the k x k landmark
     submatrix, then every point j embeds as
         x_j = -1/2 * diag(1/sqrt(lambda)) V^T (delta_j^2 - rowmean(Dk^2)),
-    an (L, k) @ (k, 3) matmul. Returns (L, 3)."""
+    an (L, k) @ (k, 3) matmul. Returns (L, 3).
+
+    Degenerate eigendirections are DROPPED, not divided by: on low-rank
+    landmark geometry (e.g. a chain-only restraint graph, which is exactly
+    a line) 1/sqrt(lambda ~ 0) amplifies eigenvector noise by orders of
+    magnitude and the init explodes — classical MDS (mds_init) multiplies
+    by sqrt(lambda) so it collapses such dims instead; match that. The
+    annealer's per-restart jitter breaks the resulting symmetry."""
     k = delta.shape[0]
     dk = jnp.take_along_axis(delta, lidx[None, :].repeat(k, 0), axis=1)  # (k, k)
     dk = 0.5 * (dk + dk.T)
@@ -413,13 +420,15 @@ def landmark_triangulate(
     b = -0.5 * (jk @ dk2 @ jk)
     if method == "eigh":
         vals, vecs = jnp.linalg.eigh(b)
-        lam = jnp.maximum(vals[-3:], 1e-6)[::-1]
+        lam = jnp.maximum(vals[-3:], 0.0)[::-1]
         v = vecs[:, -3:][:, ::-1]
     else:
         lam, v = _top3_eig(b)
-        lam = jnp.maximum(lam, 1e-6)
+        lam = jnp.maximum(lam, 0.0)
+    good = lam > 1e-6 * jnp.maximum(lam[0], 1e-12)
+    inv = jnp.where(good, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-30)), 0.0)
     mu = dk2.mean(axis=1)                                   # (k,)
-    proj = v / jnp.sqrt(lam)[None, :]                       # (k, 3)
+    proj = v * inv[None, :]                                 # (k, 3)
     return -0.5 * ((delta * delta - mu[:, None]).T @ proj)  # (L, 3)
 
 

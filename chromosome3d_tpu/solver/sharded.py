@@ -184,6 +184,7 @@ def solve_ensemble_sharded(
     bead_mask: Optional[jnp.ndarray] = None,
     schedule: Optional[Schedule] = None,
     axis: str = "beads",
+    or_groups=None,
 ) -> ShardedEnsembleResult:
     """The full ensemble solve with the O(L^2) work row-sharded over `axis`:
     landmark init from the sharded restraint rows, mirror-pair hot phase,
@@ -193,7 +194,15 @@ def solve_ensemble_sharded(
     Matches solver.anneal.solve_ensemble_impl semantics with
     init="landmark" (tested equal on a CPU mesh). L must be a multiple of
     the axis size (pad with bead_mask; see pad_restraints_to_multiple).
-    """
+
+    or_groups: optional ambiguous (`or`-group) restraints
+    (ops.energy.OrGroupRestraints) — the group-min well joins the energy.
+    Coordinates are replicated across the axis, so the O(R*G) group term
+    computes REPLICATED on every shard like the bonded terms (no
+    collectives; tiny next to the sharded O(L^2/n) pair work) — at-scale
+    external CNS tbl files with ambiguous rows keep the sharded path
+    (chromosome3D.pl:487-554 defines the layouts; CNS solves them at any
+    size)."""
     L = restraints.lo.shape[0]
     n_dev = mesh.shape[axis]
     if L % n_dev:
@@ -204,12 +213,18 @@ def solve_ensemble_sharded(
     srows = jnp.stack(
         [sched.lr, sched.sigma, sched.vdw_weight, sched.repel_scale], axis=-1
     )
-    shard_fn = _ensemble_shard_fn(cfg, n_models, L, n_dev, sched, axis)
+    shard_fn = _ensemble_shard_fn(
+        cfg, n_models, L, n_dev, sched, axis, with_og=or_groups is not None
+    )
 
+    og_args = () if or_groups is None else (or_groups,)
+    og_specs = () if or_groups is None else (P(),)   # replicated subtree
     mapped = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P(), P()),
+        in_specs=(
+            P(axis, None), P(axis, None), P(axis, None), P(), P(), P(),
+        ) + og_specs,
         out_specs=(P(), {"noe": P(), "bon": P(), "vdw": P(), "overall": P()}, P()),
         check_vma=False,
     )
@@ -223,16 +238,21 @@ def solve_ensemble_sharded(
         bead_mask,
         key,
         srows,
+        *og_args,
     )
     return ShardedEnsembleResult(coords=coords, energies=terms, history=history)
 
 
 def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
-                       sched: Schedule, axis: str):
+                       sched: Schedule, axis: str, with_og: bool = False):
     """Build the per-device ensemble shard body shared by the 1-D sp solver
     (solve_ensemble_sharded) and the 2-D chrom x beads genome solver
     (solve_genome_sharded, which vmaps it over chromosomes — the collectives
-    inside batch cleanly under vmap)."""
+    inside batch cleanly under vmap).
+
+    with_og: the body takes a trailing replicated OrGroupRestraints arg and
+    adds the group-min well — computed per shard on the replicated coords
+    like the bonded terms (identical on every device, no collectives)."""
     base = _final_weights(cfg)
     n_eff = n_models * 2 if cfg.enantiomer else n_models
     hot = cfg.hot_steps
@@ -262,7 +282,7 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
     )
     strip_tri = fusable and strip_tri_feasible(L, n_dev)
 
-    def shard_fn(lo, hi, w, bead, key, srows):
+    def shard_fn(lo, hi, w, bead, key, srows, og=None):
         """Everything below runs per device on its (Lb, L) restraint rows;
         coordinates, optimizer state, and RNG are replicated (identical on
         every device), so only psum/pmin/all_gather touch the ICI."""
@@ -336,6 +356,20 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
             return _bonded_energy(c, bead, base)
 
         bond_vg = jax.vmap(jax.value_and_grad(bond_energy))
+
+        if with_og:
+            # group-min well on the replicated coords — per shard, no
+            # collectives (ops.energy.or_group_energy; O(R*G) gathers)
+            from chromosome3d_tpu.ops.energy import or_group_energy
+
+            def og_vg(x, weights):
+                return jax.vmap(
+                    jax.value_and_grad(
+                        lambda c: or_group_energy(c, og, weights, bead)
+                    )
+                )(x)
+        else:
+            og_vg = None    # use sites guard on with_og (static)
 
         def pair_terms(x, weights):
             """(e_noe, e_vdw, grad) per structure, psum'd/gathered."""
@@ -441,6 +475,14 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
                 lr, sigma, vdw_w, repel = srow[0], srow[1], srow[2], srow[3]
                 weights = _schedule_weights(cfg, base, vdw_w, repel)
                 e_pair, gT = pair_T(xT, weights)
+                if with_og:
+                    # the group term rides OUTSIDE the kernels as an
+                    # additive value-and-grad, joining gT before the fused
+                    # update companion (same scheme as the single-chip
+                    # semi path)
+                    e_og, g_og = og_vg(jnp.swapaxes(xT, 1, 2), weights)
+                    e_pair = e_pair + e_og
+                    gT = gT + jnp.swapaxes(g_og, 1, 2)
                 e_b, xT, muT, nuT = pallas_fused_update_batched(
                     xT, gT, muT, nuT, weights, bead, lr, sigma,
                     srow[4], srow[5], seed, count, clip_val,
@@ -467,6 +509,10 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
                 weights = _schedule_weights(cfg, base, vdw_w, repel)
                 e_pair, g = pair_total_and_grad(x, weights)
                 e_bond, g_bond = bond_vg(x)
+                if with_og:
+                    e_og, g_og = og_vg(x, weights)
+                    e_pair = e_pair + e_og
+                    g = g + g_og
                 e = e_pair + e_bond
                 g = _clip_per_bead(g + g_bond, cfg.gradient_clip)
                 updates, opt_state = opt.update(g, opt_state)
@@ -499,6 +545,8 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
             )
             e_bond, _ = bond_vg(carry_coords(carry))
             e_hot = hot_pair_energy(carry_coords(carry), w_hot) + e_bond
+            if with_og:
+                e_hot = e_hot + og_vg(carry_coords(carry), w_hot)[0]
             pick = jnp.argmin(e_hot.reshape(n_models, 2), axis=1)
             sel = jnp.arange(n_models) * 2 + pick
             carry = select(carry, sel)
@@ -512,6 +560,10 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
 
         # ---- final canonical-weight terms + centroid to origin ----
         e_noe, e_vdw, _ = pair_terms(xs, base)
+        if with_og:
+            # the group well reports inside `noe` (ops.energy.energy_terms
+            # convention)
+            e_noe = e_noe + og_vg(xs, base)[0]
         e_bond, _ = bond_vg(xs)
         terms = {
             "noe": e_noe,

@@ -567,3 +567,71 @@ def test_hic_float_dense_nan_sentinel(tmp_path):
     assert mat[0, 0] == 1.5 and mat[1, 1] == 2.5
     assert mat[0, 1] == 0.0 and mat[1, 0] == 0.0     # NaN skipped
     assert np.isfinite(mat).all()
+
+
+# ---------------------------------------------------------------------------
+# FROZEN fixture assets (round-4 item: reader bugs must not hide behind
+# writer symmetry). tests/assets/fixture_v{8,9}.hic + fixture.cool were
+# hand-assembled ONCE from the published specs by scripts/make_hic_fixture.py
+# (which imports nothing from this package) and committed; the expected
+# matrices are frozen .npy files computed straight from the chosen records.
+# A reader regression — or any drift in spec interpretation — now fails
+# against immutable bytes.
+# ---------------------------------------------------------------------------
+
+ASSETS = os.path.join(os.path.dirname(__file__), "assets")
+
+
+@pytest.mark.parametrize("version", [8, 9])
+def test_frozen_hic_fixture(version):
+    from chromosome3d_tpu.io.hic import load_hic
+
+    path = os.path.join(ASSETS, f"fixture_v{version}.hic")
+    exp = np.load(os.path.join(ASSETS, f"fixture_v{version}_none.npy"))
+    m = load_hic(path, "chrF", 100)
+    np.testing.assert_allclose(m, exp, rtol=1e-6)
+    # the KR normalization vector in the frozen footer
+    exp_kr = np.load(os.path.join(ASSETS, f"fixture_v{version}_kr.npy"))
+    m_kr = load_hic(path, "chrF", 100, norm="KR")
+    np.testing.assert_allclose(m_kr, exp_kr, rtol=1e-6)
+    # selecting the blockless resolution or missing chromosome must raise
+    with pytest.raises(ValueError):
+        load_hic(path, "chrF", 1000)
+    with pytest.raises(ValueError):
+        load_hic(path, "chrZ", 100)
+
+
+def test_frozen_cool_fixture():
+    from chromosome3d_tpu.io.hic import load_cooler
+
+    path = os.path.join(ASSETS, "fixture.cool")
+    exp = np.load(os.path.join(ASSETS, "fixture_cool_raw.npy"))
+    m = load_cooler(path, chrom="chrA")
+    np.testing.assert_allclose(m, exp, rtol=1e-6)
+    # inter-chromosomal pixels excluded; chrB block independently correct
+    mb = load_cooler(path, chrom="chrB")
+    assert mb.shape == (3, 3)
+    assert mb[0, 1] == 2 and mb[1, 2] == 6 and mb[0, 0] == 9
+    # balanced load: stored weights applied, NaN-weight bin zeroed
+    exp_bal = np.load(os.path.join(ASSETS, "fixture_cool_balanced.npy"))
+    np.testing.assert_allclose(
+        load_cooler(path, chrom="chrA", balance=True), exp_bal, rtol=1e-6
+    )
+
+
+def test_frozen_assets_unchanged():
+    """The fixture BYTES are part of the contract: regenerating them must
+    reproduce the committed blobs exactly (catches accidental edits to
+    scripts/make_hic_fixture.py drifting the assets)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_hic_fixture",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "make_hic_fixture.py"),
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    for version in (8, 9):
+        with open(os.path.join(ASSETS, f"fixture_v{version}.hic"), "rb") as f:
+            assert gen.make_hic(version) == f.read()

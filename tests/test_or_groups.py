@@ -398,3 +398,114 @@ def test_parenless_truncated_tail_skipped(tmp_path):
     assert len(rows) == 1
     g1, g2, d, nd, pd = rows[0]
     assert (d, nd, pd) == (6.5, 0.1, 0.2)
+
+
+def test_sharded_ensemble_with_groups_matches_single_chip():
+    """Round-4 item: the sharded ensemble accepts or-groups (replicated
+    group term, no collectives) and reproduces the single-chip solve."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from chromosome3d_tpu.config import fast_anneal
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+
+    n_dev = len(jax.devices())
+    L = 16 * n_dev
+    t = np.zeros((L, L), np.float32)
+    m = np.zeros((L, L), bool)
+    for i in range(L - 1):
+        t[i, i + 1] = t[i + 1, i] = 3.8
+        m[i, i + 1] = m[i + 1, i] = True
+    rng = np.random.RandomState(7)
+    for _ in range(3 * L):
+        i, j = sorted(rng.choice(L, 2, replace=False))
+        if j - i >= 3:
+            t[i, j] = t[j, i] = rng.uniform(5, 25)
+            m[i, j] = m[j, i] = True
+    dense = dense_restraints_from_numpy(
+        Restraints(t, np.zeros_like(t), np.zeros_like(t), m), "absolute"
+    )
+    og = OrGroupRestraints(
+        idx_i=jnp.asarray([[2, 3], [5, 5]], jnp.int32),
+        idx_j=jnp.asarray([[L - 3, L - 3], [L - 8, L - 1]], jnp.int32),
+        member=jnp.asarray([[1.0, 1.0], [1.0, 1.0]], jnp.float32),
+        lo=jnp.asarray([4.5, 6.0], jnp.float32),
+        hi=jnp.asarray([5.5, 6.0], jnp.float32),
+        weight=jnp.asarray([5.0, 3.0], jnp.float32),
+    )
+    cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig()), init="landmark", use_pallas=False,
+        exact_restraints=True,
+    )
+    key = jax.random.PRNGKey(21)
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    rs = jax.jit(
+        lambda d, k, og_: solve_ensemble_sharded(
+            mesh, d, cfg, k, 2, or_groups=og_
+        )
+    )(dense, key, og)
+    rd = solve_ensemble_impl(dense, cfg, key, 2, or_groups=og)
+    np.testing.assert_allclose(
+        np.asarray(rs.coords), np.asarray(rd.coords), rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(rs.energies["noe"]), np.asarray(rd.energies["noe"]),
+        rtol=1e-4,
+    )
+
+
+def test_semi_fused_og_matches_unfused_zero_noise(monkeypatch):
+    """The semi-fused path now carries or-groups: with zero noise it must
+    track the unfused or-group solve trajectory."""
+    import dataclasses
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+    from chromosome3d_tpu.config import fast_anneal
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+
+    L = 44
+    t = np.zeros((L, L), np.float32)
+    m = np.zeros((L, L), bool)
+    for i in range(L - 1):
+        t[i, i + 1] = t[i + 1, i] = 3.8
+        m[i, i + 1] = m[i + 1, i] = True
+    rng = np.random.RandomState(8)
+    for _ in range(80):
+        i, j = sorted(rng.choice(L, 2, replace=False))
+        if j - i >= 3:
+            t[i, j] = t[j, i] = rng.uniform(5, 20)
+            m[i, j] = m[j, i] = True
+    dense = dense_restraints_from_numpy(
+        Restraints(t, np.zeros_like(t), np.zeros_like(t), m), "absolute"
+    )
+    og = OrGroupRestraints(
+        idx_i=jnp.asarray([[2, 3]], jnp.int32),
+        idx_j=jnp.asarray([[30, 30]], jnp.int32),
+        member=jnp.asarray([[1.0, 1.0]], jnp.float32),
+        lo=jnp.asarray([4.5], jnp.float32),
+        hi=jnp.asarray([4.5], jnp.float32),
+        weight=jnp.asarray([5.0], jnp.float32),
+    )
+    base = fast_anneal(AnnealConfig(), 0.1)
+    cfg_semi = dataclasses.replace(
+        base, use_pallas=True, exact_restraints=True, fuse_update=True,
+        noise_scale=0.0, init="spiral", enantiomer=False,
+    )
+    cfg_ref = dataclasses.replace(cfg_semi, use_pallas=False)
+    key = jax.random.PRNGKey(5)
+    monkeypatch.setattr(
+        pe, "use_triangular", lambda L, for_unfused=False, batch=None: True
+    )
+    res_semi = solve_ensemble_impl(dense, cfg_semi, key, 2, or_groups=og)
+    monkeypatch.undo()
+    res_ref = solve_ensemble_impl(dense, cfg_ref, key, 2, or_groups=og)
+    np.testing.assert_allclose(
+        np.asarray(res_semi.coords), np.asarray(res_ref.coords),
+        rtol=1e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_semi.energies["overall"]),
+        np.asarray(res_ref.energies["overall"]), rtol=1e-4,
+    )

@@ -250,3 +250,67 @@ def test_sharded_solve_program_memoized(tmp_path, monkeypatch):
     assert len(builds) == n_builds  # no retrace/rebuild
     assert np.isfinite(np.asarray(r2.coords)).all()
     pl._SHARDED_PROGRAMS.clear()
+
+
+def test_restraints_pipeline_or_groups_dispatch_sharded(tmp_path, monkeypatch):
+    """Round-4 item: an at-scale external tbl WITH or-group rows (and a
+    beyond-bucket L) must keep the row-sharded path, not silently fall back
+    to the single-program padded solve."""
+    import chromosome3d_tpu.pipeline as pl
+
+    L = 48
+    lines = [
+        f"assign (resid {i:3d} and name ca) (resid {i + 1:3d} and name ca)"
+        f"  3.80 0.00 0.00"
+        for i in range(1, L)
+    ]
+    lines.append(
+        "assign ((resid 2 and name ca) or (resid 3 and name ca)) "
+        f"(resid {L - 2} and name ca) 5.00 0.50 0.50"
+    )
+    tbl = tmp_path / "big_groups.tbl"
+    tbl.write_text("\n".join(lines) + "\n")
+
+    calls = []
+    real = pl._sharded_solve
+
+    def spy(restraints, rc, cfg, key, n_models, or_groups_np=None, conf=None):
+        calls.append({"og": or_groups_np is not None})
+        return real(restraints, rc, cfg, key, n_models,
+                    or_groups_np=or_groups_np, conf=conf)
+
+    monkeypatch.setattr(pl, "_sharded_solve", spy)
+    summary = pl.run_restraints_pipeline(
+        str(tbl), str(tmp_path / "out"), scale_cfg()
+    )
+    assert calls and calls[0]["og"], "or-group tbl did not take the sharded path"
+    assert summary["or_groups"] == 1
+    assert summary["L_solved"] % len(__import__("jax").devices()) == 0
+    assert (tmp_path / "out" / "big_groups_model1.pdb").exists()
+
+
+def test_restraints_pipeline_conf_rr_dispatch_sharded(tmp_path, monkeypatch):
+    """An at-scale .rr with non-unit confidences keeps the sharded path;
+    conf folds into the stress weights."""
+    import chromosome3d_tpu.pipeline as pl
+
+    L = 48
+    rows = [f"{i} {i + 1} 3.80 3.80 0.9\n" for i in range(1, L)]
+    rows.append(f"1 {L} 20.00 20.00 0.5\n")
+    rr = tmp_path / "big_conf.rr"
+    rr.write_text("".join(rows))
+
+    calls = []
+    real = pl._sharded_solve
+
+    def spy(restraints, rc, cfg, key, n_models, or_groups_np=None, conf=None):
+        calls.append({"conf": conf is not None})
+        return real(restraints, rc, cfg, key, n_models,
+                    or_groups_np=or_groups_np, conf=conf)
+
+    monkeypatch.setattr(pl, "_sharded_solve", spy)
+    summary = pl.run_restraints_pipeline(
+        str(rr), str(tmp_path / "out"), scale_cfg()
+    )
+    assert calls and calls[0]["conf"], "conf rr did not take the sharded path"
+    assert summary["restraints"] == L

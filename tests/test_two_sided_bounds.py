@@ -206,3 +206,22 @@ def test_restraints_pipeline_auto_enables(tmp_path, monkeypatch):
     summary = pl.run_restraints_pipeline(str(tbl), str(tmp_path / "out"), cfg)
     assert seen["two_sided"] is True
     assert summary["restraints"] == L  # L-1 chain + 1 long
+
+
+def test_landmark_chain_only_does_not_explode():
+    """Regression: a chain-only restraint graph (collinear landmark
+    geometry) used to explode landmark_triangulate — 1/sqrt(lambda ~ 0)
+    amplified degenerate eigendirections ~1000x. Degenerate dims must be
+    dropped (matching classical MDS), leaving a sane line-like init."""
+    from chromosome3d_tpu.solver.init import landmark_init
+
+    L = 64
+    entries = {(i, i + 1): (3.8, 3.8) for i in range(L - 1)}
+    r = make_windowed(L, entries)
+    x = np.asarray(landmark_init(r, BOND, k=32))
+    assert np.isfinite(x).all()
+    # span is chain-scale, not noise-amplified
+    assert np.abs(x).max() < L * BOND
+    # consecutive beads land near bond length on the dominant axis
+    d = np.linalg.norm(np.diff(x, axis=0), axis=1)
+    assert np.median(d) < 3.0 * BOND
