@@ -153,6 +153,13 @@ class AnnealConfig:
     # relative near-contact accuracy (f32 cancellation, clamped at 0).
     # Default off pending/per the real-chip A/B in DESIGN.md.
     gram_d2: bool = False
+    # store the exact-path restraint TILES (target + folded weight, and the
+    # fused step's vdw predicate) in bfloat16: halves the dominant HBM
+    # stream (the (L, L) tiles are re-fetched every step) and the live
+    # restraint memory; the pair math still runs f32 (tiles convert on
+    # read). Costs ~0.4% relative error on the restraint targets — gated by
+    # the 45/45 VALIDATION quality bar on the real chip (DESIGN.md).
+    pair_bf16: bool = False
     # lax.scan unroll factor for the annealing loop: >1 amortizes the
     # per-iteration loop/dispatch overhead at the cost of a proportionally
     # larger program. Measured on the real chip at the shipped bucket

@@ -231,8 +231,10 @@ def _kernel_exact(
     d = (d2 + _EPS) * rinv
 
     pair_valid = bmcol_ref[:] * bmrow_ref[:]
-    w = w_ref[:] * pair_valid
-    dev = d - t_ref[:]
+    # tiles may arrive bf16 (AnnealConfig.pair_bf16): convert on read, all
+    # math stays f32 (astype is a no-op for f32 tiles)
+    w = w_ref[:].astype(jnp.float32) * pair_valid
+    dev = d - t_ref[:].astype(jnp.float32)
     e_noe = 0.5 * noe_w * jnp.sum(w * dev * dev, axis=1, keepdims=True)
     c_noe = noe_w * w * (2.0 * dev)
 
@@ -361,10 +363,11 @@ def _kernel_fused_step(
             diff = a[:, c:c + 1] - xtf[c:c + 1, :]
             s = s + diff * diff
     rinv = jax.lax.rsqrt(s)
-    u = 1.0 - t_ref[:] * rinv
-    wtu = w_ref[:] * u                             # w tile carries 2*noe_w
+    # tiles may arrive bf16 (AnnealConfig.pair_bf16): convert on read
+    u = 1.0 - t_ref[:].astype(jnp.float32) * rinv
+    wtu = w_ref[:].astype(jnp.float32) * u         # w tile carries 2*noe_w
     v = jnp.maximum(vdw_radius * rinv - 1.0, 0.0)
-    nv = nb_ref[:] * v
+    nv = nb_ref[:].astype(jnp.float32) * v
     # one fused energy rowsum (the scan history only needs the TOTAL; the
     # per-term breakdown is computed once at the end of the solve)
     e_pairT = rowsum_T(
@@ -788,7 +791,7 @@ def pallas_fused_step_batched(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "exact", "gram", "no_tri")
+    jax.jit, static_argnames=("interpret", "exact", "gram", "no_tri", "bf16")
 )
 def _pairwise_energy_grad_batched(
     coords: jnp.ndarray,       # (B, L, 3)
@@ -799,6 +802,7 @@ def _pairwise_energy_grad_batched(
     exact: bool = False,
     gram: bool = False,
     no_tri: bool = False,
+    bf16: bool = False,
 ):
     """Run the fused kernel over a batch of structures SHARING one restraint
     set. Returns (pair_energy (B,), pair_grad (B, L, 3)).
@@ -824,7 +828,8 @@ def _pairwise_energy_grad_batched(
     B, L, _ = coords.shape
     if exact and not no_tri and use_triangular(L, for_unfused=True, batch=B):
         return pallas_energy_grad_tri_batched(
-            coords, restraints, weights, bead_mask, interpret, gram=gram
+            coords, restraints, weights, bead_mask, interpret, gram=gram,
+            bf16=bf16,
         )
     Lp = _round_up(max(L, 8), TILE_M)
     padn = Lp - L
@@ -863,6 +868,10 @@ def _pairwise_energy_grad_batched(
         kernel = _kernel_exact
         # exact restraints: lo == hi == target, ONE restraint tensor
         tensors = (pad2(tgt), w)
+        if bf16:
+            # AnnealConfig.pair_bf16: halve the dominant HBM stream (the
+            # restraint tiles re-fetched every step); math stays f32
+            tensors = tuple(t.astype(jnp.bfloat16) for t in tensors)
         n_restraint_tiles = 2
     else:
         kernel = _kernel
@@ -961,9 +970,10 @@ def _kernel_exact_tri(
             diff = a[:, c:c + 1] - xjT[c:c + 1, :]
             s2 = s2 + diff * diff
     rinv = jax.lax.rsqrt(s2)
-    u = 1.0 - t_ref[:] * rinv
+    # tiles may arrive bf16 (AnnealConfig.pair_bf16): convert on read
+    u = 1.0 - t_ref[:].astype(jnp.float32) * rinv
     pv = bmr_ref[:] * bmc_ref[:]                   # (TM, TM)
-    w = w_ref[:] * pv
+    w = w_ref[:].astype(jnp.float32) * pv
     wu = w * u
     v = jnp.maximum(vdw_radius * rinv - 1.0, 0.0)
     rows_g = i * TM + jax.lax.broadcasted_iota(jnp.int32, (TM, TM), 0)
@@ -1182,6 +1192,7 @@ def pallas_energy_grad_tri_batched(
     tile: int | None = None,
     gram: bool = False,
     tiles=None,
+    bf16: bool = False,
 ):
     """Batched exact-restraint pair energy+grad via the triangular kernel
     (valid only when lo == hi and the well is pure quadratic — the same
@@ -1205,6 +1216,8 @@ def pallas_energy_grad_tri_batched(
     xt = jnp.swapaxes(x, 1, 2)
     t = jnp.pad(tiles[0], ((0, padn), (0, padn)))
     w = jnp.pad(tiles[1], ((0, padn), (0, padn)))
+    if bf16 and t.dtype != jnp.bfloat16:
+        t, w = t.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
     bm = jnp.pad(bead_mask.astype(jnp.float32), (0, padn))
 
     params = jnp.stack([
@@ -1320,9 +1333,10 @@ def _kernel_exact_tri_strip(
             diff = a[:, c:c + 1] - xjT[c:c + 1, :]
             s2 = s2 + diff * diff
     rinv = jax.lax.rsqrt(s2)
-    u = 1.0 - t_ref[:] * rinv
+    # tiles may arrive bf16 (AnnealConfig.pair_bf16): convert on read
+    u = 1.0 - t_ref[:].astype(jnp.float32) * rinv
     pv = bmr_ref[:] * bmc_ref[:]                   # (TM, TM)
-    w = w_ref[:] * pv
+    w = w_ref[:].astype(jnp.float32) * pv
     wu = w * u
     v = jnp.maximum(vdw_radius * rinv - 1.0, 0.0)
     tj_g = jax.lax.rem(i_g + s, Tg)
@@ -1677,6 +1691,7 @@ def pallas_energy_and_grad_batched(
     bead_mask: jnp.ndarray,
     interpret: bool = False,
     exact: bool = False,
+    bf16: bool = False,
 ):
     """Fused value-and-grad for a shared-restraint batch: the annealer's
     inner step. Returns (energies (B,), grads (B, L, 3)). Not an autodiff
@@ -1684,7 +1699,7 @@ def pallas_energy_and_grad_batched(
     optimizer consumes it directly (the custom_vjp wrapper exists for
     API parity; this path skips even that indirection)."""
     e_pair, g_pair = _pairwise_energy_grad_batched(
-        coords, restraints, weights, bead_mask, interpret, exact
+        coords, restraints, weights, bead_mask, interpret, exact, bf16=bf16
     )
     e_bond = _bond_energy_batched(coords, weights, bead_mask)
     g_bond = jax.vmap(lambda c: jax.grad(_bond_energy)(c, weights, bead_mask))(coords)

@@ -340,7 +340,7 @@ def solve_ensemble_impl(
             def vag(x, weights):
                 return pallas_energy_and_grad_batched(
                     x, restraints, weights, bead_mask, interpret=interp,
-                    exact=exact,
+                    exact=exact, bf16=cfg.pair_bf16 and exact,
                 )
         else:
             # group-min term rides OUTSIDE the kernel as an additive jnp
@@ -350,7 +350,7 @@ def solve_ensemble_impl(
             def vag(x, weights):
                 e, g = pallas_energy_and_grad_batched(
                     x, restraints, weights, bead_mask, interpret=interp,
-                    exact=exact,
+                    exact=exact, bf16=cfg.pair_bf16 and exact,
                 )
                 e_og, g_og = jax.vmap(
                     lambda c: _og_vg(c, or_groups, weights, bead_mask)
@@ -395,6 +395,10 @@ def solve_ensemble_impl(
             # static per solve: masked (2*noe_w-scaled) weight/vdw tiles,
             # folded ONCE (not per step; the noe weight is schedule-constant)
             tiles = fused_step_tiles(restraints, bead_mask, base.noe)
+            if cfg.pair_bf16:
+                # halve the dominant per-step HBM stream; math stays f32
+                # (kernels convert tiles on read) — AnnealConfig.pair_bf16
+                tiles = tuple(t.astype(jnp.bfloat16) for t in tiles)
 
             def step(carry, srow):
                 xT, muT, nuT, count = carry
@@ -423,6 +427,10 @@ def solve_ensemble_impl(
             # (zero copies — the at-scale path's live restraint HBM is then
             # exactly the two uploaded tensors), one explicit fold otherwise
             tri_tiles = exact_pair_tiles(restraints)
+            if cfg.pair_bf16:
+                tri_tiles = tuple(
+                    t.astype(jnp.bfloat16) for t in tri_tiles
+                )
 
             if or_groups is not None:
                 _og_vg_semi = jax.value_and_grad(or_group_energy)

@@ -437,6 +437,10 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
                 # under shard_map's single SPMD trace)
                 t_roll = jnp.roll(lo, -row_start, axis=1)
                 w_roll = jnp.roll(w, -row_start, axis=1)
+                if cfg.pair_bf16:
+                    # AnnealConfig.pair_bf16: bf16 tiles, f32 math
+                    t_roll = t_roll.astype(jnp.bfloat16)
+                    w_roll = w_roll.astype(jnp.bfloat16)
                 bm_roll = jnp.roll(bead, -row_start)
                 bm_rows_s = jax.lax.dynamic_slice(bead, (row_start,), (Lb,))
 

@@ -76,6 +76,16 @@ SLOW_TESTS = {
     "test_solve_from_rr",
     "test_cli_coinit",
     "test_solve_coinit_cross_resolution",
+    # round-4 equivalence tests (sharded/semi paths, interpret-mode kernels)
+    "test_strip_tri_kernel_matches_full",
+    "test_sharded_ensemble_with_groups_matches_single_chip",
+    "test_sharded_ensemble_accepts_exact_form",
+    "test_semi_fused_og_matches_unfused_zero_noise",
+    "test_sharded_landmark_two_sided_matches_single",
+    "test_landmark_targets_respect_lower_bounds",
+    "test_restraints_pipeline_or_groups_dispatch_sharded",
+    "test_restraints_pipeline_conf_rr_dispatch_sharded",
+    "test_genome_bucket_stacks_exact_form",
     # solver protocol variants (full or near-full schedules)
     "test_landmark_init_quality_parity",
     "test_auto_init_dispatch",

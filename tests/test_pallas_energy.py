@@ -664,3 +664,60 @@ def test_strip_tri_kernel_matches_full():
             np.asarray(jnp.swapaxes(g_total, 1, 2)), np.asarray(g_f),
             rtol=2e-4, atol=2e-4, err_msg=f"L={L} n_dev={n_dev}",
         )
+
+
+def test_bf16_tiles_close_to_f32():
+    """AnnealConfig.pair_bf16: bf16 restraint tiles with f32 math must track
+    the f32-tile kernels to bf16 precision (~0.4% relative) in both the row
+    and triangular exact kernels, and through a short solve."""
+    import dataclasses
+
+    from chromosome3d_tpu.config import AnnealConfig, fast_anneal
+    from chromosome3d_tpu.ops.pallas_energy import (
+        _pairwise_energy_grad_batched,
+        pallas_energy_grad_tri_batched,
+    )
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+
+    x, dense, w, bead = make_exact_case(300)
+    xb = jnp.stack([x, x * 0.9])
+
+    e32, g32 = _pairwise_energy_grad_batched(
+        xb, dense, w, bead, interpret=True, exact=True, no_tri=True
+    )
+    e16, g16 = _pairwise_energy_grad_batched(
+        xb, dense, w, bead, interpret=True, exact=True, no_tri=True, bf16=True
+    )
+    np.testing.assert_allclose(np.asarray(e16), np.asarray(e32), rtol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(g16), np.asarray(g32),
+        rtol=5e-2, atol=2e-2 * float(jnp.abs(g32).max()),
+    )
+
+    et32, gt32 = pallas_energy_grad_tri_batched(
+        xb, dense, w, bead, interpret=True, tile=128
+    )
+    et16, gt16 = pallas_energy_grad_tri_batched(
+        xb, dense, w, bead, interpret=True, tile=128, bf16=True
+    )
+    np.testing.assert_allclose(np.asarray(et16), np.asarray(et32), rtol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(gt16), np.asarray(gt32),
+        rtol=5e-2, atol=2e-2 * float(jnp.abs(gt32).max()),
+    )
+
+    # a short fused-path solve with bf16 tiles stays finite and lands near
+    # the f32 solve's energy (not bitwise: targets carry ~0.4% error)
+    _, dense_s, _, bead_s = make_exact_case(44)
+    cfg32 = dataclasses.replace(
+        fast_anneal(AnnealConfig(), 0.1), use_pallas=True,
+        exact_restraints=True, noise_scale=0.0,
+    )
+    cfg16 = dataclasses.replace(cfg32, pair_bf16=True)
+    key = jax.random.PRNGKey(3)
+    r32 = solve_ensemble_impl(dense_s, cfg32, key, 2, bead_s)
+    r16 = solve_ensemble_impl(dense_s, cfg16, key, 2, bead_s)
+    e_a = np.asarray(r32.energies["overall"])
+    e_b = np.asarray(r16.energies["overall"])
+    assert np.isfinite(e_b).all()
+    np.testing.assert_allclose(e_b, e_a, rtol=0.1)
