@@ -1,0 +1,159 @@
+"""At-scale restraint prep ON the accelerator.
+
+Why this exists: restraint prep is O(L^2) *elementwise* work (IF^alpha, the
+%.1f quantization, separation/validity masks, stress weights) — exactly the
+kind of full-lane VPU math the solve kernels already do, and a rounding
+error next to one anneal step. But the reference-semantics host path
+(restraints.if_to_dist -> dist_to_restraints -> ops.energy builders) makes
+dozens of float64 passes over (L, L) numpy arrays, and on this class of
+host (single-vCPU VM, ~0.1 GB/s effective memory bandwidth) that measured
+313 s at L = 8192 and ~45 min at L = 24576 — an order of magnitude LONGER
+than the L = 24576 solve it feeds (5.0 s). The fix is the same design rule
+the solver follows (DESIGN.md "what stays off the accelerator", inverted):
+per-element work at a BUCKETED shape belongs on the device, because the
+compile is paid once per bucket while the host pays per element per run.
+
+So the at-scale paths build their tiles here: ONE padded (L_pad, L_pad)
+f32 host->device transfer, then a single jitted program produces the
+two-tensor ExactRestraints form (ops/energy.py:51). Scalar knobs (alpha,
+K, the stress exponent p) ride as device scalars so hyperparameter sweeps
+share the compiled program; only (L_pad, weighting, separation) are static.
+Programs are keyed by the PADDED shape only — the same compile-count
+discipline as PipelineConfig.length_buckets (CLAUDE.md: one bucket = one
+program).
+
+The reference-scale paths (L <= the length buckets) keep the float64 host
+route: its %.1f text-file round-trip is byte-parity-tested against the
+reference's own Perl (chromosome3D.pl:110-206), and at those sizes host
+prep costs milliseconds. This module is gated to beyond-bucket L, where no
+text artifacts exist to be parity-locked (f32-vs-f64 quantization can
+differ only for distances within ~1e-6 of a .05 decimal midpoint).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chromosome3d_tpu.ops.energy import ExactRestraints
+
+
+def pad_f32(a, L_pad: int):
+    """Zero-pad to (L_pad, L_pad) f32 in ONE host pass (the only O(L^2) host
+    work the device-prep path pays). An already-padded f32 jax array passes
+    straight through — callers that generate input ON device (the scaling
+    bench) never round-trip it to the host."""
+    if isinstance(a, jnp.ndarray) and a.shape[0] == L_pad and a.dtype == jnp.float32:
+        return a
+    a = np.asarray(a)
+    L = a.shape[0]
+    if L == L_pad and a.dtype == np.float32:
+        return np.ascontiguousarray(a)
+    out = np.zeros((L_pad, L_pad), np.float32)
+    out[:L, :L] = a
+    return out
+
+
+def _weights_from_target(t, p, weighting: str):
+    """Device mirror of ops.energy._restraint_weights for exact restraints:
+    mask is recoverable as t > 0 (quantized targets are >= 0.1 wherever a
+    restraint exists; padding and masked-out cells are exactly 0)."""
+    m = (t > 0.0).astype(jnp.float32)
+    if weighting == "relative":
+        w = m * jnp.power(jnp.maximum(t, 1.0), -p)
+        denom = jnp.sum(w, dtype=jnp.float32) / jnp.maximum(
+            jnp.sum(m, dtype=jnp.float32), 1.0
+        )
+        return w / jnp.maximum(denom, 1e-30)
+    if weighting == "absolute":
+        return m
+    raise ValueError(f"unknown weighting {weighting!r}")
+
+
+@functools.lru_cache(maxsize=16)
+def _tiles_from_target_prog(weighting: str):
+    @jax.jit
+    def prog(t, p):
+        return ExactRestraints(target=t, w=_weights_from_target(t, p, weighting))
+
+    return prog
+
+
+def exact_tiles_from_target_device(
+    target: np.ndarray,
+    L_pad: int,
+    weighting: str,
+    weight_exponent: float,
+) -> ExactRestraints:
+    """(L, L) masked target (zero where no restraint) -> the two-tensor
+    ExactRestraints form at (L_pad, L_pad), weights computed on device.
+
+    Drop-in for `exact_restraints_from_numpy(r.padded(L_pad), ...)` when the
+    caller has proven exactness: same weighting semantics, one upload and
+    ~L_pad^2 * 4 host bytes touched instead of ~10 float64 host passes.
+    (f32 weight math; the f64 host path differs by ~1e-7 relative — below
+    the solver's own f32 resolution. tests/test_device_prep.py pins it.)"""
+    t = jnp.asarray(pad_f32(target, L_pad))
+    return _tiles_from_target_prog(weighting)(t, jnp.float32(weight_exponent))
+
+
+@functools.lru_cache(maxsize=16)
+def _tiles_from_if_prog(separation: int, weighting: str):
+    @jax.jit
+    def prog(if_padded, n_true, alpha, kscaling, p):
+        L_pad = if_padded.shape[0]
+        # IF2dist_new (chromosome3D.pl:110-162): d = K * mean(IF^a) / IF^a.
+        # The mean is over ALL n_true^2 cells of the true matrix; padding
+        # cells are 0 and 0^a == 0, so the padded sum equals the true sum.
+        x = jnp.power(if_padded, alpha)
+        mean = jnp.sum(x, dtype=jnp.float32) / (n_true * n_true)
+        d = jnp.where(x > 0.0, kscaling * mean / jnp.maximum(x, 1e-30), 0.0)
+        # the %.1f .dist-file quantization (restraints.quantize_dist);
+        # round-half-even like np.round, in f32. The final /10 must be the
+        # CORRECTLY-ROUNDED f32 quotient to match the host's
+        # f32(round(d*10)/10 in f64) bit-for-bit, but XLA strength-reduces
+        # x/10 to x*(1/10) (one ulp off for e.g. 149/10). A compensated
+        # two-term product k*hi + k*lo with hi = f32(0.1),
+        # lo = f32(0.1 - f64(f32(0.1))) recovers the correctly-rounded
+        # quotient — verified exhaustively for k in [0, 2e6]
+        # (tests/test_device_prep.py).
+        k = jnp.round(d * 10.0)
+        q = k * jnp.float32(0.1) + k * jnp.float32(0.1 - float(np.float32(0.1)))
+        i = jax.lax.broadcasted_iota(jnp.int32, (L_pad, L_pad), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (L_pad, L_pad), 1)
+        n = n_true.astype(jnp.int32)
+        mask = (
+            (jnp.abs(i - j) >= separation)
+            & (q > 0.0)
+            & (i < n)
+            & (j < n)
+        )
+        t = jnp.where(mask, q, 0.0)
+        return ExactRestraints(target=t, w=_weights_from_target(t, p, weighting))
+
+    return prog
+
+
+def exact_tiles_from_if_device(
+    if_matrix: np.ndarray,
+    L_pad: int,
+    rc,
+    weighting: str,
+    weight_exponent: float,
+) -> ExactRestraints:
+    """Full L3 restraint generation on device: (L, L) IF matrix ->
+    ExactRestraints at (L_pad, L_pad). Mirrors if_to_dist + quantize_dist +
+    dist_to_restraints for the pipeline's own (always-exact) restraints;
+    alpha/K/p are device scalars, so alpha-ensemble sweeps reuse the
+    compiled program. Static keys: (L_pad, separation, weighting) only."""
+    prog = _tiles_from_if_prog(int(rc.separation), weighting)
+    return prog(
+        jnp.asarray(pad_f32(if_matrix, L_pad)),
+        jnp.float32(if_matrix.shape[0]),
+        jnp.float32(rc.alpha),
+        jnp.float32(rc.kscaling),
+        jnp.float32(weight_exponent),
+    )

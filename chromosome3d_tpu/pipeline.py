@@ -129,7 +129,7 @@ _SHARDED_PROGRAMS: dict = {}
 
 
 def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
-                   or_groups_np=None, conf=None):
+                   or_groups_np=None, conf=None, device_prep: bool = False):
     """Sequence-parallel ensemble solve over ALL devices (`beads` mesh axis):
     the product-surface entry to solver.sharded.solve_ensemble_sharded for
     chromosomes beyond the largest bucket. Pads to a multiple of
@@ -153,7 +153,13 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
     nb = len(devices)
     L = restraints.length
     L_pad = quantum_bucket(L, cfg.shard_quantum, multiple=nb)
-    dense, _ = _padded_dense(restraints, rc, L_pad, exact=_exact_provable(cfg))
+    # device_prep: matrix-derived restraints (quantized targets are >= 0.1
+    # wherever a restraint exists) build their exact-form tiles ON device —
+    # ops.device_prep; external restraint files keep the host route (a
+    # pathological exact row with target 0 would be dropped by the t > 0
+    # mask recovery)
+    dense, _ = _padded_dense(restraints, rc, L_pad,
+                             exact=_exact_provable(cfg), device=device_prep)
     if conf is not None:
         from chromosome3d_tpu.ops.energy import ExactRestraints
 
@@ -214,7 +220,8 @@ def _exact_provable(cfg: PipelineConfig) -> bool:
     return cfg.anneal.exact_restraints and cfg.anneal.noe_rswitch >= 1e8
 
 
-def _padded_dense(restraints, rc, L_pad: int, exact: bool = False):
+def _padded_dense(restraints, rc, L_pad: int, exact: bool = False,
+                  device: bool = False):
     """Device tensors padded to L_pad. The weight exponent and the mean-1
     normalization both come from the TRUE length (padding is masked), so the
     padded solve is numerically identical to the exact-L solve.
@@ -222,12 +229,27 @@ def _padded_dense(restraints, rc, L_pad: int, exact: bool = False):
     exact=True (callers pass _exact_provable(cfg)) builds the two-tensor
     ExactRestraints form: half the upload, half the live restraint HBM —
     the at-scale single-chip memory ceiling is set by live (L, L) tensor
-    count, so this is what buys the larger-L headroom."""
+    count, so this is what buys the larger-L headroom.
+
+    device=True (at-scale callers: L_pad beyond every length bucket) moves
+    the exact-form padding + weight construction onto the accelerator
+    (ops.device_prep): one f32 upload and one jitted program instead of ~10
+    float64 host passes — on this single-vCPU host the numpy route costs
+    minutes at L >= 8192 while the device program is milliseconds. Weight
+    math is f32 there (vs f64 host), ~1e-7 relative — below the solver's
+    own f32 resolution; reference-scale bucket solves keep the host route
+    so golden-number comparisons stay bit-stable."""
     p = rc.weight_exponent
     if p is None:
         from chromosome3d_tpu.ops.energy import auto_weight_exponent
 
         p = auto_weight_exponent(restraints.length)
+    if exact and device:
+        from chromosome3d_tpu.ops.device_prep import exact_tiles_from_target_device
+
+        return exact_tiles_from_target_device(
+            restraints.target, L_pad, rc.weighting, p
+        ), p
     builder = exact_restraints_from_numpy if exact else dense_restraints_from_numpy
     return builder(restraints.padded(L_pad), rc.weighting, p), p
 
@@ -349,10 +371,14 @@ def run_pipeline(
     def do_solve(restr_np, rc_x, k):
         if sharded:
             res, _ = _sharded_solve(restr_np, rc_x, cfg_solve, k,
-                                    cfg_solve.model_count)
+                                    cfg_solve.model_count, device_prep=True)
             return res
         dense_x, _ = _padded_dense(
-            restr_np, rc_x, L_pad, exact=_exact_provable(cfg_solve)
+            restr_np, rc_x, L_pad, exact=_exact_provable(cfg_solve),
+            # beyond-bucket single-chip solves (shard_quantum padding) build
+            # their tiles on device; bucket-size solves keep the f64 host
+            # route (golden-number bit stability, and prep there is ~ms)
+            device=L_pad > max(cfg_solve.length_buckets),
         )
         return _aot_solve(dense_x, cfg_solve.anneal, k, cfg_solve.model_count, bm)
 

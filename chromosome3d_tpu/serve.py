@@ -126,13 +126,33 @@ class SolverCache:
             # cache + the AOT executable cache inside _sharded_solve).
             # Record the ACTUAL padded length the program compiled at
             # (lcm(quantum, devices) — not the plain quantum bucket).
-            result, L_warm = _sharded_solve(r, rc, cfg, key, cfg.model_count)
+            result, L_warm = _sharded_solve(r, rc, cfg, key, cfg.model_count,
+                                            device_prep=True)
         else:
             L_pad = self.bucket_for(L)
             p = rc.weight_exponent
             if p is None:
                 p = auto_weight_exponent(L)
-            dense = dense_restraints_from_numpy(r.padded(L_pad), rc.weighting, p)
+            if (
+                cfg.anneal.exact_restraints
+                and cfg.anneal.noe_rswitch >= 1e8
+                and L_pad > max(cfg.length_buckets)
+            ):
+                # beyond-bucket single-device request: two-tensor exact form
+                # built ON device (matrix-derived targets are >= 0.1 on the
+                # mask) — half the live restraint HBM, and the host never
+                # pays the float64 O(L^2) prep passes (ops.device_prep)
+                from chromosome3d_tpu.ops.device_prep import (
+                    exact_tiles_from_target_device,
+                )
+
+                dense = exact_tiles_from_target_device(
+                    r.target, L_pad, rc.weighting, p
+                )
+            else:
+                dense = dense_restraints_from_numpy(
+                    r.padded(L_pad), rc.weighting, p
+                )
             bead = jnp.asarray(
                 np.pad(np.ones(L, np.float32), (0, L_pad - L)), jnp.float32
             )

@@ -34,6 +34,24 @@ def synthetic_matrix(L, seed=0):
     return m
 
 
+def synthetic_matrix_device(L, seed=0):
+    """Same statistics, generated ON device: at L >= 16384 the host RNG +
+    O(L^2) numpy passes cost minutes on this single-vCPU box while the
+    device program is milliseconds (see ops/device_prep.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        base = jax.random.gamma(key, 2.0, (L, L), jnp.float32) * 50.0
+        m = (base + base.T) / 2
+        i = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        return jnp.where(i == j, 5000.0, m)
+
+    return gen(jax.random.PRNGKey(seed))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="512,1024,2048")
@@ -47,6 +65,13 @@ def main():
                     help="force the four-tensor DenseRestraints form "
                          "(default: the two-tensor ExactRestraints form, "
                          "which halves live restraint HBM at scale)")
+    ap.add_argument("--host-prep", action="store_true",
+                    help="build the synthetic matrix and restraint tiles on "
+                         "the HOST (the reference-semantics f64 route) "
+                         "instead of on device; minutes-per-case at "
+                         "L >= 8192 on a single-vCPU box")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 restraint tiles (AnnealConfig.pair_bf16)")
     args = ap.parse_args()
 
     if args.devices:
@@ -75,6 +100,7 @@ def main():
     cfg = turbo_anneal(AnnealConfig(
         use_pallas=(platform == "tpu" and not args.sharded),
         exact_restraints=True,
+        pair_bf16=args.bf16,
     ))
     rc = RestraintConfig()
 
@@ -84,7 +110,19 @@ def main():
     )
     results = []
     for L in [int(s) for s in args.sizes.split(",")]:
-        dense = builder(build_restraints(synthetic_matrix(L), rc))
+        t_prep = time.time()
+        if args.host_prep or args.dense_form:
+            dense = builder(build_restraints(synthetic_matrix(L), rc))
+        else:
+            from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_device
+            from chromosome3d_tpu.ops.energy import auto_weight_exponent
+
+            dense = exact_tiles_from_if_device(
+                synthetic_matrix_device(L), L, rc, rc.weighting,
+                rc.weight_exponent or auto_weight_exponent(L),
+            )
+            np.asarray(dense.w[:1, :1])  # fence: include prep execution
+        prep_s = time.time() - t_prep
         t0 = time.time()
         if args.sharded:
             # the full at-scale program: row-sharded landmark init +
@@ -116,6 +154,7 @@ def main():
             "L": L,
             "structures": n_struct,
             "steps": cfg.total_steps,
+            "prep_s": round(prep_s, 3),
             "compile_s": round(compile_s, 1),
             "solve_s": round(wall, 3),
             "steps_per_sec": round(cfg.total_steps / wall, 1),

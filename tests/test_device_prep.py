@@ -1,0 +1,133 @@
+"""ops.device_prep: at-scale restraint prep on the accelerator must match
+the reference-semantics host route (restraints.py + ops.energy builders) —
+target tiles exactly (up to f32-vs-f64 quantization ties), weights to f32
+resolution. Ref semantics: chromosome3D.pl:110-206 (IF2dist_new + dist2rr)."""
+
+import numpy as np
+import pytest
+
+from chromosome3d_tpu.config import RestraintConfig
+from chromosome3d_tpu.ops.device_prep import (
+    exact_tiles_from_if_device,
+    exact_tiles_from_target_device,
+    pad_f32,
+)
+from chromosome3d_tpu.ops.energy import (
+    auto_weight_exponent,
+    exact_restraints_from_numpy,
+)
+from chromosome3d_tpu.restraints import build_restraints
+
+
+def _matrix(L, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    # a few zero cells: IF == 0 must yield no restraint on both routes
+    m[3, 40] = m[40, 3] = 0.0
+    return m
+
+
+@pytest.mark.parametrize("weighting", ["relative", "absolute"])
+def test_tiles_from_target_match_host(weighting):
+    rc = RestraintConfig()
+    r = build_restraints(_matrix(96), rc)
+    p = auto_weight_exponent(r.length)
+    host = exact_restraints_from_numpy(r.padded(128), weighting, p)
+    dev = exact_tiles_from_target_device(r.target, 128, weighting, p)
+    np.testing.assert_array_equal(np.asarray(dev.target), np.asarray(host.target))
+    np.testing.assert_allclose(
+        np.asarray(dev.w), np.asarray(host.w), rtol=3e-6, atol=1e-8
+    )
+
+
+def test_tiles_from_if_match_host():
+    rc = RestraintConfig()
+    m = _matrix(150)
+    r = build_restraints(m, rc)
+    p = auto_weight_exponent(150)
+    host = exact_restraints_from_numpy(r.padded(192), rc.weighting, p)
+    dev = exact_tiles_from_if_device(m, 192, rc, rc.weighting, p)
+    t_h = np.asarray(host.target)
+    t_d = np.asarray(dev.target)
+    # the %.1f quantization runs in f32 on device vs f64 on host: cells may
+    # differ ONLY where d*10 sits within f32 resolution of a .5 midpoint —
+    # bounded by one quantization step, and vanishingly rare
+    diff = t_d != t_h
+    assert diff.mean() < 1e-3, f"{diff.sum()} quantization mismatches"
+    assert np.abs(t_d - t_h).max() <= 0.1 + 1e-5
+    # masks must agree wherever targets agree (and everywhere in padding)
+    assert not np.logical_xor(t_d > 0, t_h > 0)[~diff].any()
+    assert not t_d[150:, :].any() and not t_d[:, 150:].any()
+    w_h, w_d = np.asarray(host.w), np.asarray(dev.w)
+    same = ~diff
+    np.testing.assert_allclose(w_d[same], w_h[same], rtol=1e-4, atol=1e-8)
+
+
+def test_compensated_decimal_divide_exhaustive():
+    """The device quantization's two-term k*hi + k*lo product must equal the
+    CORRECTLY-ROUNDED f32 quotient k/10 (XLA strength-reduces a literal /10
+    to a reciprocal multiply, one ulp off). Exhaustive over the full target
+    range the product can produce (k = round(d*10) <= 2e6)."""
+    import jax
+    import jax.numpy as jnp
+
+    hi = np.float32(0.1)
+    lo = np.float32(0.1 - float(np.float32(0.1)))
+    comp = jax.jit(lambda k: k * hi + k * lo)
+    k = np.arange(0, 2_000_001, dtype=np.float32)
+    want = (k.astype(np.float64) / 10.0).astype(np.float32)
+    got = np.asarray(comp(jnp.asarray(k)))
+    assert (got == want).all()
+
+
+def test_pad_f32_passthrough_and_pad():
+    import jax.numpy as jnp
+
+    a = np.arange(9, dtype=np.float64).reshape(3, 3)
+    out = pad_f32(a, 5)
+    assert out.shape == (5, 5) and out.dtype == np.float32
+    assert (out[:3, :3] == a).all() and not out[3:, :].any()
+    j = jnp.ones((4, 4), jnp.float32)
+    assert pad_f32(j, 4) is j  # device arrays pass through, no host trip
+
+
+def test_padded_dense_device_route_matches_host():
+    from chromosome3d_tpu.pipeline import _padded_dense
+
+    rc = RestraintConfig()
+    r = build_restraints(_matrix(70), rc)
+    host, p_h = _padded_dense(r, rc, 128, exact=True, device=False)
+    dev, p_d = _padded_dense(r, rc, 128, exact=True, device=True)
+    assert p_h == p_d
+    np.testing.assert_array_equal(np.asarray(dev.target), np.asarray(host.target))
+    np.testing.assert_allclose(
+        np.asarray(dev.w), np.asarray(host.w), rtol=3e-6, atol=1e-8
+    )
+
+
+def test_device_prep_solve_equivalence():
+    """A short anneal from device-prepped tiles must match the host-prepped
+    solve to solver-f32 resolution (same program, same seed)."""
+    import jax
+
+    from chromosome3d_tpu.config import AnnealConfig, fast_anneal
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+
+    rc = RestraintConfig()
+    m = _matrix(64)
+    r = build_restraints(m, rc)
+    p = auto_weight_exponent(64)
+    cfg = fast_anneal(AnnealConfig(use_pallas=False, exact_restraints=True))
+    key = jax.random.PRNGKey(7)
+    host = solve_ensemble(
+        exact_restraints_from_numpy(r, rc.weighting, p), cfg, key, 2
+    )
+    dev = solve_ensemble(
+        exact_tiles_from_target_device(r.target, 64, rc.weighting, p),
+        cfg, key, 2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dev.coords), np.asarray(host.coords), rtol=2e-4, atol=2e-4
+    )

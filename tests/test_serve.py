@@ -232,6 +232,48 @@ def test_restraint_file_oversized_L_rejected(server, tmp_path):
     assert resp["ok"], resp
 
 
+def test_beyond_bucket_single_device_uses_device_prep(tmp_path, monkeypatch):
+    """A beyond-bucket matrix request on ONE device must route through the
+    device-side exact-tile prep (ops.device_prep) — not the float64 host
+    passes — and still produce a full-length result (round-4: host prep is
+    minutes at scale on a single-vCPU box, the device program milliseconds)."""
+    import numpy as np
+
+    import chromosome3d_tpu.ops.device_prep as dp
+    import chromosome3d_tpu.pipeline as pl
+    from chromosome3d_tpu.serve import SolverCache
+
+    cfg = PipelineConfig(
+        model_count=2,
+        anneal=fast_anneal(AnnealConfig(use_pallas=False)),
+        length_buckets=(16, 24),
+        shard_large=True,
+        shard_quantum=16,
+    )
+    cache = SolverCache(cfg)
+    # force the single-device at-scale branch despite the 8 fake devices
+    monkeypatch.setattr(pl, "_use_sharded", lambda L, c: False)
+    calls = []
+    real = dp.exact_tiles_from_target_device
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dp, "exact_tiles_from_target_device", spy)
+
+    rng = np.random.RandomState(0)
+    L = 40  # beyond every bucket -> quantum_bucket(40, 16) = 48
+    m = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (m + m.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    coords, energies, r = cache.solve(m, cfg)
+    assert len(calls) == 1, "device-side exact prep was not used"
+    assert calls[0][1] == 48  # the quantum bucket, not a length bucket
+    assert coords.shape == (2, L, 3) and np.isfinite(coords).all()
+    assert cache.warm_snapshot()[0][0] == 48
+
+
 def test_queue_depth_cap():
     """Requests beyond MAX_QUEUE in-flight solves are rejected immediately
     (no thread needed: preload the busy counter and call the handler)."""
