@@ -96,9 +96,12 @@ def main():
     from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
 
     platform = jax.devices()[0].platform
-    # build_restraints always yields exact restraints -> fast kernel is valid
+    # build_restraints always yields exact restraints -> fast kernel is valid.
+    # use_pallas also drives the SHARDED path since round 4: the shard body
+    # gates on resolve_use_pallas(cfg) and runs the strip-triangular pair
+    # kernel + fused update companion (solver/sharded.py:264-283).
     cfg = turbo_anneal(AnnealConfig(
-        use_pallas=(platform == "tpu" and not args.sharded),
+        use_pallas=(platform == "tpu"),
         exact_restraints=True,
         pair_bf16=args.bf16,
     ))

@@ -55,6 +55,7 @@ SLOW_TESTS = {
     "test_genome_sharded_2d_matches_1d",
     "test_sharded_ensemble_pallas_matches_jnp",
     "test_sharded_ensemble_fused_matches_single_chip",
+    "test_sharded_ensemble_fused_single_device_degenerate",
     "test_sharded_ensemble_fused_rowblock_fallback",
     "test_sharded_ensemble_matches_dense_landmark",
     "test_sharded_solve_matches_single",

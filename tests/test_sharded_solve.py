@@ -199,6 +199,38 @@ def test_sharded_ensemble_fused_matches_single_chip():
         )
 
 
+def test_sharded_ensemble_fused_single_device_degenerate():
+    """The n_dev=1 degenerate of the fused sharded path — EXACTLY the shape
+    the real chip benchmarks (one physical device) — must reproduce the
+    single-chip fused solve. L=48 makes strip-tri feasible at TM=16 (3
+    tiles), so this exercises the strip-triangular kernel with the whole
+    round-robin pairing on one shard."""
+    import dataclasses
+
+    from chromosome3d_tpu.ops.pallas_energy import strip_tri_feasible
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+
+    L = 48
+    assert strip_tri_feasible(L, 1)
+    dense = make_case(L)
+    cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig()), init="landmark", landmark_count=16,
+        use_pallas=True, exact_restraints=True, fuse_update=True,
+    )
+    key = jax.random.PRNGKey(13)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("beads",))
+    s = jax.jit(lambda d, k: solve_ensemble_sharded(mesh, d, cfg, k, 2))(dense, key)
+    p = jax.jit(lambda d, k: solve_ensemble_impl(d, cfg, k, 2))(dense, key)
+    np.testing.assert_allclose(
+        np.asarray(s.coords), np.asarray(p.coords), atol=5e-3
+    )
+    for k2 in ("noe", "bon", "vdw", "overall"):
+        np.testing.assert_allclose(
+            np.asarray(s.energies[k2]), np.asarray(p.energies[k2]), rtol=2e-3
+        )
+
+
 def test_sharded_ensemble_fused_rowblock_fallback(monkeypatch):
     """When strip-tri tiling is infeasible the fused sharded path keeps the
     row-block pair kernel but still runs the fused update companion; the
