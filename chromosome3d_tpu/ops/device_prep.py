@@ -75,7 +75,10 @@ def _weights_from_target(t, p, weighting: str):
 
 @functools.lru_cache(maxsize=16)
 def _tiles_from_target_prog(weighting: str):
-    @jax.jit
+    # donate t: the output target IS the input (zero-copy aliasing) — at the
+    # ceiling sizes every live (L, L) buffer counts (callers never reuse the
+    # uploaded array)
+    @functools.partial(jax.jit, donate_argnums=0)
     def prog(t, p):
         return ExactRestraints(target=t, w=_weights_from_target(t, p, weighting))
 
@@ -102,7 +105,10 @@ def exact_tiles_from_target_device(
 
 @functools.lru_cache(maxsize=16)
 def _tiles_from_if_prog(separation: int, weighting: str):
-    @jax.jit
+    # donate the IF matrix: XLA reuses its buffer for an output tile, so the
+    # prep peak is ~3 live (L, L) tensors instead of 4 — this is what decides
+    # the single-chip ceiling L (callers never reuse the uploaded matrix)
+    @functools.partial(jax.jit, donate_argnums=0)
     def prog(if_padded, n_true, alpha, kscaling, p):
         L_pad = if_padded.shape[0]
         # IF2dist_new (chromosome3D.pl:110-162): d = K * mean(IF^a) / IF^a.
