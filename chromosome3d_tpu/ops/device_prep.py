@@ -90,6 +90,7 @@ def exact_tiles_from_target_device(
     L_pad: int,
     weighting: str,
     weight_exponent: float,
+    sharding=None,
 ) -> ExactRestraints:
     """(L, L) masked target (zero where no restraint) -> the two-tensor
     ExactRestraints form at (L_pad, L_pad), weights computed on device.
@@ -98,8 +99,17 @@ def exact_tiles_from_target_device(
     caller has proven exactness: same weighting semantics, one upload and
     ~L_pad^2 * 4 host bytes touched instead of ~10 float64 host passes.
     (f32 weight math; the f64 host path differs by ~1e-7 relative — below
-    the solver's own f32 resolution. tests/test_device_prep.py pins it.)"""
-    t = jnp.asarray(pad_f32(target, L_pad))
+    the solver's own f32 resolution. tests/test_device_prep.py pins it.)
+
+    sharding: optional jax.sharding.NamedSharding (row spec, e.g.
+    P("beads", None)) — the padded upload goes straight to its per-device
+    row slices and the tiles are BORN distributed (GSPMD propagates the row
+    sharding through the program; the relative-weighting mean is one
+    all-reduce). Without this, a multi-chip caller would materialize the
+    whole (L, L) on one device before shard_map redistributes — the exact
+    failure mode the sharded solver exists to avoid."""
+    t = pad_f32(target, L_pad)
+    t = jnp.asarray(t) if sharding is None else jax.device_put(t, sharding)
     return _tiles_from_target_prog(weighting)(t, jnp.float32(weight_exponent))
 
 

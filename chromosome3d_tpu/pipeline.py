@@ -155,11 +155,29 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
     L_pad = quantum_bucket(L, cfg.shard_quantum, multiple=nb)
     # device_prep: matrix-derived restraints (quantized targets are >= 0.1
     # wherever a restraint exists) build their exact-form tiles ON device —
-    # ops.device_prep; external restraint files keep the host route (a
-    # pathological exact row with target 0 would be dropped by the t > 0
-    # mask recovery)
-    dense, _ = _padded_dense(restraints, rc, L_pad,
-                             exact=_exact_provable(cfg), device=device_prep)
+    # ops.device_prep, with the upload ROW-SHARDED over the beads mesh so
+    # the (L, L) tiles are born distributed (never whole on one device);
+    # external restraint files keep the host route (a pathological exact
+    # row with target 0 would be dropped by the t > 0 mask recovery)
+    exact = _exact_provable(cfg)
+    if device_prep and exact:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from chromosome3d_tpu.ops.device_prep import exact_tiles_from_target_device
+
+        p = rc.weight_exponent
+        if p is None:
+            from chromosome3d_tpu.ops.energy import auto_weight_exponent
+
+            p = auto_weight_exponent(L)
+        row_sh = NamedSharding(
+            Mesh(np.asarray(devices), ("beads",)), P("beads", None)
+        )
+        dense = exact_tiles_from_target_device(
+            restraints.target, L_pad, rc.weighting, p, sharding=row_sh
+        )
+    else:
+        dense, _ = _padded_dense(restraints, rc, L_pad, exact=exact)
     if conf is not None:
         from chromosome3d_tpu.ops.energy import ExactRestraints
 

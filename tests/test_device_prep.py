@@ -107,6 +107,35 @@ def test_padded_dense_device_route_matches_host():
     )
 
 
+def test_tiles_born_row_sharded():
+    """With a row sharding passed, the tiles must (a) equal the host route
+    and (b) actually carry the row sharding — at real multi-chip scale the
+    (L, L) must never materialize whole on one device (the upload goes
+    straight to per-device row slices; GSPMD propagates through the prep
+    program; the relative-weight mean is one all-reduce)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rc = RestraintConfig()
+    r = build_restraints(_matrix(96), rc)
+    p = auto_weight_exponent(96)
+    host = exact_restraints_from_numpy(r.padded(128), rc.weighting, p)
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    row_sh = NamedSharding(mesh, P("beads", None))
+    dev = exact_tiles_from_target_device(r.target, 128, rc.weighting, p,
+                                         sharding=row_sh)
+    np.testing.assert_array_equal(np.asarray(dev.target), np.asarray(host.target))
+    np.testing.assert_allclose(
+        np.asarray(dev.w), np.asarray(host.w), rtol=3e-6, atol=1e-8
+    )
+    # every shard holds only its 128/8 = 16 rows
+    for arr in (dev.target, dev.w):
+        shard_shapes = {s.data.shape for s in arr.addressable_shards}
+        assert shard_shapes == {(128 // len(jax.devices()), 128)}, (
+            arr.sharding, shard_shapes
+        )
+
+
 def test_device_prep_solve_equivalence():
     """A short anneal from device-prepped tiles must match the host-prepped
     solve to solver-f32 resolution (same program, same seed)."""
