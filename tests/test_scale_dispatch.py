@@ -289,6 +289,39 @@ def test_restraints_pipeline_or_groups_dispatch_sharded(tmp_path, monkeypatch):
     assert (tmp_path / "out" / "big_groups_model1.pdb").exists()
 
 
+def test_restraints_pipeline_never_device_preps(tmp_path, monkeypatch):
+    """External restraint files must keep the HOST prep route even at scale:
+    device prep recovers the restraint mask as target > 0, and an external
+    exact row with target 0 (legal in a CNS tbl) would silently vanish.
+    run_restraints_pipeline therefore never passes device_prep=True."""
+    import chromosome3d_tpu.ops.device_prep as dp
+    import chromosome3d_tpu.pipeline as pl
+
+    L = 48
+    lines = [
+        f"assign (resid {i:3d} and name ca) (resid {i + 1:3d} and name ca)"
+        f"  3.80 0.00 0.00"
+        for i in range(1, L)
+    ]
+    tbl = tmp_path / "big_plain.tbl"
+    tbl.write_text("\n".join(lines) + "\n")
+
+    calls = []
+    real = dp.exact_tiles_from_target_device
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dp, "exact_tiles_from_target_device", spy)
+    summary = pl.run_restraints_pipeline(
+        str(tbl), str(tmp_path / "out_np"), scale_cfg()
+    )
+    assert not calls, "external restraint file took the device-prep route"
+    assert summary["L_solved"] % len(__import__("jax").devices()) == 0
+    assert (tmp_path / "out_np" / "big_plain_model1.pdb").exists()
+
+
 def test_restraints_pipeline_conf_rr_dispatch_sharded(tmp_path, monkeypatch):
     """An at-scale .rr with non-unit confidences keeps the sharded path;
     conf folds into the stress weights."""
