@@ -153,6 +153,11 @@ def main():
             coords = np.asarray(res.coords)
             n_struct = coords.shape[0]
         wall = time.time() - t0
+        try:  # HBM evidence for the restraint-form memory claim (VERDICT #2)
+            stats = jax.devices()[0].memory_stats() or {}
+            peak_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+        except Exception:
+            peak_gb = None
         row = {
             "L": L,
             "structures": n_struct,
@@ -165,6 +170,7 @@ def main():
             "devices": len(jax.devices()),
             "sharded": args.sharded,
             "form": "dense" if args.dense_form else "exact2",
+            "peak_hbm_gb": peak_gb,
         }
         results.append(row)
         print(json.dumps(row), flush=True)
