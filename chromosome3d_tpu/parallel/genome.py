@@ -98,14 +98,21 @@ def bucket_jobs(
 
 
 def _stack_bucket(
-    jobs: Sequence[GenomeJob], L_pad: int, cfg: PipelineConfig
+    jobs: Sequence[GenomeJob], L_pad: int, cfg: PipelineConfig,
+    as_numpy: bool = False,
 ) -> tuple[DenseRestraints, jnp.ndarray, List[np.ndarray], List]:
     """Load + pad one bucket: (B, L, L) dense tensors, (B, L) bead masks,
     the raw IF matrices, and the unpadded Restraints (for assessment).
 
     NOTE: the per-chromosome weight normalization (mean-1 over the real
     restraints) happens BEFORE padding, so the padded batch is numerically
-    identical to solving each chromosome alone."""
+    identical to solving each chromosome alone.
+
+    as_numpy=True keeps the stacked tensors HOST-side (numpy): at-scale
+    buckets hand them to solve_bucket_sharded, which device_puts each
+    tensor straight to its per-device (chrom x beads) slices — the batch
+    is born distributed instead of materializing whole on one device (the
+    single-device HBM ceiling the 2-D mesh exists to break)."""
     rc = cfg.restraints
     masks, matrices, raw = [], [], []
     for job in jobs:
@@ -136,10 +143,11 @@ def _stack_bucket(
     # stack on the HOST, upload once per tensor: 2 (exact) or 4 device
     # transfers for the whole bucket instead of one set per chromosome
     # (each transfer is a tunnel round-trip)
+    wrap = (lambda a: a) if as_numpy else jnp.asarray
     batched = type(denses[0])(
-        *(jnp.asarray(np.stack(ts)) for ts in zip(*denses))
+        *(wrap(np.stack(ts)) for ts in zip(*denses))
     )
-    return batched, jnp.asarray(np.stack(masks)), matrices, raw
+    return batched, wrap(np.stack(masks)), matrices, raw
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = "chrom") -> Mesh:
@@ -287,7 +295,12 @@ def solve_bucket_sharded(
 
     Pads the batch up to a chrom-axis multiple with copies of entry 0 and L
     up to a beads-axis multiple (masked); both are stripped before return.
-    """
+
+    Host-numpy batched tensors (run_genome's at-scale buckets pass
+    _stack_bucket(as_numpy=True)) are padded on the host and device_put
+    STRAIGHT to their (chrom, beads) per-device row slices — each (B, L, L)
+    tensor is born distributed, never whole on one device. Device-array
+    inputs take the same device_put (an on-device reshard)."""
     devices = list(devices if devices is not None else jax.devices())
     B, L = batched.lo.shape[0], batched.lo.shape[1]
     n_dev = len(devices)
@@ -295,23 +308,34 @@ def solve_bucket_sharded(
     B_pad = -(-B // nc) * nc
     L_pad = -(-L // nb) * nb
     padr = L_pad - L
+    host = isinstance(batched[0], np.ndarray)
+    xp = np if host else jnp
 
     def pad_mat(a):
-        a = jnp.pad(a, ((0, 0), (0, padr), (0, padr)))
+        a = xp.pad(a, ((0, 0), (0, padr), (0, padr)))
         if B_pad > B:
-            a = jnp.concatenate([a, jnp.repeat(a[:1], B_pad - B, axis=0)])
+            a = xp.concatenate([a, xp.repeat(a[:1], B_pad - B, axis=0)])
         return a
 
-    batched_p = type(batched)(*(pad_mat(t) for t in batched))
-    masks_p = jnp.pad(bead_masks, ((0, 0), (0, padr)))
-    if B_pad > B:
-        masks_p = jnp.concatenate(
-            [masks_p, jnp.repeat(masks_p[:1], B_pad - B, axis=0)]
-        )
-    keys = jax.random.split(
-        jax.random.PRNGKey(cfg.seed if base_seed is None else base_seed), B_pad
-    )
     mesh2 = Mesh(np.asarray(devices).reshape(nc, nb), ("chrom", "beads"))
+    sh_mat = NamedSharding(mesh2, P("chrom", "beads", None))
+    sh_row = NamedSharding(mesh2, P("chrom", None))
+    batched_p = type(batched)(
+        *(jax.device_put(pad_mat(t), sh_mat) for t in batched)
+    )
+    masks_p = xp.pad(bead_masks, ((0, 0), (0, padr)))
+    if B_pad > B:
+        masks_p = xp.concatenate(
+            [masks_p, xp.repeat(masks_p[:1], B_pad - B, axis=0)]
+        )
+    masks_p = jax.device_put(masks_p, sh_row)
+    keys = jax.device_put(
+        jax.random.split(
+            jax.random.PRNGKey(cfg.seed if base_seed is None else base_seed),
+            B_pad,
+        ),
+        sh_row,
+    )
     log.info(
         f"at-scale bucket: {B} chromosomes (L_pad={L_pad}) on a "
         f"{nc} chrom x {nb} beads mesh"
@@ -396,7 +420,9 @@ def run_genome(
             f"({', '.join(j.name for j in bucket)}) on {mesh.devices.size} devices"
             + (" [at-scale: row-sharded]" if large else "")
         )
-        batched, bead_masks, matrices, raw = _stack_bucket(bucket, L_pad, cfg)
+        batched, bead_masks, matrices, raw = _stack_bucket(
+            bucket, L_pad, cfg, as_numpy=large
+        )
         # pipeline-generated restraints are always exact; use the fast kernel
         from chromosome3d_tpu.pipeline import auto_exact
 
@@ -415,7 +441,9 @@ def run_genome(
                 continue
             rc_x = dataclasses.replace(cfg.restraints, alpha=extra_alpha)
             cfg_x = cfg.replace(restraints=rc_x)
-            batched_x, masks_x, _, raw_x = _stack_bucket(bucket, L_pad, cfg_x)
+            batched_x, masks_x, _, raw_x = _stack_bucket(
+                bucket, L_pad, cfg_x, as_numpy=large
+            )
             cfg_bx = cfg_x
             if all(not r.negdev.any() and not r.posdev.any() for r in raw_x):
                 cfg_bx = auto_exact(cfg_x, raw_x[0])

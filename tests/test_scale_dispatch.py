@@ -347,3 +347,58 @@ def test_restraints_pipeline_conf_rr_dispatch_sharded(tmp_path, monkeypatch):
     )
     assert calls and calls[0]["conf"], "conf rr did not take the sharded path"
     assert summary["restraints"] == L
+
+
+def test_at_scale_bucket_tiles_born_distributed(monkeypatch):
+    """The at-scale genome bucket's (B, L, L) tensors must reach the 2-D
+    mesh program DISTRIBUTED (device_put to per-device (chrom, beads) row
+    slices), never materialized whole on one device — the single-device
+    HBM ceiling the sharded bucket exists to break (ROADMAP round-4 #3)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import chromosome3d_tpu.parallel.genome as gn
+    import chromosome3d_tpu.utils.aot as aot
+    from chromosome3d_tpu.ops.energy import dense_restraints_from_numpy
+    from chromosome3d_tpu.restraints import build_restraints
+
+    cfg = scale_cfg()
+    m = structured_matrix(96, seed=7)
+    r = build_restraints(m, cfg.restraints)
+    dense = dense_restraints_from_numpy(
+        r, cfg.restraints.weighting, as_numpy=True
+    )
+    # host-numpy batch: what _stack_bucket(as_numpy=True) hands over
+    batched = type(dense)(*(np.asarray(t)[None] for t in dense))
+    assert isinstance(batched[0], np.ndarray)
+    masks = np.ones((1, 96), np.float32)
+
+    captured = {}
+    real = aot.load_or_compile
+
+    def spy(fn, args, **kw):
+        captured["args"] = args
+        return real(fn, args, **kw)
+
+    monkeypatch.setattr(aot, "load_or_compile", spy)
+    res = gn.solve_bucket_sharded(batched, masks, cfg)
+    assert res.coords.shape == (1, 2, 96, 3)
+    assert bool(np.isfinite(np.asarray(res.coords)).all())
+
+    bp, keys, mp = captured["args"]
+    n_dev = len(jax.devices())
+    nc, nb = gn.large_mesh_layout(1, n_dev)
+    for t in bp:
+        sh = t.sharding
+        assert isinstance(sh, NamedSharding)
+        assert sh.spec == P("chrom", "beads", None)
+        assert dict(zip(sh.mesh.axis_names, sh.mesh.devices.shape)) == {
+            "chrom": nc, "beads": nb,
+        }
+        B_pad, L_pad = t.shape[0], t.shape[1]
+        # every device holds ONLY its row slice of the padded batch
+        assert {s.data.shape for s in t.addressable_shards} == {
+            (B_pad // nc, L_pad // nb, L_pad)
+        }
+    assert mp.sharding.spec == P("chrom", None)
+    assert keys.sharding.spec == P("chrom", None)
