@@ -178,16 +178,7 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
         )
     else:
         dense, _ = _padded_dense(restraints, rc, L_pad, exact=exact)
-    if conf is not None:
-        from chromosome3d_tpu.ops.energy import ExactRestraints
-
-        conf_pad = np.ones((L_pad, L_pad), np.float32)
-        conf_pad[:L, :L] = conf
-        conf_j = jnp.asarray(conf_pad, jnp.float32)
-        if isinstance(dense, ExactRestraints):
-            dense = dense._replace(w=dense.w * conf_j)
-        else:
-            dense = dense._replace(weight=dense.weight * conf_j)
+    dense = _fold_conf(dense, conf)
     og = None
     og_sig = None
     if or_groups_np is not None:
@@ -214,6 +205,31 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
         )
         _SHARDED_PROGRAMS[prog_key] = solve
     return solve(dense, key, bm, og), L_pad
+
+
+def _fold_conf(dense, conf):
+    """Fold per-pair .rr confidence weights into the stress weights.
+
+    Padding rows/cols already carry weight 0 (mask zero), so only the true
+    (L, L) block is touched — no (L_pad, L_pad) host allocation or
+    unsharded upload, which an at-scale path must never pay (CLAUDE.md:
+    a single (L, L) host pass at L = 24576 costs ~50 s on this host, and a
+    whole-tensor upload lands 4·L_pad² bytes on one device)."""
+    if conf is None:
+        return dense
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.ops.energy import ExactRestraints
+
+    attr = "w" if isinstance(dense, ExactRestraints) else "weight"
+    wt = getattr(dense, attr)
+    conf = np.asarray(conf, np.float32)
+    if isinstance(wt, np.ndarray):
+        wt = wt.copy()
+        wt[: conf.shape[0], : conf.shape[1]] *= conf
+    else:
+        wt = wt.at[: conf.shape[0], : conf.shape[1]].multiply(jnp.asarray(conf))
+    return dense._replace(**{attr: wt})
 
 
 def auto_exact(cfg: PipelineConfig, restraints) -> PipelineConfig:
@@ -554,20 +570,7 @@ def run_restraints_pipeline(
         dense, _ = _padded_dense(
             restraints, rc, L_pad, exact=_exact_provable(cfg)
         )
-        if conf is not None:
-            # fold rr confidences into the stress weights
-            import jax.numpy as jnp
-
-            from chromosome3d_tpu.ops.energy import ExactRestraints
-
-            conf_pad = np.ones((L_pad, L_pad), np.float32)
-            conf_pad[:Lr, :Lr] = conf
-            conf_j = jnp.asarray(conf_pad, jnp.float32)
-            if isinstance(dense, ExactRestraints):
-                dense = dense._replace(w=dense.w * conf_j)
-            else:
-                dense = dense._replace(weight=dense.weight * conf_j)
-
+        dense = _fold_conf(dense, conf)
         bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
         or_groups = None
         if or_groups_np is not None:

@@ -115,7 +115,12 @@ class SolverCache:
         L = matrix.shape[0]
         rc = cfg.restraints
         r = build_restraints(matrix, rc)
-        from chromosome3d_tpu.pipeline import _sharded_solve, _use_sharded, auto_exact
+        from chromosome3d_tpu.pipeline import (
+            _exact_provable,
+            _sharded_solve,
+            _use_sharded,
+            auto_exact,
+        )
 
         cfg = auto_exact(cfg, r)  # matrix-derived restraints: fast kernel
         key = jax.random.PRNGKey(cfg.seed)
@@ -133,11 +138,7 @@ class SolverCache:
             p = rc.weight_exponent
             if p is None:
                 p = auto_weight_exponent(L)
-            if (
-                cfg.anneal.exact_restraints
-                and cfg.anneal.noe_rswitch >= 1e8
-                and L_pad > max(cfg.length_buckets)
-            ):
+            if _exact_provable(cfg) and L_pad > max(cfg.length_buckets):
                 # beyond-bucket single-device request: two-tensor exact form
                 # built ON device (matrix-derived targets are >= 0.1 on the
                 # mask) — half the live restraint HBM, and the host never
@@ -299,8 +300,12 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
         os.makedirs(out_dir, exist_ok=True)
         ident = os.path.basename(matrix_path)
         ident = ident[:-4] if ident.endswith(".txt") else ident
+        # assessment-only tensors: HOST numpy (emit_artifacts is host-side
+        # by the documented rule — device arrays here would upload four
+        # true-L (L, L) tensors the device never reads, outside device_lock)
         dense = dense_restraints_from_numpy(
-            restraints, cfg.restraints.weighting, cfg.restraints.weight_exponent
+            restraints, cfg.restraints.weighting, cfg.restraints.weight_exponent,
+            as_numpy=True,
         )
         summary = emit_artifacts(
             out_dir, ident, coords, energies, matrix, restraints, dense, cfg
@@ -384,6 +389,11 @@ def request(socket_path: str, req: Dict, timeout: float = 600.0) -> Dict:
             if attempt == 19:
                 raise
             _time.sleep(0.05)
+        except BaseException:
+            # any other connect failure (timeout, EPERM, ...): don't leak
+            # the per-attempt socket fd on the propagation path
+            s.close()
+            raise
     try:
         s.sendall((json.dumps(req) + "\n").encode())
         buf = b""

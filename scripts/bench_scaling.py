@@ -122,7 +122,9 @@ def main():
 
             dense = exact_tiles_from_if_device(
                 synthetic_matrix_device(L), L, rc, rc.weighting,
-                rc.weight_exponent or auto_weight_exponent(L),
+                auto_weight_exponent(L)
+                if rc.weight_exponent is None
+                else rc.weight_exponent,
             )
             np.asarray(dense.w[:1, :1])  # fence: include prep execution
         prep_s = time.time() - t_prep
