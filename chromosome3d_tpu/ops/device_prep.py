@@ -159,15 +159,21 @@ def exact_tiles_from_if_device(
     rc,
     weighting: str,
     weight_exponent: float,
+    sharding=None,
 ) -> ExactRestraints:
     """Full L3 restraint generation on device: (L, L) IF matrix ->
     ExactRestraints at (L_pad, L_pad). Mirrors if_to_dist + quantize_dist +
     dist_to_restraints for the pipeline's own (always-exact) restraints;
     alpha/K/p are device scalars, so alpha-ensemble sweeps reuse the
-    compiled program. Static keys: (L_pad, separation, weighting) only."""
+    compiled program. Static keys: (L_pad, separation, weighting) only.
+
+    sharding: like exact_tiles_from_target_device — the padded IF upload
+    goes straight to per-device row slices and the tiles are born
+    distributed (the global mean is one all-reduce under GSPMD)."""
     prog = _tiles_from_if_prog(int(rc.separation), weighting)
+    m = pad_f32(if_matrix, L_pad)
     return prog(
-        jnp.asarray(pad_f32(if_matrix, L_pad)),
+        jnp.asarray(m) if sharding is None else jax.device_put(m, sharding),
         jnp.float32(if_matrix.shape[0]),
         jnp.float32(rc.alpha),
         jnp.float32(rc.kscaling),

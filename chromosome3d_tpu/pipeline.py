@@ -129,7 +129,8 @@ _SHARDED_PROGRAMS: dict = {}
 
 
 def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
-                   or_groups_np=None, conf=None, device_prep: bool = False):
+                   or_groups_np=None, conf=None, device_prep: bool = False,
+                   if_matrix=None):
     """Sequence-parallel ensemble solve over ALL devices (`beads` mesh axis):
     the product-surface entry to solver.sharded.solve_ensemble_sharded for
     chromosomes beyond the largest bucket. Pads to a multiple of
@@ -142,7 +143,15 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
     weights from external restraint files — both first-class here (round-4:
     an at-scale external tbl/rr no longer falls back to the single-program
     padded path). The group term rides replicated in the shard body; conf
-    folds into the stress weights exactly as the plain path does."""
+    folds into the stress weights exactly as the plain path does.
+
+    if_matrix: hand the raw IF matrix instead of host-built restraints
+    (restraints=None) and the WHOLE L3 prep — IF^alpha, the %.1f
+    quantization, separation mask, stress weights — runs on device
+    (ops.device_prep.exact_tiles_from_if_device), row-sharded over the
+    beads mesh: the host never pays a single O(L^2) pass (build_restraints
+    measured 313 s at L = 8192 here). Only valid for matrix-derived
+    restraints under the exact gate (they are exact by construction)."""
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
@@ -151,7 +160,7 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
 
     devices = jax.devices()
     nb = len(devices)
-    L = restraints.length
+    L = restraints.length if restraints is not None else if_matrix.shape[0]
     L_pad = quantum_bucket(L, cfg.shard_quantum, multiple=nb)
     # device_prep: matrix-derived restraints (quantized targets are >= 0.1
     # wherever a restraint exists) build their exact-form tiles ON device —
@@ -160,23 +169,31 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
     # external restraint files keep the host route (a pathological exact
     # row with target 0 would be dropped by the t > 0 mask recovery)
     exact = _exact_provable(cfg)
-    if device_prep and exact:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from chromosome3d_tpu.ops.device_prep import exact_tiles_from_target_device
+    if (device_prep or if_matrix is not None) and exact:
+        from chromosome3d_tpu.ops.device_prep import (
+            exact_tiles_from_if_device,
+            exact_tiles_from_target_device,
+        )
 
         p = rc.weight_exponent
         if p is None:
             from chromosome3d_tpu.ops.energy import auto_weight_exponent
 
             p = auto_weight_exponent(L)
-        row_sh = NamedSharding(
-            Mesh(np.asarray(devices), ("beads",)), P("beads", None)
-        )
-        dense = exact_tiles_from_target_device(
-            restraints.target, L_pad, rc.weighting, p, sharding=row_sh
-        )
+        row_sh = _beads_row_sharding()
+        if if_matrix is not None:
+            dense = exact_tiles_from_if_device(
+                if_matrix, L_pad, rc, rc.weighting, p, sharding=row_sh
+            )
+        else:
+            dense = exact_tiles_from_target_device(
+                restraints.target, L_pad, rc.weighting, p, sharding=row_sh
+            )
     else:
+        if restraints is None:
+            from chromosome3d_tpu.restraints import build_restraints
+
+            restraints = build_restraints(if_matrix, rc)
         dense, _ = _padded_dense(restraints, rc, L_pad, exact=exact)
     dense = _fold_conf(dense, conf)
     og = None
@@ -245,6 +262,60 @@ def auto_exact(cfg: PipelineConfig, restraints) -> PipelineConfig:
     ):
         return cfg.replace(anneal=dataclasses_replace(an, exact_restraints=True))
     return cfg
+
+
+def auto_exact_matrix(cfg: PipelineConfig) -> PipelineConfig:
+    """auto_exact for MATRIX-derived restraints, decidable without the
+    data: the pipeline's own restraints are exact by construction (dist2rr
+    always emits lo == hi, chromosome3D.pl:203-205, and its d <= 0 skip
+    excludes the carr2tbl zero-lo case), so only the pure-quadratic-well
+    condition needs checking. Lets at-scale matrix paths enable the exact
+    kernel BEFORE any restraint tensor exists (the device-prep route never
+    builds one on the host)."""
+    an = cfg.anneal
+    if not an.exact_restraints and an.noe_rswitch >= 1e8:
+        return cfg.replace(anneal=dataclasses_replace(an, exact_restraints=True))
+    return cfg
+
+
+def _beads_row_sharding():
+    """Row sharding over a 1-D `beads` mesh of every device — the layout
+    the at-scale device-prep programs are traced with."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    return NamedSharding(
+        Mesh(np.asarray(jax.devices()), ("beads",)), P("beads", None)
+    )
+
+
+def _assessment_view_from_if(if_matrix, rc, L_pad: int, sharded: bool):
+    """Post-solve host view for the at-scale device-prep matrix route:
+    re-invoke the (memoized) device prep program and DOWNLOAD the exact
+    tiles — (Restraints view, ExactRestraints numpy view), one f32
+    transfer each instead of the float64 host prep passes. Bit-equal to
+    the host route (tests/test_device_prep.py pins the quantization).
+
+    sharded MUST match the solve's layout: the prep program's jit cache is
+    keyed on input shardings, so a mismatched call would pay a fresh
+    (remote, minutes) compile for assessment-only data."""
+    from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_device
+    from chromosome3d_tpu.ops.energy import ExactRestraints, auto_weight_exponent
+    from chromosome3d_tpu.restraints import restraints_from_exact_target
+
+    L = if_matrix.shape[0]
+    p = rc.weight_exponent
+    if p is None:
+        p = auto_weight_exponent(L)
+    tiles = exact_tiles_from_if_device(
+        if_matrix, L_pad, rc, rc.weighting, p,
+        sharding=_beads_row_sharding() if sharded else None,
+    )
+    target_np = np.asarray(tiles.target)[:L, :L]
+    w_np = np.asarray(tiles.w)[:L, :L]
+    return (
+        restraints_from_exact_target(target_np),
+        ExactRestraints(target=target_np, w=w_np),
+    )
 
 
 def _exact_provable(cfg: PipelineConfig) -> bool:
@@ -358,38 +429,61 @@ def run_pipeline(
     if_matrix = load_if_matrix(local_if)
     L = if_matrix.shape[0]
     banner(log, f"L          : {L}")
-    dist = if_to_dist(if_matrix, rc)
-    write_dist_matrix(os.path.join(dir_out, f"{ident}.dist"), dist)
-    write_rr(os.path.join(dir_out, f"{ident}.rr"), dist, rc)
-    n_tbl = write_contact_tbl(
-        os.path.join(dir_out, "contact.tbl"),
-        os.path.join(dir_out, f"{ident}.rr"),
-        rc,
+    # Beyond every length bucket there are no published artifacts for the
+    # byte-parity contract to honor, and every O(L^2) float64 host pass
+    # costs minutes on this host (CLAUDE.md invariant; build_restraints
+    # measured 313 s at L = 8192, a .dist file there is gigabytes of text).
+    # Matrix-derived EXACT restraints therefore take the device-prep route
+    # END TO END at scale: tiles built on the accelerator straight from
+    # the IF matrix, the O(L^2) text artifacts suppressed (configure a
+    # length bucket >= L to restore the reference-scale host route), and
+    # the host assessment view DOWNLOADED post-solve (one f32 transfer).
+    device_route = L > max(cfg.length_buckets) and _exact_provable(
+        auto_exact_matrix(cfg)
     )
-    banner(log, f"Restraints : {n_tbl} lines in tbl file")
     # $ID.fasta for tooling compatibility (ref :93-98 used a fake protein
     # sequence to drive CNS; beads need no chemistry, so poly-M suffices)
     with open(os.path.join(dir_out, f"{ident}.fasta"), "w") as f:
         f.write(f">{ident}\n{'M' * L}\n")
-    restraints = dist_to_restraints(dist, rc)
-    if restraints.count != n_tbl:
-        # the reference's restraint-acceptance check leaves an
-        # `assess.failed` sentinel before confessing (chromosome3D.pl:785-787)
-        # so a monitoring harness can detect the failure from the tree alone
-        msg = (
-            f"restraint-count mismatch: tensors {restraints.count} vs tbl {n_tbl}"
+    restraints = dense = n_tbl = None
+    if device_route:
+        cfg = auto_exact_matrix(cfg)
+        banner(
+            log,
+            "Artifacts  : beyond-bucket L — restraint prep on device, "
+            "O(L^2) text artifacts suppressed",
         )
-        with open(os.path.join(dir_out, "assess.failed"), "w") as f:
-            f.write(msg + "\n")
-        raise AssertionError(msg)
-    banner(log, f"Coverage   : {coverage_string(restraints)}")
-    cfg = auto_exact(cfg, restraints)
-    # assessment-only tensors: HOST numpy (assess_ensemble is host-side by
-    # the documented rule — uploading these four true-L tensors would cost
-    # four tunnel round-trips for data the device never reads)
-    dense = dense_restraints_from_numpy(
-        restraints, rc.weighting, rc.weight_exponent, as_numpy=True
-    )
+    else:
+        dist = if_to_dist(if_matrix, rc)
+        write_dist_matrix(os.path.join(dir_out, f"{ident}.dist"), dist)
+        write_rr(os.path.join(dir_out, f"{ident}.rr"), dist, rc)
+        n_tbl = write_contact_tbl(
+            os.path.join(dir_out, "contact.tbl"),
+            os.path.join(dir_out, f"{ident}.rr"),
+            rc,
+        )
+        banner(log, f"Restraints : {n_tbl} lines in tbl file")
+        restraints = dist_to_restraints(dist, rc)
+        if restraints.count != n_tbl:
+            # the reference's restraint-acceptance check leaves an
+            # `assess.failed` sentinel before confessing (chromosome3D.pl:
+            # 785-787) so a monitoring harness can detect the failure from
+            # the tree alone
+            msg = (
+                f"restraint-count mismatch: tensors {restraints.count} "
+                f"vs tbl {n_tbl}"
+            )
+            with open(os.path.join(dir_out, "assess.failed"), "w") as f:
+                f.write(msg + "\n")
+            raise AssertionError(msg)
+        banner(log, f"Coverage   : {coverage_string(restraints)}")
+        cfg = auto_exact(cfg, restraints)
+        # assessment-only tensors: HOST numpy (assess_ensemble is host-side
+        # by the documented rule — uploading these four true-L tensors would
+        # cost four tunnel round-trips for data the device never reads)
+        dense = dense_restraints_from_numpy(
+            restraints, rc.weighting, rc.weight_exponent, as_numpy=True
+        )
     # solver tensors are padded to the length bucket, so different-L runs
     # share one compiled program (each distinct L otherwise costs a fresh
     # multi-minute remote compile — the genome runner's discipline, applied
@@ -403,6 +497,25 @@ def run_pipeline(
     cfg_solve = cfg
 
     def do_solve(restr_np, rc_x, k):
+        if device_route and sharded:
+            # matrix straight to row-sharded device tiles; no host prep
+            res, _ = _sharded_solve(None, rc_x, cfg_solve, k,
+                                    cfg_solve.model_count, if_matrix=if_matrix)
+            return res
+        if device_route:
+            # beyond-bucket single-chip: the whole L3 prep on device from
+            # the IF matrix (alpha/K/p are device scalars — the alpha
+            # ensemble reuses this compiled prep program)
+            from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_device
+            from chromosome3d_tpu.ops.energy import auto_weight_exponent
+
+            p_x = rc_x.weight_exponent
+            if p_x is None:
+                p_x = auto_weight_exponent(L)
+            tiles = exact_tiles_from_if_device(
+                if_matrix, L_pad, rc_x, rc_x.weighting, p_x
+            )
+            return _aot_solve(tiles, cfg_solve.anneal, k, cfg_solve.model_count, bm)
         if sharded:
             res, _ = _sharded_solve(restr_np, rc_x, cfg_solve, k,
                                     cfg_solve.model_count, device_prep=True)
@@ -448,9 +561,12 @@ def run_pipeline(
                 continue
             rc_x = dataclasses_replace(rc, alpha=extra_alpha)
             key, sub = jax.random.split(key)
-            res_x = do_solve(
-                dist_to_restraints(if_to_dist(if_matrix, rc_x), rc_x), rc_x, sub
+            restr_x = (
+                None
+                if device_route
+                else dist_to_restraints(if_to_dist(if_matrix, rc_x), rc_x)
             )
+            res_x = do_solve(restr_x, rc_x, sub)
             coords = np.concatenate([coords, np.asarray(res_x.coords)[:, :L, :]])
             # energies under a different restraint set are not comparable;
             # recorded for REMARKs but excluded from the NOE ranking below
@@ -466,6 +582,19 @@ def run_pipeline(
 
     # ---- L0: assess, rank, emit ----
     banner(log, "(C) Assess models..")
+    if device_route:
+        # host assessment view: one f32 download of the device-built tiles
+        # (the memoized prep program re-invokes for ~free; sharded must
+        # match the solve's layout so the jit cache hits)
+        L_pad_assess = (
+            quantum_bucket(L, cfg.shard_quantum, multiple=len(jax.devices()))
+            if sharded
+            else L_pad
+        )
+        restraints, dense = _assessment_view_from_if(
+            if_matrix, rc, L_pad_assess, sharded
+        )
+        n_tbl = restraints.count
     summary = emit_artifacts(
         dir_out, ident, coords, energies, if_matrix, restraints, dense, cfg,
         alphas=alphas,

@@ -101,8 +101,15 @@ class SolverCache:
 
     def solve(self, matrix: np.ndarray, cfg: PipelineConfig):
         """Solve one chromosome through the padded path; returns
-        (coords (n, L, 3), energies dict) with padding stripped. Caller must
-        hold device_lock."""
+        (coords (n, L, 3), energies dict, host Restraints view, and an
+        assessment-ready dense view or None) with padding stripped. Caller
+        must hold device_lock.
+
+        At-scale EXACT matrix requests (L beyond every bucket, quadratic
+        well) never touch a host O(L^2) pass: tiles are built on device
+        straight from the IF matrix (ops.device_prep) and the host views
+        are DOWNLOADED post-solve — build_restraints here measured 313 s
+        at L = 8192, the download is one f32 transfer."""
         import jax
         import jax.numpy as jnp
 
@@ -114,41 +121,57 @@ class SolverCache:
 
         L = matrix.shape[0]
         rc = cfg.restraints
-        r = build_restraints(matrix, rc)
         from chromosome3d_tpu.pipeline import (
+            _assessment_view_from_if,
             _exact_provable,
             _sharded_solve,
             _use_sharded,
             auto_exact,
+            auto_exact_matrix,
+            quantum_bucket,
         )
 
-        cfg = auto_exact(cfg, r)  # matrix-derived restraints: fast kernel
+        device_route = L > max(cfg.length_buckets) and _exact_provable(
+            auto_exact_matrix(cfg)
+        )
+        if device_route:
+            cfg = auto_exact_matrix(cfg)
+            r = None
+        else:
+            r = build_restraints(matrix, rc)
+            cfg = auto_exact(cfg, r)  # matrix-derived restraints: fast kernel
         key = jax.random.PRNGKey(cfg.seed)
         L_warm = None
-        if _use_sharded(L, cfg):
+        sharded = _use_sharded(L, cfg)
+        if sharded:
             # at-scale request: row-sharded over the device mesh, same
             # dispatch as run_pipeline (the program cache is jax's jit
             # cache + the AOT executable cache inside _sharded_solve).
             # Record the ACTUAL padded length the program compiled at
             # (lcm(quantum, devices) — not the plain quantum bucket).
-            result, L_warm = _sharded_solve(r, rc, cfg, key, cfg.model_count,
-                                            device_prep=True)
+            if device_route:
+                result, L_warm = _sharded_solve(
+                    None, rc, cfg, key, cfg.model_count, if_matrix=matrix
+                )
+            else:
+                result, L_warm = _sharded_solve(r, rc, cfg, key,
+                                                cfg.model_count,
+                                                device_prep=True)
         else:
             L_pad = self.bucket_for(L)
             p = rc.weight_exponent
             if p is None:
                 p = auto_weight_exponent(L)
-            if _exact_provable(cfg) and L_pad > max(cfg.length_buckets):
-                # beyond-bucket single-device request: two-tensor exact form
-                # built ON device (matrix-derived targets are >= 0.1 on the
-                # mask) — half the live restraint HBM, and the host never
-                # pays the float64 O(L^2) prep passes (ops.device_prep)
+            if device_route:
+                # beyond-bucket single-device request: the whole L3 prep on
+                # device from the IF matrix, two-tensor exact form (half the
+                # live restraint HBM); no float64 host passes
                 from chromosome3d_tpu.ops.device_prep import (
-                    exact_tiles_from_target_device,
+                    exact_tiles_from_if_device,
                 )
 
-                dense = exact_tiles_from_target_device(
-                    r.target, L_pad, rc.weighting, p
+                dense = exact_tiles_from_if_device(
+                    matrix, L_pad, rc, rc.weighting, p
                 )
             else:
                 dense = dense_restraints_from_numpy(
@@ -176,7 +199,21 @@ class SolverCache:
         self.add_warm(L_warm, cfg)
         coords = np.asarray(result.coords)[:, :L, :]
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
-        return coords, energies, r
+        dense_view = None
+        if device_route:
+            # host views for assessment: one f32 download (the memoized
+            # prep program re-invokes for ~free; layout must match the
+            # solve's so the jit cache hits)
+            L_assess = (
+                quantum_bucket(L, cfg.shard_quantum,
+                               multiple=len(jax.devices()))
+                if sharded
+                else self.bucket_for(L)
+            )
+            r, dense_view = _assessment_view_from_if(
+                matrix, rc, L_assess, sharded
+            )
+        return coords, energies, r, dense_view
 
 
 def _validate(req: Dict, cache: SolverCache) -> Optional[str]:
@@ -296,17 +333,20 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
             return {"ok": False,
                     "error": f"matrix L={matrix.shape[0]} exceeds {MAX_L}"}
         with cache.device_lock:
-            coords, energies, restraints = cache.solve(matrix, cfg)
+            coords, energies, restraints, dense = cache.solve(matrix, cfg)
         os.makedirs(out_dir, exist_ok=True)
         ident = os.path.basename(matrix_path)
         ident = ident[:-4] if ident.endswith(".txt") else ident
-        # assessment-only tensors: HOST numpy (emit_artifacts is host-side
-        # by the documented rule — device arrays here would upload four
-        # true-L (L, L) tensors the device never reads, outside device_lock)
-        dense = dense_restraints_from_numpy(
-            restraints, cfg.restraints.weighting, cfg.restraints.weight_exponent,
-            as_numpy=True,
-        )
+        if dense is None:
+            # assessment-only tensors: HOST numpy (emit_artifacts is host-
+            # side by the documented rule — device arrays here would upload
+            # four true-L (L, L) tensors the device never reads, outside
+            # device_lock). At-scale device-route solves returned their
+            # downloaded exact view instead.
+            dense = dense_restraints_from_numpy(
+                restraints, cfg.restraints.weighting,
+                cfg.restraints.weight_exponent, as_numpy=True,
+            )
         summary = emit_artifacts(
             out_dir, ident, coords, energies, matrix, restraints, dense, cfg
         )

@@ -402,3 +402,81 @@ def test_at_scale_bucket_tiles_born_distributed(monkeypatch):
         }
     assert mp.sharding.spec == P("chrom", None)
     assert keys.sharding.spec == P("chrom", None)
+
+
+def test_run_pipeline_at_scale_device_route(tmp_path, monkeypatch):
+    """Beyond-bucket matrix runs take the device-prep route END TO END
+    (late round 4): no host O(L^2) prep pass (if_to_dist /
+    dist_to_restraints / build_restraints all forbidden), the O(L^2) text
+    artifacts are suppressed, and the assessment views are the downloaded
+    device tiles — bit-equal to the host route."""
+    import chromosome3d_tpu.pipeline as pl
+    import chromosome3d_tpu.restraints as rst
+
+    m = structured_matrix(96, seed=11)
+    cfg = scale_cfg()
+    # host-route ground truth BEFORE the host prep is forbidden
+    host = rst.dist_to_restraints(rst.if_to_dist(m, cfg.restraints),
+                                  cfg.restraints)
+
+    def boom(*a, **k):
+        raise AssertionError("at-scale matrix run must not host-prep")
+
+    monkeypatch.setattr(pl, "if_to_dist", boom)
+    monkeypatch.setattr(pl, "dist_to_restraints", boom)
+    monkeypatch.setattr(rst, "build_restraints", boom)
+
+    src = tmp_path / "big_matrix.txt"
+    np.savetxt(src, m, fmt="%.3f")
+    out = str(tmp_path / "out")
+    summary = pl.run_pipeline(str(src), out, cfg)
+    assert summary["L"] == 96
+    assert summary["restraints"] == host.count
+    assert summary["best_spearman_if_inv_d"] > 0.7
+    # O(L^2) text artifacts suppressed beyond the buckets...
+    for suffix in (".dist", ".rr"):
+        assert not os.path.exists(os.path.join(out, f"big_matrix{suffix}"))
+    assert not os.path.exists(os.path.join(out, "contact.tbl"))
+    # ...but the model/rank/report artifact set still emits fully
+    for name in ("big_matrix_model1.pdb", "big_matrix_rank01_a05.pdb",
+                 "contact_violation.txt", "spearman.txt", "summary.json"):
+        assert os.path.exists(os.path.join(out, name)), name
+
+
+def test_run_pipeline_at_scale_device_route_single_device(tmp_path, monkeypatch):
+    """Same contract when only one device is available (the plain padded
+    solver at the quantum bucket): device prep straight from the IF
+    matrix, host views downloaded."""
+    import chromosome3d_tpu.ops.device_prep as dp
+    import chromosome3d_tpu.pipeline as pl
+    import chromosome3d_tpu.restraints as rst
+
+    m = structured_matrix(72, seed=12)
+    cfg = scale_cfg()
+    host = rst.dist_to_restraints(rst.if_to_dist(m, cfg.restraints),
+                                  cfg.restraints)
+
+    def boom(*a, **k):
+        raise AssertionError("at-scale matrix run must not host-prep")
+
+    monkeypatch.setattr(pl, "if_to_dist", boom)
+    monkeypatch.setattr(pl, "dist_to_restraints", boom)
+    monkeypatch.setattr(rst, "build_restraints", boom)
+    monkeypatch.setattr(pl, "_use_sharded", lambda L, c: False)
+    calls = []
+    real = dp.exact_tiles_from_if_device
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dp, "exact_tiles_from_if_device", spy)
+
+    src = tmp_path / "big_matrix.txt"
+    np.savetxt(src, m, fmt="%.3f")
+    out = str(tmp_path / "out")
+    summary = pl.run_pipeline(str(src), out, cfg)
+    assert calls, "device-side IF prep was not used"
+    assert summary["L"] == 72
+    assert summary["restraints"] == host.count
+    assert summary["best_spearman_if_inv_d"] > 0.7

@@ -234,13 +234,15 @@ def test_restraint_file_oversized_L_rejected(server, tmp_path):
 
 def test_beyond_bucket_single_device_uses_device_prep(tmp_path, monkeypatch):
     """A beyond-bucket matrix request on ONE device must route through the
-    device-side exact-tile prep (ops.device_prep) — not the float64 host
-    passes — and still produce a full-length result (round-4: host prep is
-    minutes at scale on a single-vCPU box, the device program milliseconds)."""
+    device-side exact-tile prep STRAIGHT FROM THE IF MATRIX — the host
+    never builds restraints (build_restraints is minutes at scale on a
+    single-vCPU box) — and the host assessment views come back as a
+    post-solve download (late round 4)."""
     import numpy as np
 
     import chromosome3d_tpu.ops.device_prep as dp
     import chromosome3d_tpu.pipeline as pl
+    import chromosome3d_tpu.restraints as rst
     from chromosome3d_tpu.serve import SolverCache
 
     cfg = PipelineConfig(
@@ -254,24 +256,40 @@ def test_beyond_bucket_single_device_uses_device_prep(tmp_path, monkeypatch):
     # force the single-device at-scale branch despite the 8 fake devices
     monkeypatch.setattr(pl, "_use_sharded", lambda L, c: False)
     calls = []
-    real = dp.exact_tiles_from_target_device
+    real = dp.exact_tiles_from_if_device
 
     def spy(*a, **k):
         calls.append(a)
         return real(*a, **k)
 
-    monkeypatch.setattr(dp, "exact_tiles_from_target_device", spy)
+    monkeypatch.setattr(dp, "exact_tiles_from_if_device", spy)
+    monkeypatch.setattr(
+        rst, "build_restraints",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("at-scale matrix route must not host-build")
+        ),
+    )
 
     rng = np.random.RandomState(0)
     L = 40  # beyond every bucket -> quantum_bucket(40, 16) = 48
     m = rng.gamma(2.0, 50.0, size=(L, L))
     m = (m + m.T) / 2
     np.fill_diagonal(m, 5000.0)
-    coords, energies, r = cache.solve(m, cfg)
-    assert len(calls) == 1, "device-side exact prep was not used"
+    coords, energies, r, dense_view = cache.solve(m, cfg)
+    # one prep call for the solve + one (memoized program) for the
+    # post-solve assessment download
+    assert len(calls) == 2, "device-side IF prep was not used"
     assert calls[0][1] == 48  # the quantum bucket, not a length bucket
     assert coords.shape == (2, L, 3) and np.isfinite(coords).all()
     assert cache.warm_snapshot()[0][0] == 48
+    # the downloaded host views match the host route bit-for-bit
+    host = rst.dist_to_restraints(rst.if_to_dist(m, cfg.restraints),
+                                  cfg.restraints)
+    assert r.length == L and r.count == host.count
+    np.testing.assert_array_equal(r.target, host.target)
+    np.testing.assert_array_equal(r.mask, host.mask)
+    assert dense_view is not None
+    np.testing.assert_array_equal(dense_view.target, host.target)
 
 
 def test_queue_depth_cap():
