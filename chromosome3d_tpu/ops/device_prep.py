@@ -113,6 +113,41 @@ def exact_tiles_from_target_device(
     return _tiles_from_target_prog(weighting)(t, jnp.float32(weight_exponent))
 
 
+def _tiles_from_if_body(if_padded, n_true, alpha, kscaling, p,
+                        separation: int, weighting: str) -> ExactRestraints:
+    """One chromosome's L3 prep as a traceable body (shared by the single
+    and the vmapped-batch programs)."""
+    L_pad = if_padded.shape[0]
+    # IF2dist_new (chromosome3D.pl:110-162): d = K * mean(IF^a) / IF^a.
+    # The mean is over ALL n_true^2 cells of the true matrix; padding
+    # cells are 0 and 0^a == 0, so the padded sum equals the true sum.
+    x = jnp.power(if_padded, alpha)
+    mean = jnp.sum(x, dtype=jnp.float32) / (n_true * n_true)
+    d = jnp.where(x > 0.0, kscaling * mean / jnp.maximum(x, 1e-30), 0.0)
+    # the %.1f .dist-file quantization (restraints.quantize_dist);
+    # round-half-even like np.round, in f32. The final /10 must be the
+    # CORRECTLY-ROUNDED f32 quotient to match the host's
+    # f32(round(d*10)/10 in f64) bit-for-bit, but XLA strength-reduces
+    # x/10 to x*(1/10) (one ulp off for e.g. 149/10). A compensated
+    # two-term product k*hi + k*lo with hi = f32(0.1),
+    # lo = f32(0.1 - f64(f32(0.1))) recovers the correctly-rounded
+    # quotient — verified exhaustively for k in [0, 2e6]
+    # (tests/test_device_prep.py).
+    k = jnp.round(d * 10.0)
+    q = k * jnp.float32(0.1) + k * jnp.float32(0.1 - float(np.float32(0.1)))
+    i = jax.lax.broadcasted_iota(jnp.int32, (L_pad, L_pad), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (L_pad, L_pad), 1)
+    n = n_true.astype(jnp.int32)
+    mask = (
+        (jnp.abs(i - j) >= separation)
+        & (q > 0.0)
+        & (i < n)
+        & (j < n)
+    )
+    t = jnp.where(mask, q, 0.0)
+    return ExactRestraints(target=t, w=_weights_from_target(t, p, weighting))
+
+
 @functools.lru_cache(maxsize=16)
 def _tiles_from_if_prog(separation: int, weighting: str):
     # donate the IF matrix: XLA reuses its buffer for an output tile, so the
@@ -120,37 +155,58 @@ def _tiles_from_if_prog(separation: int, weighting: str):
     # the single-chip ceiling L (callers never reuse the uploaded matrix)
     @functools.partial(jax.jit, donate_argnums=0)
     def prog(if_padded, n_true, alpha, kscaling, p):
-        L_pad = if_padded.shape[0]
-        # IF2dist_new (chromosome3D.pl:110-162): d = K * mean(IF^a) / IF^a.
-        # The mean is over ALL n_true^2 cells of the true matrix; padding
-        # cells are 0 and 0^a == 0, so the padded sum equals the true sum.
-        x = jnp.power(if_padded, alpha)
-        mean = jnp.sum(x, dtype=jnp.float32) / (n_true * n_true)
-        d = jnp.where(x > 0.0, kscaling * mean / jnp.maximum(x, 1e-30), 0.0)
-        # the %.1f .dist-file quantization (restraints.quantize_dist);
-        # round-half-even like np.round, in f32. The final /10 must be the
-        # CORRECTLY-ROUNDED f32 quotient to match the host's
-        # f32(round(d*10)/10 in f64) bit-for-bit, but XLA strength-reduces
-        # x/10 to x*(1/10) (one ulp off for e.g. 149/10). A compensated
-        # two-term product k*hi + k*lo with hi = f32(0.1),
-        # lo = f32(0.1 - f64(f32(0.1))) recovers the correctly-rounded
-        # quotient — verified exhaustively for k in [0, 2e6]
-        # (tests/test_device_prep.py).
-        k = jnp.round(d * 10.0)
-        q = k * jnp.float32(0.1) + k * jnp.float32(0.1 - float(np.float32(0.1)))
-        i = jax.lax.broadcasted_iota(jnp.int32, (L_pad, L_pad), 0)
-        j = jax.lax.broadcasted_iota(jnp.int32, (L_pad, L_pad), 1)
-        n = n_true.astype(jnp.int32)
-        mask = (
-            (jnp.abs(i - j) >= separation)
-            & (q > 0.0)
-            & (i < n)
-            & (j < n)
+        return _tiles_from_if_body(
+            if_padded, n_true, alpha, kscaling, p, separation, weighting
         )
-        t = jnp.where(mask, q, 0.0)
-        return ExactRestraints(target=t, w=_weights_from_target(t, p, weighting))
 
     return prog
+
+
+@functools.lru_cache(maxsize=16)
+def _tiles_from_if_batched_prog(separation: int, weighting: str):
+    # the genome at-scale bucket's prep: one program for the whole
+    # (B, L_pad, L_pad) bucket, per-chromosome n_true/p as device vectors
+    @functools.partial(jax.jit, donate_argnums=0)
+    def prog(if_padded, n_true, alpha, kscaling, p):
+        return jax.vmap(
+            lambda m, n, pe: _tiles_from_if_body(
+                m, n, alpha, kscaling, pe, separation, weighting
+            )
+        )(if_padded, n_true, p)
+
+    return prog
+
+
+def exact_tiles_from_if_batched_device(
+    matrices,
+    L_pad: int,
+    rc,
+    weighting: str,
+    weight_exponents,
+    sharding=None,
+) -> ExactRestraints:
+    """Batched exact_tiles_from_if_device for a genome bucket: a list of
+    (L_b, L_b) IF matrices -> (B, L_pad, L_pad) ExactRestraints, built by
+    ONE device program. The single O(B*L_pad^2) host pass is the f32
+    pad/stack copy (the minimum any text-matrix input pays); all float64
+    prep passes run on the accelerator. weight_exponents: per-chromosome p
+    (auto_weight_exponent of each TRUE length). sharding: a (chrom, beads)
+    NamedSharding — the stacked upload goes straight to per-device slices
+    and the bucket's tiles are born distributed."""
+    B = len(matrices)
+    stack = np.zeros((B, L_pad, L_pad), np.float32)
+    for b, m in enumerate(matrices):
+        Lb = m.shape[0]
+        stack[b, :Lb, :Lb] = np.asarray(m, np.float32)
+    x = jnp.asarray(stack) if sharding is None else jax.device_put(stack, sharding)
+    prog = _tiles_from_if_batched_prog(int(rc.separation), weighting)
+    return prog(
+        x,
+        jnp.asarray([m.shape[0] for m in matrices], jnp.float32),
+        jnp.float32(rc.alpha),
+        jnp.float32(rc.kscaling),
+        jnp.asarray(np.asarray(weight_exponents, np.float32)),
+    )
 
 
 def exact_tiles_from_if_device(

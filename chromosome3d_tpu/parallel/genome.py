@@ -336,9 +336,16 @@ def solve_bucket_sharded(
         ),
         sh_row,
     )
+    return _launch_bucket_sharded(batched_p, masks_p, keys, cfg, mesh2, B, devices)
+
+
+def _launch_bucket_sharded(batched_p, masks_p, keys, cfg, mesh2, B, devices):
+    """Compile (or AOT-load) + run the 2-D genome bucket program on already
+    padded, (chrom, beads)-sharded inputs; strips the batch padding."""
+    nc, nb = mesh2.shape["chrom"], mesh2.shape["beads"]
     log.info(
-        f"at-scale bucket: {B} chromosomes (L_pad={L_pad}) on a "
-        f"{nc} chrom x {nb} beads mesh"
+        f"at-scale bucket: {B} chromosomes (L_pad={batched_p.lo.shape[1]}) "
+        f"on a {nc} chrom x {nb} beads mesh"
     )
     from chromosome3d_tpu.solver.sharded import solve_genome_sharded
     from chromosome3d_tpu.utils.aot import load_or_compile
@@ -361,6 +368,63 @@ def solve_bucket_sharded(
         energies={k: v[:B] for k, v in result.energies.items()},
         history=result.history[:B],
     )
+
+
+def solve_bucket_sharded_from_if(
+    matrices: Sequence[np.ndarray],
+    L_pad: int,
+    cfg: PipelineConfig,
+    devices: Optional[Sequence] = None,
+    base_seed: Optional[int] = None,
+):
+    """The at-scale genome bucket's IF→device route (late round 4): build
+    the whole bucket's exact tiles ON the accelerator straight from the IF
+    matrices (ops.device_prep.exact_tiles_from_if_batched_device), born
+    distributed over the (chrom, beads) mesh, and solve. The host never
+    runs a float64 O(L^2) prep pass (build_restraints measured 313 s at
+    L = 8192 per chromosome here); its only O(B·L^2) work is the f32
+    pad/stack copy any text input pays.
+
+    Returns (AnnealResult, tiles, true_L_pad): tiles is the live
+    (B_pad, L', L') ExactRestraints — callers download per-chromosome
+    slices for host assessment (pipeline.restraints_from_exact_target)
+    instead of rebuilding them. Only valid under the exact gate
+    (pipeline.auto_exact_matrix: matrix restraints are exact by
+    construction)."""
+    from chromosome3d_tpu.ops.device_prep import (
+        exact_tiles_from_if_batched_device,
+    )
+    from chromosome3d_tpu.ops.energy import auto_weight_exponent
+
+    devices = list(devices if devices is not None else jax.devices())
+    B = len(matrices)
+    n_dev = len(devices)
+    nc, nb = large_mesh_layout(B, n_dev)
+    B_pad = -(-B // nc) * nc
+    L_pad = -(-L_pad // nb) * nb
+    mesh2 = Mesh(np.asarray(devices).reshape(nc, nb), ("chrom", "beads"))
+    sh_mat = NamedSharding(mesh2, P("chrom", "beads", None))
+    sh_row = NamedSharding(mesh2, P("chrom", None))
+    mats = list(matrices) + [matrices[0]] * (B_pad - B)
+    rc = cfg.restraints
+    p = rc.weight_exponent
+    ps = [auto_weight_exponent(m.shape[0]) if p is None else p for m in mats]
+    tiles = exact_tiles_from_if_batched_device(
+        mats, L_pad, rc, rc.weighting, ps, sharding=sh_mat
+    )
+    masks = np.zeros((B_pad, L_pad), np.float32)
+    for b, m in enumerate(mats):
+        masks[b, : m.shape[0]] = 1.0
+    masks_p = jax.device_put(masks, sh_row)
+    keys = jax.device_put(
+        jax.random.split(
+            jax.random.PRNGKey(cfg.seed if base_seed is None else base_seed),
+            B_pad,
+        ),
+        sh_row,
+    )
+    result = _launch_bucket_sharded(tiles, masks_p, keys, cfg, mesh2, B, devices)
+    return result, tiles, L_pad
 
 
 def run_genome(
@@ -420,16 +484,52 @@ def run_genome(
             f"({', '.join(j.name for j in bucket)}) on {mesh.devices.size} devices"
             + (" [at-scale: row-sharded]" if large else "")
         )
-        batched, bead_masks, matrices, raw = _stack_bucket(
-            bucket, L_pad, cfg, as_numpy=large
-        )
         # pipeline-generated restraints are always exact; use the fast kernel
-        from chromosome3d_tpu.pipeline import auto_exact
+        from chromosome3d_tpu.pipeline import (
+            _exact_provable,
+            auto_exact,
+            auto_exact_matrix,
+        )
 
-        cfg_b = cfg
-        if all(not r.negdev.any() and not r.posdev.any() for r in raw):
-            cfg_b = auto_exact(cfg, raw[0])
-        result = bucket_solve(batched, bead_masks, cfg_b)
+        # at-scale EXACT buckets skip the host prep entirely (late round 4):
+        # IF matrices go straight to device tiles (exact by construction —
+        # auto_exact_matrix), and the host assessment views are downloaded
+        # from the live tiles afterwards. The host route below pays
+        # build_restraints per chromosome (313 s at L = 8192 here).
+        large_device = large and _exact_provable(auto_exact_matrix(cfg))
+        dense_views = None
+        if large_device:
+            matrices = [load_if_matrix(job.path) for job in bucket]
+            cfg_b = auto_exact_matrix(cfg)
+            devs = list(mesh.devices.flat)
+            result, tiles, _ = solve_bucket_sharded_from_if(
+                matrices, L_pad, cfg_b, devices=devs
+            )
+            from chromosome3d_tpu.ops.energy import ExactRestraints
+            from chromosome3d_tpu.restraints import restraints_from_exact_target
+
+            t_all = np.asarray(tiles.target)
+            w_all = np.asarray(tiles.w)
+            raw = [
+                restraints_from_exact_target(t_all[b, : j.length, : j.length])
+                for b, j in enumerate(bucket)
+            ]
+            dense_views = [
+                ExactRestraints(
+                    target=t_all[b, : j.length, : j.length],
+                    w=w_all[b, : j.length, : j.length],
+                )
+                for b, j in enumerate(bucket)
+            ]
+            del tiles, t_all, w_all
+        else:
+            batched, bead_masks, matrices, raw = _stack_bucket(
+                bucket, L_pad, cfg, as_numpy=large
+            )
+            cfg_b = cfg
+            if all(not r.negdev.any() and not r.posdev.any() for r in raw):
+                cfg_b = auto_exact(cfg, raw[0])
+            result = bucket_solve(batched, bead_masks, cfg_b)
         coords = np.asarray(result.coords)
         energies_all = {k: np.asarray(v) for k, v in result.energies.items()}
         alphas = [cfg.restraints.alpha] * coords.shape[1]
@@ -441,16 +541,23 @@ def run_genome(
                 continue
             rc_x = dataclasses.replace(cfg.restraints, alpha=extra_alpha)
             cfg_x = cfg.replace(restraints=rc_x)
-            batched_x, masks_x, _, raw_x = _stack_bucket(
-                bucket, L_pad, cfg_x, as_numpy=large
-            )
-            cfg_bx = cfg_x
-            if all(not r.negdev.any() and not r.posdev.any() for r in raw_x):
-                cfg_bx = auto_exact(cfg_x, raw_x[0])
-            res_x = bucket_solve(
-                batched_x, masks_x, cfg_bx,
-                seed=cfg.seed + hash(extra_alpha) % 10000,
-            )
+            if large_device:
+                res_x, _, _ = solve_bucket_sharded_from_if(
+                    matrices, L_pad, auto_exact_matrix(cfg_x),
+                    devices=list(mesh.devices.flat),
+                    base_seed=cfg.seed + hash(extra_alpha) % 10000,
+                )
+            else:
+                batched_x, masks_x, _, raw_x = _stack_bucket(
+                    bucket, L_pad, cfg_x, as_numpy=large
+                )
+                cfg_bx = cfg_x
+                if all(not r.negdev.any() and not r.posdev.any() for r in raw_x):
+                    cfg_bx = auto_exact(cfg_x, raw_x[0])
+                res_x = bucket_solve(
+                    batched_x, masks_x, cfg_bx,
+                    seed=cfg.seed + hash(extra_alpha) % 10000,
+                )
             coords = np.concatenate([coords, np.asarray(res_x.coords)], axis=1)
             energies_all = {
                 k: np.concatenate([v, np.asarray(res_x.energies[k])], axis=1)
@@ -467,9 +574,13 @@ def run_genome(
             os.makedirs(out, exist_ok=True)
             c = coords[b, :, :L, :]
             energies = {k: v[b] for k, v in energies_all.items()}
-            dense_b = dense_restraints_from_numpy(
-                raw[b], cfg.restraints.weighting, cfg.restraints.weight_exponent,
-                as_numpy=True,
+            dense_b = (
+                dense_views[b]
+                if dense_views is not None
+                else dense_restraints_from_numpy(
+                    raw[b], cfg.restraints.weighting,
+                    cfg.restraints.weight_exponent, as_numpy=True,
+                )
             )
             summary = emit_artifacts(
                 out, job.name, c, energies, matrices[b], raw[b], dense_b, cfg,

@@ -160,3 +160,48 @@ def test_device_prep_solve_equivalence():
     np.testing.assert_allclose(
         np.asarray(dev.coords), np.asarray(host.coords), rtol=2e-4, atol=2e-4
     )
+
+
+def test_batched_tiles_match_single():
+    """The genome-bucket batched prep (one vmapped program) must be
+    BIT-equal to per-matrix single prep at the same L_pad, including
+    mixed true lengths and per-chromosome weight exponents."""
+    from chromosome3d_tpu.ops.device_prep import (
+        exact_tiles_from_if_batched_device,
+    )
+
+    rc = RestraintConfig()
+    mats = [_matrix(64, seed=5), _matrix(48, seed=6)]
+    ps = [auto_weight_exponent(m.shape[0]) for m in mats]
+    L_pad = 72
+    batched = exact_tiles_from_if_batched_device(
+        mats, L_pad, rc, "relative", ps
+    )
+    t_all = np.asarray(batched.target)
+    w_all = np.asarray(batched.w)
+    assert t_all.shape == (2, L_pad, L_pad)
+    for b, (m, p) in enumerate(zip(mats, ps)):
+        single = exact_tiles_from_if_device(m, L_pad, rc, "relative", p)
+        np.testing.assert_array_equal(t_all[b], np.asarray(single.target))
+        np.testing.assert_array_equal(w_all[b], np.asarray(single.w))
+
+
+def test_restraints_from_exact_target_matches_host():
+    """The downloaded host view equals the host-built Restraints on the
+    same matrix (exact by construction: negdev = posdev = 0)."""
+    from chromosome3d_tpu.restraints import (
+        dist_to_restraints,
+        if_to_dist,
+        restraints_from_exact_target,
+    )
+
+    rc = RestraintConfig()
+    m = _matrix(56, seed=7)
+    host = dist_to_restraints(if_to_dist(m, rc), rc)
+    tiles = exact_tiles_from_if_device(m, 56, rc, "relative",
+                                       auto_weight_exponent(56))
+    view = restraints_from_exact_target(np.asarray(tiles.target))
+    np.testing.assert_array_equal(view.target, host.target)
+    np.testing.assert_array_equal(view.mask, host.mask)
+    assert view.count == host.count and view.length == host.length
+    assert not view.negdev.any() and not view.posdev.any()

@@ -136,18 +136,30 @@ def test_run_genome_mixed_scale(tmp_path, monkeypatch):
     np.savetxt(indir / "chr2_1mb_matrix.txt", large, fmt="%.3f")
 
     sharded_calls, plain_calls = [], []
-    real_sharded, real_plain = gn.solve_bucket_sharded, gn.solve_bucket
+    # exact matrix buckets take the IF->device route (late round 4); the
+    # host-restraint sharded entry remains for non-exact at-scale buckets
+    real_sharded, real_plain = gn.solve_bucket_sharded_from_if, gn.solve_bucket
     monkeypatch.setattr(
-        gn, "solve_bucket_sharded",
+        gn, "solve_bucket_sharded_from_if",
         lambda *a, **k: (sharded_calls.append(1), real_sharded(*a, **k))[1],
     )
     monkeypatch.setattr(
         gn, "solve_bucket",
         lambda *a, **k: (plain_calls.append(1), real_plain(*a, **k))[1],
     )
+    # the at-scale bucket must never host-build restraints (_stack_bucket
+    # binds genome.py's module-global name)
+    real_build = gn.build_restraints
+    build_lengths = []
+    monkeypatch.setattr(
+        gn, "build_restraints",
+        lambda m, rc: (build_lengths.append(m.shape[0]), real_build(m, rc))[1],
+    )
     out = str(tmp_path / "out")
     summaries = gn.run_genome(str(indir), out, scale_cfg())
     assert sharded_calls and plain_calls
+    assert 24 in build_lengths, "small bucket should use the host route"
+    assert 96 not in build_lengths, "at-scale bucket host-built restraints"
     assert summaries["chr1_1mb"]["L"] == 24
     assert summaries["chr2_1mb"]["L"] == 96
     assert summaries["chr2_1mb"]["best_spearman_if_inv_d"] > 0.7
