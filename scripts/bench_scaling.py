@@ -37,13 +37,22 @@ def synthetic_matrix(L, seed=0):
 def synthetic_matrix_device(L, seed=0):
     """Same statistics, generated ON device: at L >= 16384 the host RNG +
     O(L^2) numpy passes cost minutes on this single-vCPU box while the
-    device program is milliseconds (see ops/device_prep.py)."""
+    device program is milliseconds (see ops/device_prep.py).
+
+    Gamma(2, 50) is sampled as -50*(log U1 + log U2) — the Erlang identity —
+    instead of jax.random.gamma: the generic gamma rejection sampler's
+    threefry-split while loop materializes a u32[L*L, 3] temp (~16 GB HLO
+    temp at L=16384, a measured compile-time OOM on v5e)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def gen(key):
-        base = jax.random.gamma(key, 2.0, (L, L), jnp.float32) * 50.0
+        k1, k2 = jax.random.split(key)
+        tiny = jnp.float32(1e-12)
+        u1 = jax.random.uniform(k1, (L, L), jnp.float32, tiny, 1.0)
+        u2 = jax.random.uniform(k2, (L, L), jnp.float32, tiny, 1.0)
+        base = -50.0 * (jnp.log(u1) + jnp.log(u2))
         m = (base + base.T) / 2
         i = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
         j = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
