@@ -5,6 +5,7 @@ from chromosome3d_tpu.ops.energy import (
     OrGroupRestraints,
     energy,
     energy_terms,
+    energy_terms_chunked,
     or_group_energy,
     dense_restraints_from_numpy,
     dense_or_groups_from_numpy,
@@ -18,6 +19,7 @@ __all__ = [
     "OrGroupRestraints",
     "energy",
     "energy_terms",
+    "energy_terms_chunked",
     "or_group_energy",
     "dense_restraints_from_numpy",
     "dense_or_groups_from_numpy",

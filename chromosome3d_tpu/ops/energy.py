@@ -340,6 +340,98 @@ def energy_terms(
     return {"noe": e_noe, "bon": e_bond, "vdw": e_vdw, "overall": total}
 
 
+def _pick_row_chunk(L: int, cap: int = 512) -> int:
+    """Largest divisor of L that is <= cap (L itself for pathological
+    primes — the computation still proceeds, just without the bound)."""
+    if L <= cap:
+        return L
+    for c in range(cap, 0, -1):
+        if L % c == 0:
+            return c
+    return L
+
+
+def energy_terms_chunked(
+    coords: jnp.ndarray,
+    restraints: DenseRestraints,
+    weights: EnergyWeights,
+    bead_mask: jnp.ndarray | None = None,
+    or_groups: OrGroupRestraints | None = None,
+    row_chunk: int = 512,
+) -> Dict[str, jnp.ndarray]:
+    """energy_terms with O(row_chunk * L) temporaries: the pair terms scan
+    row blocks instead of materializing any (L, L) intermediate.
+
+    The dense reference path's FINAL canonical-terms pass — not the Pallas
+    hot loop — set the single-chip memory ceiling: at L = 24576 its vmapped
+    soft-square well was a 9 GB (n, L, L) HLO temp (measured OOM on v5e)
+    while the solve's own working set fit comfortably. solve_ensemble
+    switches to this evaluation beyond reference scale; at reference scale
+    the dense path stays (identical float-summation order there keeps the
+    NOE-ranking byte artifacts frozen). Values agree with energy_terms to
+    float-reassociation tolerance (tests/test_energy.py pins it)."""
+    L = coords.shape[0]
+    if bead_mask is None:
+        bead_mask = jnp.ones((L,), dtype=coords.dtype)
+    Lb = _pick_row_chunk(L, row_chunk)
+    s = weights.noe_rswitch
+    # the two-tensor exact form stores mask * weight pre-folded; slicing its
+    # .mask property would materialize the full (w > 0) transient
+    exact_form = isinstance(restraints, ExactRestraints)
+
+    def block(carry, r0):
+        e_noe, e_vdw = carry
+        a = jax.lax.dynamic_slice(coords, (r0, 0), (Lb, 3))
+        bm_rows = jax.lax.dynamic_slice(bead_mask, (r0,), (Lb,))
+        lo_b = jax.lax.dynamic_slice(restraints.lo, (r0, 0), (Lb, L))
+        hi_b = lo_b if exact_form else jax.lax.dynamic_slice(
+            restraints.hi, (r0, 0), (Lb, L)
+        )
+        if exact_form:
+            wm_b = jax.lax.dynamic_slice(restraints.w, (r0, 0), (Lb, L))
+        else:
+            wm_b = jax.lax.dynamic_slice(
+                restraints.mask, (r0, 0), (Lb, L)
+            ) * jax.lax.dynamic_slice(restraints.weight, (r0, 0), (Lb, L))
+
+        # coordinate-wise squared-distance accumulation: no (Lb, L, 3) temp
+        d2 = jnp.full((Lb, L), _EPS, coords.dtype)
+        for ax3 in range(3):
+            dc = a[:, ax3][:, None] - coords[:, ax3][None, :]
+            d2 = d2 + dc * dc
+        d = jnp.sqrt(d2)
+        pair_valid = bm_rows[:, None] * bead_mask[None, :]
+
+        viol = jnp.maximum(d - hi_b, 0.0) + jnp.maximum(lo_b - d, 0.0)
+        well = jnp.where(viol <= s, viol * viol, s * s + 2.0 * s * (viol - s))
+        e_noe = e_noe + 0.5 * weights.noe * (wm_b * pair_valid * well).sum()
+
+        rows = r0 + jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 1)
+        nonbonded = (jnp.abs(rows - cols) >= 2).astype(coords.dtype)
+        overlap = jnp.maximum(weights.vdw_radius - d, 0.0)
+        e_vdw = e_vdw + 0.5 * weights.vdw * (
+            nonbonded * pair_valid * overlap * overlap
+        ).sum()
+        return (e_noe, e_vdw), None
+
+    zero = jnp.zeros((), coords.dtype)
+    r0s = jnp.arange(L // Lb, dtype=jnp.int32) * Lb
+    (e_noe, e_vdw), _ = jax.lax.scan(block, (zero, zero), r0s)
+    if or_groups is not None:
+        e_noe = e_noe + or_group_energy(coords, or_groups, weights, bead_mask)
+
+    bond_vec = coords[1:] - coords[:-1]
+    bond_d = jnp.sqrt((bond_vec * bond_vec).sum(-1) + _EPS)
+    bond_valid = bead_mask[1:] * bead_mask[:-1]
+    bdev = bond_d - weights.bond_length
+    e_bond = weights.bond * (bond_valid * bdev * bdev).sum()
+    e_bond = e_bond + _angle_energy(bond_vec, bond_d, bond_valid, weights)
+
+    total = e_noe + e_bond + e_vdw
+    return {"noe": e_noe, "bon": e_bond, "vdw": e_vdw, "overall": total}
+
+
 def energy(
     coords: jnp.ndarray,
     restraints: DenseRestraints,

@@ -32,8 +32,14 @@ from chromosome3d_tpu.ops.energy import (
     OrGroupRestraints,
     energy,
     energy_terms,
+    energy_terms_chunked,
     or_group_energy,
 )
+
+# beyond this (padded) L the final canonical-terms pass runs row-chunked;
+# below it the dense reference evaluation keeps its exact float-summation
+# order (reference-scale buckets top out at Lp = 768)
+_CHUNKED_TERMS_MIN_L = 8192
 from chromosome3d_tpu.solver.init import (
     landmark_init,
     mds_init,
@@ -532,8 +538,19 @@ def solve_ensemble_impl(
         history = history.T                        # (n_eff, T)
     coords = carry_coords(carry)
 
+    # Final canonical terms: beyond reference scale the dense evaluation's
+    # (n, L, L) well temp — not the hot loop — is the single-chip memory
+    # ceiling (measured: a 9 GB HLO temp OOM'd L=24576 on v5e while the
+    # solve itself fit). The row-chunked evaluation computes the same terms
+    # in O(row_chunk * L); reference-scale buckets keep the dense path so
+    # their NOE-ranking float-summation order (and the byte artifacts it
+    # feeds) stays frozen.
+    if L >= _CHUNKED_TERMS_MIN_L:
+        term_fn = energy_terms_chunked
+    else:
+        term_fn = energy_terms
     terms = jax.vmap(
-        lambda c: energy_terms(c, restraints, base, bead_mask, or_groups)
+        lambda c: term_fn(c, restraints, base, bead_mask, or_groups)
     )(coords)
 
     # centroid to origin (ref :1805-1816), padding excluded

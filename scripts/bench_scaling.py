@@ -34,6 +34,28 @@ def synthetic_matrix(L, seed=0):
     return m
 
 
+def synthetic_structured_matrix(L, seed=0):
+    """An IF matrix with a consistent 3D ground truth: a smooth random-walk
+    chain, IF = (c / d_true)^2 (the inverse of the reference's d = K*m/IF^0.5
+    conversion). A solve can recover this structure, so its best Spearman is
+    a SENSITIVE quality metric at scale — unlike the gamma matrix, whose
+    mutually inconsistent restraints rank-correlate weakly with any embedding
+    (~0.18 at L=128)."""
+    rng = np.random.RandomState(seed)
+    steps = rng.randn(L + 32, 3)
+    # moving-average smoothing: persistent direction -> polymer-like chain
+    k = 16
+    kern = np.ones(k) / k
+    steps = np.stack([np.convolve(steps[:, a], kern, "valid") for a in range(3)], 1)
+    steps = steps[:L]
+    steps /= np.linalg.norm(steps, axis=1, keepdims=True) + 1e-9
+    coords = np.cumsum(steps * 3.8, axis=0)
+    d = np.sqrt(((coords[:, None] - coords[None, :]) ** 2).sum(-1) + 1e-12)
+    m = (100.0 / d) ** 2
+    np.fill_diagonal(m, 5000.0)
+    return m.astype(np.float64)
+
+
 def synthetic_matrix_device(L, seed=0):
     """Same statistics, generated ON device: at L >= 16384 the host RNG +
     O(L^2) numpy passes cost minutes on this single-vCPU box while the
@@ -81,6 +103,14 @@ def main():
                          "L >= 8192 on a single-vCPU box")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 restraint tiles (AnnealConfig.pair_bf16)")
+    ap.add_argument("--quality", action="store_true",
+                    help="score best Spearman(IF, 1/d) of the ensemble "
+                         "against the synthetic matrix (host scipy; "
+                         "practical to L ~ 4096 on this single-vCPU box)")
+    ap.add_argument("--structured", action="store_true",
+                    help="use the structured synthetic (consistent 3D "
+                         "ground truth) instead of the gamma matrix — the "
+                         "quality-sensitive choice for --quality A/Bs")
     args = ap.parse_args()
 
     if args.devices:
@@ -122,15 +152,25 @@ def main():
     )
     results = []
     for L in [int(s) for s in args.sizes.split(",")]:
+        gen = synthetic_structured_matrix if args.structured else synthetic_matrix
+        m_host = gen(L) if (args.quality or args.structured) else None
         t_prep = time.time()
         if args.host_prep or args.dense_form:
-            dense = builder(build_restraints(synthetic_matrix(L), rc))
+            dense = builder(build_restraints(
+                synthetic_matrix(L) if m_host is None else m_host, rc
+            ))
         else:
             from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_device
             from chromosome3d_tpu.ops.energy import auto_weight_exponent
 
+            import jax.numpy as jnp
+
+            mat_dev = (
+                synthetic_matrix_device(L) if m_host is None
+                else jnp.asarray(m_host, jnp.float32)
+            )
             dense = exact_tiles_from_if_device(
-                synthetic_matrix_device(L), L, rc, rc.weighting,
+                mat_dev, L, rc, rc.weighting,
                 auto_weight_exponent(L)
                 if rc.weight_exponent is None
                 else rc.weight_exponent,
@@ -169,6 +209,13 @@ def main():
             peak_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
         except Exception:
             peak_gb = None
+        best_sp = None
+        if m_host is not None:
+            from chromosome3d_tpu.metrics import spearman_if_inv_d
+
+            best_sp = round(
+                max(float(spearman_if_inv_d(m_host, c)) for c in coords), 4
+            )
         row = {
             "L": L,
             "structures": n_struct,
@@ -181,7 +228,9 @@ def main():
             "devices": len(jax.devices()),
             "sharded": args.sharded,
             "form": "dense" if args.dense_form else "exact2",
+            "bf16": args.bf16,
             "peak_hbm_gb": peak_gb,
+            "best_spearman": best_sp,
         }
         results.append(row)
         print(json.dumps(row), flush=True)

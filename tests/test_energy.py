@@ -216,3 +216,70 @@ def test_angle_term():
     assert float(terms["bon"]) == pytest.approx(e_bent, rel=1e-6)
     w_off = w0._replace(angle=jnp.float32(0.0))
     assert float(energy(bent, r, w_off)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_chunked_terms_match_dense():
+    """energy_terms_chunked == energy_terms on every restraint form / option
+    combination the final-terms pass can see: dense windowed bounds, the
+    two-tensor exact form, bead-mask padding, finite rswitch, or-groups, and
+    a prime L (row_chunk falls back to the full width)."""
+    from chromosome3d_tpu.ops.energy import (
+        ExactRestraints,
+        OrGroupRestraints,
+        energy_terms_chunked,
+    )
+
+    rng = np.random.RandomState(7)
+
+    def rand_dense(L, windowed):
+        t = np.abs(rng.randn(L, L)).astype(np.float32) * 5 + 3
+        t = (t + t.T) / 2
+        mask = (rng.rand(L, L) < 0.4)
+        mask = np.triu(mask, 1)
+        mask = mask | mask.T
+        t = np.where(mask, t, 0.0).astype(np.float32)
+        dev = (np.abs(rng.randn(L, L)).astype(np.float32) * 0.5) if windowed else 0.0
+        dev = (dev + np.transpose(dev)) / 2 if windowed else 0.0
+        w = np.where(mask, 1.0 + rng.rand(L, L), 0.0).astype(np.float32)
+        w = ((w + w.T) / 2 * mask).astype(np.float32)
+        return DenseRestraints(
+            lo=jnp.asarray(t - dev), hi=jnp.asarray(t + dev),
+            mask=jnp.asarray(mask, jnp.float32), weight=jnp.asarray(w),
+        )
+
+    w_full = simple_weights(noe=2.0, bond=1.5, vdw=0.7, noe_rswitch=1.2)
+    for L, chunk in [(24, 8), (13, 8)]:   # 13 is prime: full-width fallback
+        coords = jnp.asarray(rng.randn(L, 3).astype(np.float32) * 4)
+        bead = np.ones(L, np.float32)
+        bead[-2:] = 0.0
+        bead = jnp.asarray(bead)
+        dense = rand_dense(L, windowed=True)
+        og = OrGroupRestraints(
+            idx_i=jnp.asarray([[0, 2], [1, 1]], jnp.int32),
+            idx_j=jnp.asarray([[5, 7], [6, 6]], jnp.int32),
+            member=jnp.asarray([[1.0, 1.0], [1.0, 0.0]], jnp.float32),
+            lo=jnp.asarray([2.0, 3.0], jnp.float32),
+            hi=jnp.asarray([4.0, 5.0], jnp.float32),
+            weight=jnp.asarray([1.0, 2.0], jnp.float32),
+        )
+        ref = energy_terms(coords, dense, w_full, bead, og)
+        got = energy_terms_chunked(
+            coords, dense, w_full, bead, og, row_chunk=chunk
+        )
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-5)
+
+        # two-tensor exact form, pure-quadratic well
+        w_exact = simple_weights(noe=2.0, bond=1.5, vdw=0.7)
+        t = np.asarray(dense.lo) * np.asarray(dense.mask)
+        ex = ExactRestraints(
+            target=jnp.asarray(t),
+            w=jnp.asarray(np.asarray(dense.mask) * np.asarray(dense.weight)),
+        )
+        dense_eq = DenseRestraints(
+            lo=ex.target, hi=ex.target, mask=dense.mask, weight=dense.weight
+        )
+        ref = energy_terms(coords, dense_eq, w_exact, bead)
+        got = energy_terms_chunked(coords, ex, w_exact, bead, row_chunk=chunk)
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-5)

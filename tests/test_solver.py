@@ -282,3 +282,21 @@ def test_resolve_use_pallas_semantics():
     assert auto == (jax.default_backend() == "tpu")
     assert resolve_use_pallas(AnnealConfig(use_pallas=True)) is True
     assert resolve_use_pallas(AnnealConfig(use_pallas=False)) is False
+
+
+def test_chunked_final_terms_gate(tiny_matrix, monkeypatch):
+    """Beyond _CHUNKED_TERMS_MIN_L the final canonical-terms pass runs the
+    row-chunked evaluation; its reported energies must match the dense pass
+    to float-reassociation tolerance on the same solved coordinates."""
+    import chromosome3d_tpu.solver.anneal as anneal_mod
+
+    dense = dense_restraints_from_numpy(
+        build_restraints(tiny_matrix, RestraintConfig())
+    )
+    cfg = fast_anneal(AnnealConfig())
+    ref = anneal_mod.solve_ensemble_impl(dense, cfg, jax.random.PRNGKey(3), 2)
+    monkeypatch.setattr(anneal_mod, "_CHUNKED_TERMS_MIN_L", 1)
+    got = anneal_mod.solve_ensemble_impl(dense, cfg, jax.random.PRNGKey(3), 2)
+    np.testing.assert_allclose(got.coords, ref.coords, rtol=1e-6, atol=1e-6)
+    for k in ref.energies:
+        np.testing.assert_allclose(got.energies[k], ref.energies[k], rtol=1e-4)
