@@ -44,19 +44,58 @@ def assess_ensemble(
     genome) for O(R) scalar work. Semantics identical to
     ops.energy.violation_stats (tested against it)."""
     coords = np.asarray(coords, dtype=np.float64)
-    lo = np.asarray(restraints.lo, dtype=np.float64)
-    hi = np.asarray(restraints.hi, dtype=np.float64)
+    n = coords.shape[0]
+    relax, margin = cfg.dist_relax, cfg.sum_dev_margin
+    L = coords.shape[1]
     mask = np.asarray(restraints.mask) > 0
     if bead_mask is not None:
         bm = np.asarray(bead_mask) > 0
         mask = mask & bm[:, None] & bm[None, :]
+    if mask.sum() // 2 > FULL_REPORT_MAX:
+        # at-scale route (~L^2/2 restrained pairs): row-chunked traversal —
+        # the gathered-pair form below allocates multi-GB index/value arrays
+        # that this single-vCPU host streams at ~0.1 GB/s
+        satisfied = np.zeros(n, dtype=int)
+        sum_dev = np.zeros(n, dtype=np.float64)
+        total = 0
+        cols = np.arange(L)
+        lo_full = np.asarray(restraints.lo)
+        hi_full = np.asarray(restraints.hi)
+        for r0 in range(0, L, 512):
+            r1 = min(r0 + 512, L)
+            m = mask[r0:r1] & (cols[None, :] > np.arange(r0, r1)[:, None])
+            if not m.any():
+                continue
+            total += int(m.sum())
+            lo_b = lo_full[r0:r1].astype(np.float64)
+            hi_b = hi_full[r0:r1].astype(np.float64)
+            for k in range(n):
+                a = coords[k, r0:r1]
+                d2 = np.full((r1 - r0, L), 1e-12)
+                for ax in range(3):
+                    dc = a[:, ax][:, None] - coords[k, :, ax][None, :]
+                    d2 += dc * dc
+                d = np.sqrt(d2)
+                satisfied[k] += int(((d < hi_b + relax) & m).sum()) - int(
+                    ((d < lo_b - relax) & m).sum()
+                )
+                over = (d > hi_b + margin) & m
+                under = (d < lo_b - margin) & m
+                sum_dev[k] += float(
+                    ((d - hi_b) * over).sum() + ((lo_b - d) * under).sum()
+                )
+        return {
+            "satisfied": satisfied,
+            "total": np.full(n, total, dtype=int),
+            "sum_dev": sum_dev,
+        }
+    lo = np.asarray(restraints.lo, dtype=np.float64)
+    hi = np.asarray(restraints.hi, dtype=np.float64)
     mask = np.triu(mask, k=1)
     ii, jj = np.nonzero(mask)
     lo_r, hi_r = lo[ii, jj], hi[ii, jj]
-    n = coords.shape[0]
     satisfied = np.zeros(n, dtype=int)
     sum_dev = np.zeros(n, dtype=np.float64)
-    relax, margin = cfg.dist_relax, cfg.sum_dev_margin
     for k, c in enumerate(coords):
         diff = c[ii] - c[jj]
         d = np.sqrt((diff * diff).sum(-1) + 1e-12)
@@ -115,6 +154,77 @@ def restraint_spec_strings(r: Restraints) -> List[str]:
 FULL_REPORT_MAX = 500_000
 
 
+def _violation_report_chunked(
+    path, coords, r, cfg, pdb_name, tbl_name, append,
+    row_chunk: int = 512,
+) -> Tuple[int, int]:
+    """write_violation_report's at-scale body (restraint count beyond
+    FULL_REPORT_MAX): row-chunked traversal with bounded temporaries.
+    Beyond-reference restraint sets are ~L^2/2 pairs — the dense body's
+    (L, L, 3) diff tensor and twin ~L^2/2-element index arrays are multi-GB
+    host allocations that this single-vCPU box streams at ~0.1 GB/s.
+    Violated rows only (the dense body's own at-scale policy), identical
+    row-major order, identical (satisfied, total) counts."""
+    L = coords.shape[0]
+    relax = cfg.dist_relax
+    satisfied = 0
+    total = 0
+    out_rows = []  # (i, j, t, nd, pd, dist, dev) of violated rows, in order
+    target = np.asarray(r.target)
+    negdev = np.asarray(r.negdev)
+    posdev = np.asarray(r.posdev)
+    mask_full = np.asarray(r.mask)
+    cols = np.arange(L)
+    for r0 in range(0, L, row_chunk):
+        r1 = min(r0 + row_chunk, L)
+        m = (mask_full[r0:r1] > 0) & (cols[None, :] > np.arange(r0, r1)[:, None])
+        if not m.any():
+            continue
+        a = coords[r0:r1]
+        d2 = np.zeros((r1 - r0, L))
+        for ax in range(3):
+            dc = a[:, ax][:, None] - coords[:, ax][None, :]
+            d2 += dc * dc
+        d = np.sqrt(d2)
+        t = target[r0:r1].astype(np.float64)
+        lo = t - negdev[r0:r1]
+        hi = t + posdev[r0:r1]
+        under_hi = (d < hi + relax) & m
+        under_lo = (d < lo - relax) & m
+        total += int(m.sum())
+        satisfied += int(under_hi.sum()) - int(under_lo.sum())
+        viol = m & ~(under_hi & ~under_lo)
+        if viol.any():
+            vi, vj = np.nonzero(viol)
+            pd_v = d[vi, vj]
+            lo_v, hi_v = lo[vi, vj], hi[vi, vj]
+            dev = np.where(under_lo[vi, vj], -(lo_v - pd_v), pd_v - hi_v)
+            out_rows.append((
+                vi + r0 + 1, vj + 1, t[vi, vj],
+                negdev[r0:r1][vi, vj], posdev[r0:r1][vi, vj], pd_v, dev,
+            ))
+    lines = []
+    for ri, rj, rt, rnd, rpd, rdist, rdev in out_rows:
+        lines.extend(
+            f"  1\t{dv:.2f}\t{pdist:.2f} # assign45  resid {i:3d} and name ca"
+            f"   resid {j:3d} and name ca  {tv:.2f} {ndv:.2f} {pdvv:.2f}\n"
+            for i, j, tv, ndv, pdvv, pdist, dv in zip(
+                ri.tolist(), rj.tolist(), rt.tolist(), rnd.tolist(),
+                rpd.tolist(), rdist.tolist(), rdev.tolist(),
+            )
+        )
+    with open(path, "a" if append else "w") as f:
+        f.write(f"#NOE violation check; {pdb_name} against {tbl_name}\n")
+        f.write("#violation-flag, deviation, actual-measurement, Input-NOE-restraint\n")
+        f.write(
+            f"#beyond-reference scale: {total} restraints, listing the "
+            f"{len(lines)} violated rows only "
+            f"({satisfied}/{total} satisfied)\n"
+        )
+        f.writelines(lines)
+    return satisfied, total
+
+
 def write_violation_report(
     path: str | os.PathLike,
     coords: np.ndarray,
@@ -145,6 +255,14 @@ def write_violation_report(
     # end-to-end wall. Semantics identical to count_satisfied_tbl_rows
     # (chromosome3D.pl:447-485), violated rows first (stable order).
     coords = np.asarray(coords, dtype=np.float64)
+    mask_np = np.asarray(r.mask) > 0
+    if mask_np.sum() // 2 > FULL_REPORT_MAX:
+        # at-scale route: row-chunked traversal — no (L, L, 3) diff tensor,
+        # no ~L^2/2-element index arrays, only the violated rows collected
+        # (same row-major order the argsort below produces for them)
+        return _violation_report_chunked(
+            path, coords, r, cfg, pdb_name, tbl_name, append
+        )
     diff = coords[:, None, :] - coords[None, :, :]
     d = np.sqrt((diff * diff).sum(-1))
     ii, jj = np.nonzero(np.triu(r.mask, k=1))

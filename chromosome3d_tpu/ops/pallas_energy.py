@@ -907,13 +907,14 @@ def _pairwise_energy_grad_batched(
 def _kernel_exact_tri(
     params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, ...
     xrow_ref,     # (1, TM, 3) row-block coords (block i)
+    xrowT_ref,    # (1, 3, TM) row-block coords, T layout (block i)
     xcolT_ref,    # (1, 3, TM) col-block coords, T layout (block tj)
     t_ref,        # (TM, TM) exact restraint target block (i, tj)
     w_ref,        # (TM, TM) mask-folded weights block
     bmr_ref,      # (TM, 1) row-block bead mask
     bmc_ref,      # (1, TM) col-block bead mask
-    e_ref,        # out (1, 1, TM, 1): row-block energy partials of THIS s
-    grow_ref,     # out (1, 1, TM, 3): row-block gradient of THIS s
+    e_ref,        # out (1, 1, 1, TM): col-summed energy partials of THIS s
+    growT_ref,    # out (1, 1, 3, TM): row-block gradient of THIS s (T layout)
     gcolT_ref,    # out (1, 1, 3, TM): col-block gradient of THIS s (T layout)
     *,
     gram: bool = False,
@@ -928,14 +929,20 @@ def _kernel_exact_tri(
     {i, i+T/2} twice, so only i < T/2 computes (the twin writes zeros).
     Each block computed once yields BOTH endpoints' gradients:
 
-        g_row_i  = a_i * rowsum(c) - c @ x_j       (slot (b, s, i))
+        g_rowT_i = a_i^T * rowsum(c) - (c @ x_j)^T (slot (b, s, i))
         g_colT_j = x_j^T * colsum(c) - a_i^T @ c   (slot (b, s, tj))
 
     Every output slot is written exactly once (no revisit accumulation —
     the s-axis sums happen outside in XLA, O(S·L) work). vs the full-matrix
     kernel this does ~T(T+1)/2 blocks instead of T^2: ~33% less pair math
     at T=3, ~45% at T=11. Same rsqrt-space algebra as _kernel_fused_step;
-    the total keeps _kernel_exact's double-count convention."""
+    the total keeps _kernel_exact's double-count convention.
+
+    ALL outputs are lane-major (minor dim TM): a (.., TM, 3) or (.., TM, 1)
+    output tiles to T(8, 128) with a 42-128x padding expansion — at
+    L = 32768 the (B, S, Lp, 3) + (B, S, Lp, 1) partials measured 11 GB of
+    HLO-temp padding, alone exceeding HBM. Lane-major partials are exact-
+    sized; energy partials store COLUMN sums (same total, native layout)."""
     i = pl.program_id(0)
     s = pl.program_id(1)
     T = pl.num_programs(0)
@@ -990,16 +997,22 @@ def _kernel_exact_tri(
     e_blk = s2 * (
         (0.5 * noe_w) * (wu * u) + (0.5 * vdw_w) * (nv * v)
     )
-    e_contrib = e_scale * jnp.sum(e_blk, axis=1, keepdims=True)   # (TM, 1)
+    # COLUMN sums (lane-major (1, TM) — same total as the row sums)
+    e_ref[0, 0] = e_scale * jnp.sum(e_blk, axis=0, keepdims=True)
 
-    crow = jnp.sum(c_blk, axis=1, keepdims=True)   # (TM, 1)
-    cxj = jax.lax.dot_general(
-        c_blk, xjT, (((1,), (1,)), ((), ())),
+    aT = xrowT_ref[0]                              # (3, TM)
+    # row sums of c_blk in lane-major layout via a ones contraction (MXU)
+    crowT = jax.lax.dot_general(
+        jnp.ones((1, TM), jnp.float32), c_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )                                              # (TM, 3)
-    e_ref[0, 0] = e_contrib
-    grow_ref[0, 0] = a * crow - cxj
+    )                                              # (1, TM): sum_k c[r, k]
+    cxjT = jax.lax.dot_general(
+        xjT, c_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (3, TM)
+    growT_ref[0, 0] = aT * crowT - cxjT
 
     # col-block gradient: zero on the diagonal shell (g_row already carries
     # the complete intra-block gradient there — the block is symmetric)
@@ -1017,9 +1030,16 @@ def _pick_tile_tri(L: int) -> int:
     """Block size for the triangular kernel: (TM, TM) restraint blocks, so
     VMEM scales with TM^2 — much larger tiles than the (TM, L) layout.
     Picks the candidate minimizing TOTAL pair work (live blocks x TM^2),
-    which trades tile size against padding waste and shell coverage."""
+    which trades tile size against padding waste and shell coverage.
+
+    Candidates that DIVIDE L exactly win any within-30% work comparison:
+    a non-divisor tile forces jnp.pad of the (L, L) restraint tiles inside
+    the jitted solve — at L = 32768 those two padded copies measured
+    2 x 4.06 GB of remat'd HLO temps (plus their per-step recompute
+    traffic), worth far more than a 30% pair-op-count edge. At reference
+    scale the pads are KB and the work term dominates either way."""
     budget = 14 * 1024 * 1024
-    best, best_work = 128, None
+    best, best_work, best_div = 128, None, False
     for t in (512, 384, 256, 128):
         if 22 * t * t * 4 > budget:
             continue
@@ -1028,10 +1048,23 @@ def _pick_tile_tri(L: int) -> int:
         S = T // 2 + 1
         live = T * S - (T // 2 if T % 2 == 0 else 0)
         work = live * t * t
-        # candidates iterate LARGEST first; a smaller tile must cut the pair
-        # work by >15% to win (more grid steps = more per-block overhead)
-        if best_work is None or work < 0.85 * best_work:
-            best, best_work = t, work
+        divides = L % t == 0
+        if best_work is None:
+            best, best_work, best_div = t, work, divides
+            continue
+        if divides and not best_div:
+            if work < 1.30 * best_work:
+                best, best_work, best_div = t, work, True
+            continue
+        if best_div and not divides:
+            if work < 0.85 / 1.30 * best_work:
+                best, best_work, best_div = t, work, False
+            continue
+        # same divisibility class: candidates iterate LARGEST first; a
+        # smaller tile must cut the pair work by >15% to win (more grid
+        # steps = more per-block overhead)
+        if work < 0.85 * best_work:
+            best, best_work, best_div = t, work, divides
     return best
 
 
@@ -1235,12 +1268,13 @@ def pallas_energy_grad_tri_batched(
     def tj(i, s, b):
         return (i + s) % T
 
-    e_parts, g_row, g_colT = pl.pallas_call(
+    e_parts, g_rowT, g_colT = pl.pallas_call(
         functools.partial(_kernel_exact_tri, gram=gram),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TM, 3), lambda i, s, b: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TM), lambda i, s, b: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, TM), lambda i, s, b: (b, 0, tj(i, s, b)), memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, TM), lambda i, s, b: (i, tj(i, s, b)), memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, TM), lambda i, s, b: (i, tj(i, s, b)), memory_space=pltpu.VMEM),
@@ -1248,13 +1282,16 @@ def pallas_energy_grad_tri_batched(
             pl.BlockSpec((1, TM), lambda i, s, b: (0, tj(i, s, b)), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, TM, 1), lambda i, s, b: (b, s, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TM, 3), lambda i, s, b: (b, s, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TM), lambda i, s, b: (b, s, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, TM), lambda i, s, b: (b, s, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 3, TM), lambda i, s, b: (b, s, 0, tj(i, s, b)), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, S, Lp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, S, Lp, 3), jnp.float32),
+            # lane-major partials: exact-sized under T(8, 128) tiling — the
+            # old (B, S, Lp, 3)/(B, S, Lp, 1) layouts padded 42-128x and
+            # alone exceeded HBM at L = 32768
+            jax.ShapeDtypeStruct((B, S, 1, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, 3, Lp), jnp.float32),
             jax.ShapeDtypeStruct((B, S, 3, Lp), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -1263,22 +1300,24 @@ def pallas_energy_grad_tri_batched(
             transcendentals=TM * TM * B * (T * S),
         ),
         interpret=interpret,
-    )(params, x, xt, t, w, bm[:, None], bm[None, :])
-    g = g_row.sum(axis=1) + jnp.swapaxes(g_colT.sum(axis=1), 1, 2)
-    return jnp.sum(e_parts[:, :, :, 0], axis=(1, 2)), g[:, :L, :]
+    )(params, x, xt, xt, t, w, bm[:, None], bm[None, :])
+    gT = g_rowT.sum(axis=1) + g_colT.sum(axis=1)          # (B, 3, Lp)
+    g = jnp.swapaxes(gT, 1, 2)
+    return jnp.sum(e_parts[:, :, 0, :], axis=(1, 2)), g[:, :L, :]
 
 
 def _kernel_exact_tri_strip(
     params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, ...
     row0t_ref,    # SMEM (1,) int32: this strip's first GLOBAL row TILE index
     xrow_ref,     # (1, TM, 3) row-block coords (local block i of the strip)
+    xrowT_ref,    # (1, 3, TM) row-block coords, T layout (rolled block i)
     xcolT_ref,    # (1, 3, TM) col-block coords from the ROLLED (B, 3, L)
     t_ref,        # (TM, TM) exact target block (rolled strip, block (i, jj))
     w_ref,        # (TM, TM) mask-folded weights block (rolled strip)
     bmr_ref,      # (TM, 1) row-block bead mask (strip rows)
     bmc_ref,      # (1, TM) col-block bead mask (rolled)
-    e_ref,        # out (1, 1, TM, 1): row-block energy partials of shell s
-    grow_ref,     # out (1, 1, TM, 3): row-block gradient of shell s
+    e_ref,        # out (1, 1, 1, TM): col-summed energy partials of shell s
+    growT_ref,    # out (1, 1, 3, TM): row-block gradient of shell s (T)
     gcolT_ref,    # out (1, 1, 3, TM): col-block gradient, COMPACT slot i
     *,
     Tg: int,      # static: global column tile count (= L // TM)
@@ -1350,15 +1389,22 @@ def _kernel_exact_tri_strip(
     e_blk = s2 * (
         (0.5 * noe_w) * (wu * u) + (0.5 * vdw_w) * (nv * v)
     )
-    e_ref[0, 0] = e_scale * jnp.sum(e_blk, axis=1, keepdims=True)
+    # lane-major partials throughout (see _kernel_exact_tri: the (TM, 1)/
+    # (TM, 3)-minor layouts padded 42-128x at scale)
+    e_ref[0, 0] = e_scale * jnp.sum(e_blk, axis=0, keepdims=True)
 
-    crow = jnp.sum(c_blk, axis=1, keepdims=True)
-    cxj = jax.lax.dot_general(
-        c_blk, xjT, (((1,), (1,)), ((), ())),
+    aT = xrowT_ref[0]                              # (3, TM)
+    crowT = jax.lax.dot_general(
+        jnp.ones((1, TM), jnp.float32), c_blk, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )
-    grow_ref[0, 0] = a * crow - cxj
+    )                                              # (1, TM): sum_k c[r, k]
+    cxjT = jax.lax.dot_general(
+        xjT, c_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (3, TM)
+    growT_ref[0, 0] = aT * crowT - cxjT
 
     col_live = jnp.where(s == 0, 0.0, 1.0)
     ccol = jnp.sum(c_blk, axis=0, keepdims=True)
@@ -1410,8 +1456,9 @@ def pallas_strip_tri_energy_grad_batched(
 ):
     """Symmetry-exploiting pair energy+grad for one row strip of a sharded
     exact-restraint solve (see _kernel_exact_tri_strip). Returns
-    (e partial (B,), grow (B, S, Lb, 3), gcolT compact (B, S, 3, Lb));
-    assembly + collectives are the caller's (solver.sharded) job."""
+    (e partial (B,), growT (B, S, 3, Lb), gcolT compact (B, S, 3, Lb)) —
+    all partials lane-major; assembly + collectives are the caller's
+    (solver.sharded) job."""
     B, Lb, _ = x_rows.shape
     L = xT_rolled.shape[2]
     TM = pick_tile_tri_strip(Lb)
@@ -1436,13 +1483,15 @@ def pallas_strip_tri_energy_grad_batched(
         return (i + s) % Tg
 
     grid = (Tl, S, B)
-    e_parts, g_row, g_colT = pl.pallas_call(
+    e_parts, g_rowT, g_colT = pl.pallas_call(
         functools.partial(_kernel_exact_tri_strip, Tg=Tg, gram=gram),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TM, 3), lambda i, s, b: (b, i, 0), memory_space=pltpu.VMEM),
+            # rolled (B, 3, L) block i == this strip's row tile i in T layout
+            pl.BlockSpec((1, 3, TM), lambda i, s, b: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, TM), lambda i, s, b: (b, 0, jj(i, s, b)), memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, TM), lambda i, s, b: (i, jj(i, s, b)), memory_space=pltpu.VMEM),
             pl.BlockSpec((TM, TM), lambda i, s, b: (i, jj(i, s, b)), memory_space=pltpu.VMEM),
@@ -1450,13 +1499,14 @@ def pallas_strip_tri_energy_grad_batched(
             pl.BlockSpec((1, TM), lambda i, s, b: (0, jj(i, s, b)), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, TM, 1), lambda i, s, b: (b, s, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TM, 3), lambda i, s, b: (b, s, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TM), lambda i, s, b: (b, s, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, TM), lambda i, s, b: (b, s, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 3, TM), lambda i, s, b: (b, s, 0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, S, Lb, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, S, Lb, 3), jnp.float32),
+            # lane-major partials (see _kernel_exact_tri's layout note)
+            jax.ShapeDtypeStruct((B, S, 1, Lb), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, 3, Lb), jnp.float32),
             jax.ShapeDtypeStruct((B, S, 3, Lb), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -1466,16 +1516,16 @@ def pallas_strip_tri_energy_grad_batched(
         ),
         interpret=interpret,
     )(
-        params, row0t, x_rows.astype(jnp.float32), xT_rolled,
+        params, row0t, x_rows.astype(jnp.float32), xT_rolled, xT_rolled,
         t_rolled, w_rolled,
         bm_rows.astype(jnp.float32)[:, None],
         bm_rolled.astype(jnp.float32)[None, :],
     )
-    return jnp.sum(e_parts[:, :, :, 0], axis=(1, 2)), g_row, g_colT
+    return jnp.sum(e_parts[:, :, 0, :], axis=(1, 2)), g_rowT, g_colT
 
 
 def assemble_strip_tri_grad(
-    g_row: jnp.ndarray,     # (B, S, Lb, 3) from pallas_strip_tri_...
+    g_rowT: jnp.ndarray,    # (B, S, 3, Lb) from pallas_strip_tri_... (T)
     g_colT: jnp.ndarray,    # (B, S, 3, Lb) compact col-block gradients
     row0: jnp.ndarray,      # traced int32: global first ROW of the strip
     L: int,
@@ -1486,7 +1536,7 @@ def assemble_strip_tri_grad(
     ROLLED column tile (i + s) % Tg, i.e. rolled columns [s*TM + i*TM)
     wrapping — so shell s un-compacts with a STATIC roll by s*TM, and one
     traced roll by row0 undoes the caller's strip roll."""
-    B, S, Lb, _ = g_row.shape
+    B, S, _, Lb = g_rowT.shape
     TM = pick_tile_tri_strip(Lb)
     pad = L - Lb
     acc = jnp.zeros((B, 3, L), jnp.float32)
@@ -1494,7 +1544,7 @@ def assemble_strip_tri_grad(
         strip = jnp.pad(g_colT[:, s], ((0, 0), (0, 0), (0, pad)))
         acc = acc + (jnp.roll(strip, s * TM, axis=2) if s else strip)
     g_col_global = jnp.roll(acc, row0, axis=2)
-    g_rows_T = jnp.swapaxes(jnp.sum(g_row, axis=1), 1, 2)      # (B, 3, Lb)
+    g_rows_T = jnp.sum(g_rowT, axis=1)                         # (B, 3, Lb)
     own = jax.lax.dynamic_slice(g_col_global, (0, 0, row0), (B, 3, Lb))
     return jax.lax.dynamic_update_slice(
         g_col_global, own + g_rows_T, (0, 0, row0)

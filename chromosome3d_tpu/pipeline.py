@@ -825,10 +825,18 @@ def emit_artifacts(
     idx_to_rank = {int(idx): rank for rank, idx in enumerate(sp_order, start=1)}
     best = int(e_order[0])
     satisfied = total = 0
-    # the spec column is model-independent: format it once per chromosome
-    from chromosome3d_tpu.assess import restraint_spec_strings
+    # the spec column is model-independent: format it once per chromosome —
+    # but ONLY at reference scale. Beyond FULL_REPORT_MAX the writer keeps
+    # violated rows only and formats specs for just those; precomputing all
+    # of them here (one Python f-string per restraint, ~L^2/2 at scale)
+    # would be hours of host time at L = 16384 on this single-vCPU box.
+    from chromosome3d_tpu.assess import FULL_REPORT_MAX, restraint_spec_strings
 
-    specs = restraint_spec_strings(restraints)
+    specs = (
+        restraint_spec_strings(restraints)
+        if restraints.count <= FULL_REPORT_MAX
+        else None
+    )
     for n, idx in enumerate(np.argsort(-energies["noe"], kind="stable")):
         idx = int(idx)
         s, t = write_violation_report(
