@@ -114,7 +114,8 @@ def exact_tiles_from_target_device(
 
 
 def _tiles_from_if_body(if_padded, n_true, alpha, kscaling, p,
-                        separation: int, weighting: str) -> ExactRestraints:
+                        separation: int, weighting: str,
+                        out_dtype: str = "float32") -> ExactRestraints:
     """One chromosome's L3 prep as a traceable body (shared by the single
     and the vmapped-batch programs)."""
     L_pad = if_padded.shape[0]
@@ -145,18 +146,31 @@ def _tiles_from_if_body(if_padded, n_true, alpha, kscaling, p,
         & (j < n)
     )
     t = jnp.where(mask, q, 0.0)
-    return ExactRestraints(target=t, w=_weights_from_target(t, p, weighting))
+    w = _weights_from_target(t, p, weighting)
+    if out_dtype != "float32":
+        # bf16-STORED tiles (AnnealConfig.pair_bf16 at scale): all prep math
+        # and the %.1f quantization stay f32; only the emitted tensors
+        # convert (XLA fuses the converts into the producers, so no f32
+        # copy outlives the program). Halves the solve's argument HBM AND
+        # the per-step tile stream — unlike the in-jit cast, which keeps
+        # the f32 originals alive. Mask recovery (t > 0) survives the
+        # conversion (quantized targets are >= 0.1; zeros stay zero).
+        dt = jnp.dtype(out_dtype)
+        t, w = t.astype(dt), w.astype(dt)
+    return ExactRestraints(target=t, w=w)
 
 
 @functools.lru_cache(maxsize=16)
-def _tiles_from_if_prog(separation: int, weighting: str):
+def _tiles_from_if_prog(separation: int, weighting: str,
+                        out_dtype: str = "float32"):
     # donate the IF matrix: XLA reuses its buffer for an output tile, so the
     # prep peak is ~3 live (L, L) tensors instead of 4 — this is what decides
     # the single-chip ceiling L (callers never reuse the uploaded matrix)
     @functools.partial(jax.jit, donate_argnums=0)
     def prog(if_padded, n_true, alpha, kscaling, p):
         return _tiles_from_if_body(
-            if_padded, n_true, alpha, kscaling, p, separation, weighting
+            if_padded, n_true, alpha, kscaling, p, separation, weighting,
+            out_dtype,
         )
 
     return prog
@@ -216,6 +230,7 @@ def exact_tiles_from_if_device(
     weighting: str,
     weight_exponent: float,
     sharding=None,
+    out_dtype: str = "float32",
 ) -> ExactRestraints:
     """Full L3 restraint generation on device: (L, L) IF matrix ->
     ExactRestraints at (L_pad, L_pad). Mirrors if_to_dist + quantize_dist +
@@ -225,8 +240,10 @@ def exact_tiles_from_if_device(
 
     sharding: like exact_tiles_from_target_device — the padded IF upload
     goes straight to per-device row slices and the tiles are born
-    distributed (the global mean is one all-reduce under GSPMD)."""
-    prog = _tiles_from_if_prog(int(rc.separation), weighting)
+    distributed (the global mean is one all-reduce under GSPMD).
+    out_dtype: "bfloat16" emits bf16-STORED tiles (see _tiles_from_if_body)
+    — a distinct compiled program from the f32 one."""
+    prog = _tiles_from_if_prog(int(rc.separation), weighting, str(out_dtype))
     m = pad_f32(if_matrix, L_pad)
     return prog(
         jnp.asarray(m) if sharding is None else jax.device_put(m, sharding),

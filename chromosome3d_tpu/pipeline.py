@@ -513,7 +513,14 @@ def run_pipeline(
             if p_x is None:
                 p_x = auto_weight_exponent(L)
             tiles = exact_tiles_from_if_device(
-                if_matrix, L_pad, rc_x, rc_x.weighting, p_x
+                if_matrix, L_pad, rc_x, rc_x.weighting, p_x,
+                # pair_bf16 at scale: tiles STORED bf16 (half the argument
+                # HBM and the per-step stream; measured +16-27% at
+                # L=8192-24576, quality-neutral — DESIGN.md round-4
+                # results). The assessment view below stays f32 (correct
+                # report values), paying one extra prep compile per bucket.
+                out_dtype="bfloat16" if cfg_solve.anneal.pair_bf16
+                else "float32",
             )
             return _aot_solve(tiles, cfg_solve.anneal, k, cfg_solve.model_count, bm)
         if sharded:

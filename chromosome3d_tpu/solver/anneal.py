@@ -252,6 +252,16 @@ def solve_ensemble_impl(
     if bead_mask is None:
         bead_mask = jnp.ones((L,), dtype=jnp.float32)
 
+    # bf16-STORED at-scale tiles (device_prep out_dtype="bfloat16"): the
+    # embed/init math must run f32 — one transient upcast here; the hot
+    # loop and final terms read the bf16 tiles natively (the kernels
+    # upcast per block on read)
+    init_restraints = restraints
+    if restraints.lo.dtype == jnp.bfloat16:
+        init_restraints = jax.tree.map(
+            lambda a: a.astype(jnp.float32), restraints
+        )
+
     if x0 is None:
         init = cfg.init
         if init == "auto":
@@ -261,7 +271,7 @@ def solve_ensemble_impl(
             init = "mds" if L < 2048 else "landmark"
         if init == "mds":
             x0 = mds_init(
-                restraints,
+                init_restraints,
                 bond_length=cfg.bond_length,
                 unknown_fill=cfg.mds_unknown_fill,
                 bead_mask=bead_mask,
@@ -269,7 +279,7 @@ def solve_ensemble_impl(
             )
         elif init == "landmark":
             x0 = landmark_init(
-                restraints,
+                init_restraints,
                 bond_length=cfg.bond_length,
                 k=cfg.landmark_count,
                 n_iters=cfg.landmark_iters,

@@ -174,6 +174,7 @@ def main():
                 auto_weight_exponent(L)
                 if rc.weight_exponent is None
                 else rc.weight_exponent,
+                out_dtype="bfloat16" if args.bf16 else "float32",
             )
             np.asarray(dense.w[:1, :1])  # fence: include prep execution
         prep_s = time.time() - t_prep

@@ -205,3 +205,59 @@ def test_restraints_from_exact_target_matches_host():
     np.testing.assert_array_equal(view.mask, host.mask)
     assert view.count == host.count and view.length == host.length
     assert not view.negdev.any() and not view.posdev.any()
+
+
+def test_tiles_bf16_stored_match_f32_cast():
+    """out_dtype="bfloat16" must emit exactly the f32 tiles converted —
+    the stored-bf16 form equals the in-jit pair_bf16 cast bit for bit
+    (same values, half the argument HBM and per-step stream)."""
+    import jax.numpy as jnp
+
+    rc = RestraintConfig()
+    m = _matrix(100)
+    p = auto_weight_exponent(100)
+    f32 = exact_tiles_from_if_device(m, 128, rc, rc.weighting, p)
+    b16 = exact_tiles_from_if_device(
+        m, 128, rc, rc.weighting, p, out_dtype="bfloat16"
+    )
+    assert b16.target.dtype == jnp.bfloat16 and b16.w.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(b16.target), np.asarray(f32.target.astype(jnp.bfloat16))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b16.w), np.asarray(f32.w.astype(jnp.bfloat16))
+    )
+    # mask recovery survives the conversion
+    np.testing.assert_array_equal(
+        np.asarray(b16.mask) > 0, np.asarray(f32.mask) > 0
+    )
+
+
+def test_solve_with_bf16_stored_tiles():
+    """solve_ensemble on bf16-STORED tiles: the init upcasts to f32, the
+    hot loop reads the tiles natively, and the result is sane (finite,
+    centered, energy comparable to the f32-stored solve)."""
+    import dataclasses
+
+    import jax
+
+    from chromosome3d_tpu.config import AnnealConfig, fast_anneal
+    from chromosome3d_tpu.solver.anneal import solve_ensemble
+
+    rc = RestraintConfig()
+    m = _matrix(96)
+    p = auto_weight_exponent(96)
+    f32 = exact_tiles_from_if_device(m, 96, rc, rc.weighting, p)
+    b16 = exact_tiles_from_if_device(
+        m, 96, rc, rc.weighting, p, out_dtype="bfloat16"
+    )
+    cfg = fast_anneal(AnnealConfig(exact_restraints=True))
+    cfg_b = dataclasses.replace(cfg, pair_bf16=True)
+    ref = solve_ensemble(f32, cfg, jax.random.PRNGKey(4), 2)
+    got = solve_ensemble(b16, cfg_b, jax.random.PRNGKey(4), 2)
+    gc = np.asarray(got.coords)
+    assert np.isfinite(gc).all()
+    np.testing.assert_allclose(gc.mean(axis=1), 0.0, atol=1e-3)
+    e_ref = float(np.asarray(ref.energies["overall"]).min())
+    e_got = float(np.asarray(got.energies["overall"]).min())
+    assert abs(e_got - e_ref) / max(abs(e_ref), 1.0) < 0.05
