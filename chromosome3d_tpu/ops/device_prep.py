@@ -74,13 +74,18 @@ def _weights_from_target(t, p, weighting: str):
 
 
 @functools.lru_cache(maxsize=16)
-def _tiles_from_target_prog(weighting: str):
+def _tiles_from_target_prog(weighting: str, out_dtype: str = "float32"):
     # donate t: the output target IS the input (zero-copy aliasing) — at the
     # ceiling sizes every live (L, L) buffer counts (callers never reuse the
-    # uploaded array)
+    # uploaded array). With out_dtype="bfloat16" the alias is lost (dtype
+    # differs) but the donated buffer is still reusable scratch.
     @functools.partial(jax.jit, donate_argnums=0)
     def prog(t, p):
-        return ExactRestraints(target=t, w=_weights_from_target(t, p, weighting))
+        w = _weights_from_target(t, p, weighting)
+        if out_dtype != "float32":
+            dt = jnp.dtype(out_dtype)
+            t, w = t.astype(dt), w.astype(dt)
+        return ExactRestraints(target=t, w=w)
 
     return prog
 
@@ -91,6 +96,7 @@ def exact_tiles_from_target_device(
     weighting: str,
     weight_exponent: float,
     sharding=None,
+    out_dtype: str = "float32",
 ) -> ExactRestraints:
     """(L, L) masked target (zero where no restraint) -> the two-tensor
     ExactRestraints form at (L_pad, L_pad), weights computed on device.
@@ -107,10 +113,14 @@ def exact_tiles_from_target_device(
     sharding through the program; the relative-weighting mean is one
     all-reduce). Without this, a multi-chip caller would materialize the
     whole (L, L) on one device before shard_map redistributes — the exact
-    failure mode the sharded solver exists to avoid."""
+    failure mode the sharded solver exists to avoid.
+
+    out_dtype: "bfloat16" emits bf16-STORED tiles (see _tiles_from_if_body)."""
     t = pad_f32(target, L_pad)
     t = jnp.asarray(t) if sharding is None else jax.device_put(t, sharding)
-    return _tiles_from_target_prog(weighting)(t, jnp.float32(weight_exponent))
+    return _tiles_from_target_prog(weighting, str(out_dtype))(
+        t, jnp.float32(weight_exponent)
+    )
 
 
 def _tiles_from_if_body(if_padded, n_true, alpha, kscaling, p,
@@ -206,7 +216,13 @@ def exact_tiles_from_if_batched_device(
     prep passes run on the accelerator. weight_exponents: per-chromosome p
     (auto_weight_exponent of each TRUE length). sharding: a (chrom, beads)
     NamedSharding — the stacked upload goes straight to per-device slices
-    and the bucket's tiles are born distributed."""
+    and the bucket's tiles are born distributed.
+
+    Always f32 (no out_dtype): the genome bucket's LIVE tiles double as the
+    host-assessment source (callers download per-chromosome target slices —
+    parallel/genome.py), so bf16-stored tiles would put bf16-rounded
+    targets in the violation reports. The run/solve/serve at-scale surfaces
+    re-prep a separate f32 assessment view and so can store bf16."""
     B = len(matrices)
     stack = np.zeros((B, L_pad, L_pad), np.float32)
     for b, m in enumerate(matrices):

@@ -181,13 +181,19 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
 
             p = auto_weight_exponent(L)
         row_sh = _beads_row_sharding()
+        # pair_bf16: bf16-STORED tiles for the sharded solve too (the shard
+        # body's init upcasts transiently, the strip/row kernels read bf16
+        # natively); the f32 assessment view is a separate prep program
+        dt = "bfloat16" if cfg.anneal.pair_bf16 else "float32"
         if if_matrix is not None:
             dense = exact_tiles_from_if_device(
-                if_matrix, L_pad, rc, rc.weighting, p, sharding=row_sh
+                if_matrix, L_pad, rc, rc.weighting, p, sharding=row_sh,
+                out_dtype=dt,
             )
         else:
             dense = exact_tiles_from_target_device(
-                restraints.target, L_pad, rc.weighting, p, sharding=row_sh
+                restraints.target, L_pad, rc.weighting, p, sharding=row_sh,
+                out_dtype=dt,
             )
     else:
         if restraints is None:

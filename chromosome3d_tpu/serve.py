@@ -171,7 +171,11 @@ class SolverCache:
                 )
 
                 dense = exact_tiles_from_if_device(
-                    matrix, L_pad, rc, rc.weighting, p
+                    matrix, L_pad, rc, rc.weighting, p,
+                    # bf16-STORED tiles when pair_bf16 (the assessment view
+                    # below is a separate f32 prep program)
+                    out_dtype="bfloat16" if cfg.anneal.pair_bf16
+                    else "float32",
                 )
             else:
                 dense = dense_restraints_from_numpy(

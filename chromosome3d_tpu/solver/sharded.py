@@ -292,8 +292,13 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
 
         # ---- landmark init from the sharded rows ----
         # two-sided: the upper relaxation paths through HI edges (the
-        # bounds-matrix convention — see solver.init.edge_weights use_hi)
-        target = hi if cfg.embed_two_sided else 0.5 * (lo + hi)
+        # bounds-matrix convention — see solver.init.edge_weights use_hi).
+        # Tiles may arrive bf16-STORED (device_prep out_dtype="bfloat16");
+        # the init math runs f32 like the single-chip path's upcast — these
+        # casts are init-transient, the hot loop reads the tiles natively
+        target = (hi if cfg.embed_two_sided else 0.5 * (lo + hi)).astype(
+            jnp.float32
+        )
         rows_g = row_start + jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 0)
         cols_g = jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 1)
         bm_rows = jax.lax.dynamic_slice(bead, (row_start,), (Lb,))
@@ -320,7 +325,7 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
             # smoothed window — identical to the single-device two-sided
             # landmark path (tested equal on the CPU mesh)
             mask_rows = (w > 0).astype(delta.dtype) * pair_real.astype(delta.dtype)
-            lo_rows = jnp.where(mask_rows > 0, lo, 0.0)
+            lo_rows = jnp.where(mask_rows > 0, lo.astype(delta.dtype), 0.0)
             lrel = lidx - row_start
             own = (lrel >= 0) & (lrel < Lb)
             lsafe = jnp.clip(lrel, 0, Lb - 1)

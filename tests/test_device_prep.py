@@ -261,3 +261,24 @@ def test_solve_with_bf16_stored_tiles():
     e_ref = float(np.asarray(ref.energies["overall"]).min())
     e_got = float(np.asarray(got.energies["overall"]).min())
     assert abs(e_got - e_ref) / max(abs(e_ref), 1.0) < 0.05
+
+
+def test_target_tiles_bf16_stored_match_f32_cast():
+    """exact_tiles_from_target_device out_dtype="bfloat16": same values as
+    the f32 program converted (the target-fed twin of the IF-fed test)."""
+    import jax.numpy as jnp
+
+    rc = RestraintConfig()
+    r = build_restraints(_matrix(96), rc)
+    p = auto_weight_exponent(r.length)
+    f32 = exact_tiles_from_target_device(r.target, 128, "relative", p)
+    b16 = exact_tiles_from_target_device(
+        r.target, 128, "relative", p, out_dtype="bfloat16"
+    )
+    assert b16.target.dtype == jnp.bfloat16 and b16.w.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(b16.target), np.asarray(f32.target.astype(jnp.bfloat16))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b16.w), np.asarray(f32.w.astype(jnp.bfloat16))
+    )

@@ -492,3 +492,35 @@ def test_run_pipeline_at_scale_device_route_single_device(tmp_path, monkeypatch)
     assert summary["L"] == 72
     assert summary["restraints"] == host.count
     assert summary["best_spearman_if_inv_d"] > 0.7
+
+
+def test_run_pipeline_sharded_bf16_stored(tmp_path, monkeypatch):
+    """pair_bf16 at scale: the sharded dispatch builds bf16-STORED tiles
+    for the solve (out_dtype reaches device prep) while the assessment
+    view stays f32, and the run still reconstructs."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    import chromosome3d_tpu.ops.device_prep as dp
+    import chromosome3d_tpu.pipeline as pl
+
+    seen = []
+    real = dp.exact_tiles_from_if_device
+
+    def spy(*a, **k):
+        r = real(*a, **k)
+        seen.append((k.get("out_dtype", "float32"), r.target.dtype))
+        return r
+
+    monkeypatch.setattr(dp, "exact_tiles_from_if_device", spy)
+    src = tmp_path / "big_matrix.txt"
+    np.savetxt(src, structured_matrix(96), fmt="%.3f")
+    cfg = scale_cfg()
+    cfg = dataclasses.replace(
+        cfg, anneal=dataclasses.replace(cfg.anneal, pair_bf16=True)
+    )
+    summary = pl.run_pipeline(str(src), str(tmp_path / "out"), cfg)
+    assert summary["best_spearman_if_inv_d"] > 0.7
+    assert any(d == "bfloat16" and t == jnp.bfloat16 for d, t in seen), seen
+    assert any(t == jnp.float32 for _, t in seen), seen

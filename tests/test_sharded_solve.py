@@ -323,3 +323,48 @@ def test_genome_sharded_2d_matches_1d():
                 np.asarray(ref.energies[k2]),
                 rtol=2e-3,
             )
+
+def test_sharded_ensemble_bf16_stored_tiles():
+    """bf16-STORED tiles (device_prep out_dtype="bfloat16") through the
+    row-sharded ensemble: the per-shard landmark init upcasts to f32
+    (matching solve_ensemble_impl's whole-tile upcast) and the hot loop
+    reads the tiles natively — the sharded result must track the
+    single-chip solve on the SAME stored tiles."""
+    import dataclasses
+
+    from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_device
+    from chromosome3d_tpu.ops.energy import auto_weight_exponent
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+
+    L = 16 * 8
+    rng = np.random.RandomState(2)
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    rc = RestraintConfig()
+    tiles = exact_tiles_from_if_device(
+        m, L, rc, rc.weighting, auto_weight_exponent(L), out_dtype="bfloat16"
+    )
+    assert tiles.target.dtype == jnp.bfloat16
+    cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig(exact_restraints=True)),
+        init="landmark", landmark_count=16, pair_bf16=True,
+    )
+    key = jax.random.PRNGKey(5)
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    sharded = jax.jit(
+        lambda d, k: solve_ensemble_sharded(mesh, d, cfg, k, 2)
+    )(tiles, key)
+    ref = jax.jit(lambda d, k: solve_ensemble_impl(d, cfg, k, 2))(tiles, key)
+    np.testing.assert_allclose(
+        np.asarray(sharded.history), np.asarray(ref.history), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.coords), np.asarray(ref.coords), atol=5e-3
+    )
+    for k2 in ("noe", "bon", "vdw", "overall"):
+        np.testing.assert_allclose(
+            np.asarray(sharded.energies[k2]), np.asarray(ref.energies[k2]),
+            rtol=2e-3,
+        )
