@@ -252,16 +252,6 @@ def solve_ensemble_impl(
     if bead_mask is None:
         bead_mask = jnp.ones((L,), dtype=jnp.float32)
 
-    # bf16-STORED at-scale tiles (device_prep out_dtype="bfloat16"): the
-    # embed/init math must run f32 — one transient upcast here; the hot
-    # loop and final terms read the bf16 tiles natively (the kernels
-    # upcast per block on read)
-    init_restraints = restraints
-    if restraints.lo.dtype == jnp.bfloat16:
-        init_restraints = jax.tree.map(
-            lambda a: a.astype(jnp.float32), restraints
-        )
-
     if x0 is None:
         init = cfg.init
         if init == "auto":
@@ -270,6 +260,18 @@ def solve_ensemble_impl(
             # quality-equal on real data (DESIGN.md)
             init = "mds" if L < 2048 else "landmark"
         if init == "mds":
+            # bf16-STORED tiles (device_prep out_dtype="bfloat16"): the mds
+            # embed math must run f32 — one transient upcast (mds is the
+            # small-L route, so the f32 twin is cheap there). The landmark
+            # path below takes the RAW tiles: it converts per <= 4096-row
+            # strip itself (landmark_targets), and a whole-tile upcast here
+            # would be hoisted out of its relaxation scan by XLA — exactly
+            # the persistent f32 (L, L) the blocked init exists to avoid.
+            init_restraints = restraints
+            if restraints.lo.dtype == jnp.bfloat16:
+                init_restraints = jax.tree.map(
+                    lambda a: a.astype(jnp.float32), restraints
+                )
             x0 = mds_init(
                 init_restraints,
                 bond_length=cfg.bond_length,
@@ -279,7 +281,7 @@ def solve_ensemble_impl(
             )
         elif init == "landmark":
             x0 = landmark_init(
-                init_restraints,
+                restraints,
                 bond_length=cfg.bond_length,
                 k=cfg.landmark_count,
                 n_iters=cfg.landmark_iters,

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from chromosome3d_tpu.ops.energy import DenseRestraints
+from chromosome3d_tpu.ops.energy import DenseRestraints, ExactRestraints
 
 _BIG = 1e6
 
@@ -432,6 +432,36 @@ def landmark_triangulate(
     return -0.5 * ((delta * delta - mu[:, None]).T @ proj)  # (L, 3)
 
 
+def _pick_init_row_block(L: int, cap: int = 4096) -> int:
+    """Largest divisor of L that is <= cap (full L for small problems)."""
+    if L <= cap:
+        return L
+    for c in range(cap, 127, -1):
+        if L % c == 0:
+            return c
+    return L
+
+
+def _restraint_rows(restraints, r0, Lb: int):
+    """(lo, hi, mask) f32 row blocks sliced straight from the stored tiles —
+    bf16-STORED tiles convert on the fly (the casts fuse into the slice
+    consumers), and ExactRestraints' derived mask is built from the sliced
+    w block so the full (L, L) property tensor never materializes."""
+    L = restraints.lo.shape[0]
+
+    def rows(m):
+        return jax.lax.dynamic_slice(m, (r0, 0), (Lb, L))
+
+    if isinstance(restraints, ExactRestraints):
+        t = rows(restraints.target).astype(jnp.float32)
+        return t, t, (rows(restraints.w) > 0).astype(jnp.float32)
+    return (
+        rows(restraints.lo).astype(jnp.float32),
+        rows(restraints.hi).astype(jnp.float32),
+        (rows(restraints.mask) > 0).astype(jnp.float32),
+    )
+
+
 def landmark_targets(
     restraints: DenseRestraints,
     bond_length: float = 3.8,
@@ -450,38 +480,97 @@ def landmark_targets(
     inverse-triangle sweep (relax_landmarks_lower_block), and restrained
     pairs embed at the midpoint of their smoothed window — so a large
     windowed external restraint set gets the same two-sided embed the
-    small-L mds path has (AnnealConfig.embed_two_sided)."""
+    small-L mds path has (AnnealConfig.embed_two_sided).
+
+    The relaxation is ROW-BLOCKED: edge rows are rebuilt on the fly from
+    the restraint tiles per <= 4096-row strip (min/max reductions are exact
+    and order-independent, so the result is bit-equal to the whole-matrix
+    sweep), which means NO persistent f32 (L, L) edge/lower matrix — at
+    L = 40960 the dense edge matrix alone was 6.7 GB next to the stored
+    tiles, the margin between solving and ResourceExhausted on one v5e."""
     L = restraints.lo.shape[0]
     k = min(k, L)
     n_real = bead_mask.sum() if bead_mask is not None else L
     lidx = landmark_indices(L, k, n_real)
-    # two-sided: relax through the HI edges (valid upper bounds); one-sided
-    # keeps the validated midpoint-target graph
-    w = edge_weights(restraints, bond_length, bead_mask, use_hi=two_sided)
+    Lb = _pick_init_row_block(L)
+    nblocks = L // Lb
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 1)
+
+    def edge_rows(r0):
+        """(Lb, L) f32 edge rows — the row-blocked edge_weights. two-sided:
+        relax through the HI edges (valid upper bounds); one-sided keeps
+        the validated midpoint-target graph."""
+        lo_b, hi_b, mask_b = _restraint_rows(restraints, r0, Lb)
+        target = hi_b if two_sided else 0.5 * (lo_b + hi_b)
+        w_rows = jnp.where(mask_b > 0, target, _BIG)
+        rows_g = r0 + jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 0)
+        adjacent = jnp.abs(rows_g - cols_g) == 1
+        if bead_mask is not None:
+            bm_rows = jax.lax.dynamic_slice(bead_mask, (r0,), (Lb,))
+            adjacent = adjacent & ((bm_rows[:, None] * bead_mask[None, :]) > 0)
+        w_rows = jnp.where(adjacent, jnp.minimum(w_rows, bond_length), w_rows)
+        return jnp.where(rows_g == cols_g, 0.0, w_rows)
+
     # start from the chain-walk metric; the first sweep already reaches every
     # direct edge through the zero diagonal (delta[l, l] + w[l, j])
     delta = chain_metric_rows(lidx, L, bond_length)
+    r0s = jnp.arange(nblocks, dtype=jnp.int32) * Lb
 
     def sweep(delta, _):
-        cand = relax_landmarks_block(delta, w, 0)
+        def block(cand, r0):
+            return jnp.minimum(
+                cand, relax_landmarks_block(delta, edge_rows(r0), r0)
+            ), None
+
+        cand, _ = jax.lax.scan(block, jnp.full_like(delta, _BIG), r0s)
         return jnp.minimum(delta, cand), None
 
     delta, _ = jax.lax.scan(sweep, delta, None, length=n_iters)
     if two_sided:
-        mask_f = (restraints.mask > 0).astype(delta.dtype)
+
+        def lo_rows(r0):
+            lo_b, _, mask_b = _restraint_rows(restraints, r0, Lb)
+            if bead_mask is not None:
+                bm_rows = jax.lax.dynamic_slice(bead_mask, (r0,), (Lb,))
+                mask_b = mask_b * (bm_rows[:, None] * bead_mask[None, :])
+            return jnp.where(mask_b > 0, lo_b, 0.0), mask_b
+
+        # direct bounds on the k landmark rows: gathers, no (L, L) tensor
+        # (ExactRestraints: derive mask from the gathered w rows so the
+        # full (w > 0) property tensor never materializes)
+        if isinstance(restraints, ExactRestraints):
+            lo_direct = jnp.take(
+                restraints.target, lidx, axis=0
+            ).astype(delta.dtype)
+            mask_land = (
+                jnp.take(restraints.w, lidx, axis=0) > 0
+            ).astype(delta.dtype)
+        else:
+            lo_direct = jnp.take(restraints.lo, lidx, axis=0).astype(delta.dtype)
+            mask_land = jnp.take(
+                restraints.mask, lidx, axis=0
+            ).astype(delta.dtype)
         if bead_mask is not None:
-            mask_f = mask_f * bead_mask[:, None] * bead_mask[None, :]
-        lo_mat = jnp.where(mask_f > 0, restraints.lo, 0.0)
-        lo_land = jnp.take(lo_mat, lidx, axis=0)             # direct bounds
-        # one sweep is the fixed point here: the sweep reads the FULL lo
-        # matrix (which never updates — only the k landmark rows are
-        # tracked), so repeating it reproduces the same candidates
+            mask_land = mask_land * (
+                jnp.take(bead_mask, lidx)[:, None] * bead_mask[None, :]
+            )
+        lo_land = jnp.where(mask_land > 0, lo_direct, 0.0)
+        # one sweep is the fixed point here: the sweep reads the lo matrix
+        # (which never updates — only the k landmark rows are tracked), so
+        # repeating it reproduces the same candidates
         for _ in range(lower_iters):
-            cand = relax_landmarks_lower_block(delta, lo_mat, 0)
+
+            def block(cand, r0):
+                lo_b, _ = lo_rows(r0)
+                return jnp.maximum(
+                    cand, relax_landmarks_lower_block(delta, lo_b, r0)
+                ), None
+
+            cand, _ = jax.lax.scan(
+                block, jnp.full_like(delta, -_BIG), r0s
+            )
             lo_land = jnp.maximum(lo_land, cand)
-        delta = clip_landmark_targets(
-            delta, lo_land, jnp.take(mask_f, lidx, axis=0)
-        )
+        delta = clip_landmark_targets(delta, lo_land, mask_land)
     return delta, lidx
 
 

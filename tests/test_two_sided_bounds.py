@@ -225,3 +225,36 @@ def test_landmark_chain_only_does_not_explode():
     # consecutive beads land near bond length on the dominant axis
     d = np.linalg.norm(np.diff(x, axis=0), axis=1)
     assert np.median(d) < 3.0 * BOND
+
+
+def test_landmark_targets_row_blocked_bitwise_equal():
+    """The row-blocked landmark relaxation (edge rows rebuilt per strip —
+    no persistent (L, L) f32 edge matrix) must be BITWISE equal to the
+    whole-matrix sweep at any block size: min/max relaxation is exact and
+    order-independent, and each cand element is computed identically."""
+    import numpy as np
+
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.ops.energy import (
+        auto_weight_exponent,
+        exact_restraints_from_numpy,
+    )
+    from chromosome3d_tpu.restraints import build_restraints
+    import chromosome3d_tpu.solver.init as ini
+
+    rng = np.random.RandomState(0)
+    L = 200
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    r = build_restraints(m, RestraintConfig())
+    e = exact_restraints_from_numpy(r, "relative", auto_weight_exponent(L))
+    for ts in (False, True):
+        full, _ = ini.landmark_targets(e, k=32, two_sided=ts)
+        orig = ini._pick_init_row_block
+        try:
+            ini._pick_init_row_block = lambda LL, cap=4096: 40  # 5 strips
+            blk, _ = ini.landmark_targets(e, k=32, two_sided=ts)
+        finally:
+            ini._pick_init_row_block = orig
+        np.testing.assert_array_equal(np.asarray(blk), np.asarray(full))
