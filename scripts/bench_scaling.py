@@ -151,7 +151,16 @@ def main():
         else exact_restraints_from_numpy
     )
     results = []
+    dense = res = coords = None
     for L in [int(s) for s in args.sizes.split(",")]:
+        # free the previous case's device tiles BEFORE building the next:
+        # a multi-size sweep near the HBM ceiling otherwise holds the old
+        # (L, L) tensors alive through the new prep (measured OOM at
+        # 36864-after-32768 that the same size solves alone). Note: even
+        # with this, CEILING sizes (40960-after-36864) can still OOM on
+        # the remote backend (async frees/fragmentation) — measure the
+        # last ~10% of the ceiling one size per process
+        dense = res = coords = None
         gen = synthetic_structured_matrix if args.structured else synthetic_matrix
         m_host = gen(L) if (args.quality or args.structured) else None
         t_prep = time.time()
