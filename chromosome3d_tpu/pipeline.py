@@ -211,8 +211,12 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
         og_sig = tuple(np.asarray(og.idx_i).shape)
     bm = jnp.asarray(np.pad(np.ones(L, np.float32), (0, L_pad - L)))
     an, n = cfg.anneal, n_models
+    # tile dtype is route-dependent (bf16-stored for device-prep routes,
+    # f32 for the external-restraints host route) — it must key the memo
+    # or a cached executable would be invoked with mismatched-dtype tiles
     prog_key = (tuple(d.id for d in devices), an, n, L_pad,
-                type(dense).__name__, conf is not None, og_sig)
+                type(dense).__name__, str(dense.lo.dtype),
+                conf is not None, og_sig)
     solve = _SHARDED_PROGRAMS.get(prog_key)
     if solve is None:
         mesh = Mesh(np.asarray(devices), ("beads",))
@@ -296,14 +300,18 @@ def _beads_row_sharding():
 
 def _assessment_view_from_if(if_matrix, rc, L_pad: int, sharded: bool):
     """Post-solve host view for the at-scale device-prep matrix route:
-    re-invoke the (memoized) device prep program and DOWNLOAD the exact
+    re-invoke the device prep program at f32 and DOWNLOAD the exact
     tiles — (Restraints view, ExactRestraints numpy view), one f32
     transfer each instead of the float64 host prep passes. Bit-equal to
     the host route (tests/test_device_prep.py pins the quantization).
 
     sharded MUST match the solve's layout: the prep program's jit cache is
     keyed on input shardings, so a mismatched call would pay a fresh
-    (remote, minutes) compile for assessment-only data."""
+    (remote, minutes) compile for assessment-only data. When pair_bf16 is
+    ON the solve used the bf16-stored prep program, so this f32 view is a
+    distinct compile regardless — one extra prep compile per bucket, the
+    price of correct f32 report values (see run_pipeline's at-scale
+    branch)."""
     from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_device
     from chromosome3d_tpu.ops.energy import ExactRestraints, auto_weight_exponent
     from chromosome3d_tpu.restraints import restraints_from_exact_target

@@ -205,9 +205,12 @@ class SolverCache:
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
         dense_view = None
         if device_route:
-            # host views for assessment: one f32 download (the memoized
-            # prep program re-invokes for ~free; layout must match the
-            # solve's so the jit cache hits)
+            # host views for assessment: one f32 download. With pair_bf16
+            # OFF the memoized solve-prep program re-invokes for ~free;
+            # with it ON the solve compiled the bf16-stored prep, so this
+            # f32 view is a DISTINCT program paying its own (remote,
+            # minutes) compile on the first at-scale request per bucket.
+            # Layout must match the solve's so the jit cache hits.
             L_assess = (
                 quantum_bucket(L, cfg.shard_quantum,
                                multiple=len(jax.devices()))

@@ -280,31 +280,6 @@ def mds_init(
 # ---------------------------------------------------------------------------
 
 
-def edge_weights(
-    restraints: DenseRestraints,
-    bond_length: float,
-    bead_mask: jnp.ndarray | None = None,
-    use_hi: bool = False,
-) -> jnp.ndarray:
-    """The (L, L) graph edge matrix: restraint target where a restraint
-    exists, bond_length between consecutive real beads, _BIG otherwise,
-    zero diagonal. (The same construction smooth_bounds starts from.)
-
-    use_hi=True paths through the UPPER bounds instead of the midpoints —
-    the bounds-matrix convention (smooth_bounds_two_sided): a midpoint path
-    is not a valid upper bound when windows are wide, which is exactly how
-    the one-sided relaxation undercuts lower bounds."""
-    L = restraints.lo.shape[0]
-    target = restraints.hi if use_hi else 0.5 * (restraints.lo + restraints.hi)
-    w = jnp.where(restraints.mask > 0, target, _BIG)
-    idx = jnp.arange(L)
-    adjacent = jnp.abs(idx[:, None] - idx[None, :]) == 1
-    if bead_mask is not None:
-        adjacent = adjacent & ((bead_mask[:, None] * bead_mask[None, :]) > 0)
-    w = jnp.where(adjacent, jnp.minimum(w, bond_length), w)
-    return jnp.where(idx[:, None] == idx[None, :], 0.0, w)
-
-
 def landmark_indices(L: int, k: int, n_real) -> jnp.ndarray:
     """k evenly spaced REAL bead indices (n_real may be a traced count)."""
     frac = jnp.arange(k, dtype=jnp.float32) / max(k - 1, 1)
@@ -433,13 +408,12 @@ def landmark_triangulate(
 
 
 def _pick_init_row_block(L: int, cap: int = 4096) -> int:
-    """Largest divisor of L that is <= cap (full L for small problems)."""
-    if L <= cap:
-        return L
-    for c in range(cap, 127, -1):
-        if L % c == 0:
-            return c
-    return L
+    """Strip height for the row-blocked relaxation (full L for small
+    problems). Need NOT divide L: the last strip is clamped to start at
+    L - Lb, and min/max relaxation is idempotent, so its overlap with the
+    previous strip recomputes identical candidates — no divisor-less-L
+    fallback to a full (L, L) materialization."""
+    return min(L, cap)
 
 
 def _restraint_rows(restraints, r0, Lb: int):
@@ -493,12 +467,16 @@ def landmark_targets(
     n_real = bead_mask.sum() if bead_mask is not None else L
     lidx = landmark_indices(L, k, n_real)
     Lb = _pick_init_row_block(L)
-    nblocks = L // Lb
+    nblocks = -(-L // Lb)
     cols_g = jax.lax.broadcasted_iota(jnp.int32, (Lb, L), 1)
 
     def edge_rows(r0):
-        """(Lb, L) f32 edge rows — the row-blocked edge_weights. two-sided:
-        relax through the HI edges (valid upper bounds); one-sided keeps
+        """(Lb, L) f32 graph edge rows: restraint target where a restraint
+        exists, bond_length between consecutive real beads, _BIG otherwise,
+        zero diagonal (the construction smooth_bounds starts from, row-
+        blocked). two-sided: relax through the HI edges — a midpoint path
+        is not a valid upper bound when windows are wide, which is exactly
+        how a one-sided relaxation undercuts lower bounds; one-sided keeps
         the validated midpoint-target graph."""
         lo_b, hi_b, mask_b = _restraint_rows(restraints, r0, Lb)
         target = hi_b if two_sided else 0.5 * (lo_b + hi_b)
@@ -514,7 +492,12 @@ def landmark_targets(
     # start from the chain-walk metric; the first sweep already reaches every
     # direct edge through the zero diagonal (delta[l, l] + w[l, j])
     delta = chain_metric_rows(lidx, L, bond_length)
-    r0s = jnp.arange(nblocks, dtype=jnp.int32) * Lb
+    # clamp the last strip's start so non-divisor L never falls back to a
+    # full (L, L) materialization; the overlap rows recompute identical
+    # min/max candidates (idempotent)
+    r0s = jnp.minimum(
+        jnp.arange(nblocks, dtype=jnp.int32) * Lb, jnp.int32(L - Lb)
+    )
 
     def sweep(delta, _):
         def block(cand, r0):

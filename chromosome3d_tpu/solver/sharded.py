@@ -292,7 +292,8 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
 
         # ---- landmark init from the sharded rows ----
         # two-sided: the upper relaxation paths through HI edges (the
-        # bounds-matrix convention — see solver.init.edge_weights use_hi).
+        # bounds-matrix convention — see solver.init landmark_targets'
+        # edge_rows use_hi note).
         # Tiles may arrive bf16-STORED (device_prep out_dtype="bfloat16");
         # the init math runs f32 like the single-chip path's upcast — these
         # casts are init-transient, the hot loop reads the tiles natively

@@ -58,6 +58,8 @@ SLOW_TESTS = {
     "test_sharded_ensemble_fused_single_device_degenerate",
     "test_sharded_ensemble_fused_rowblock_fallback",
     "test_sharded_ensemble_matches_dense_landmark",
+    "test_sharded_ensemble_bf16_stored_tiles",
+    "test_solve_with_bf16_stored_tiles",
     "test_sharded_solve_matches_single",
     "test_genome_sharded_matches_plain_bucket",
     "test_run_genome_mixed_scale",

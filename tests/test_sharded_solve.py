@@ -324,6 +324,7 @@ def test_genome_sharded_2d_matches_1d():
                 rtol=2e-3,
             )
 
+
 def test_sharded_ensemble_bf16_stored_tiles():
     """bf16-STORED tiles (device_prep out_dtype="bfloat16") through the
     row-sharded ensemble: the per-shard landmark init upcasts to f32

@@ -253,8 +253,14 @@ def test_landmark_targets_row_blocked_bitwise_equal():
         full, _ = ini.landmark_targets(e, k=32, two_sided=ts)
         orig = ini._pick_init_row_block
         try:
-            ini._pick_init_row_block = lambda LL, cap=4096: 40  # 5 strips
-            blk, _ = ini.landmark_targets(e, k=32, two_sided=ts)
+            # 40 divides L=200 (5 strips); 48 does NOT (5 strips, the last
+            # clamped to start 152 and overlapping the fourth — idempotent
+            # min/max must make the overlap invisible)
+            for strip in (40, 48):
+                ini._pick_init_row_block = lambda LL, cap=4096, s=strip: s
+                blk, _ = ini.landmark_targets(e, k=32, two_sided=ts)
+                np.testing.assert_array_equal(
+                    np.asarray(blk), np.asarray(full)
+                )
         finally:
             ini._pick_init_row_block = orig
-        np.testing.assert_array_equal(np.asarray(blk), np.asarray(full))
