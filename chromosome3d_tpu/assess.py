@@ -23,7 +23,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from chromosome3d_tpu.config import PipelineConfig
-from chromosome3d_tpu.metrics import spearman_if_inv_d
+from chromosome3d_tpu.metrics import ROW_CHUNK, d2_row_strip, spearman_if_inv_d
 from chromosome3d_tpu.ops.energy import DenseRestraints
 from chromosome3d_tpu.restraints import Restraints
 
@@ -61,8 +61,8 @@ def assess_ensemble(
         cols = np.arange(L)
         lo_full = np.asarray(restraints.lo)
         hi_full = np.asarray(restraints.hi)
-        for r0 in range(0, L, 512):
-            r1 = min(r0 + 512, L)
+        for r0 in range(0, L, ROW_CHUNK):
+            r1 = min(r0 + ROW_CHUNK, L)
             m = mask[r0:r1] & (cols[None, :] > np.arange(r0, r1)[:, None])
             if not m.any():
                 continue
@@ -70,12 +70,7 @@ def assess_ensemble(
             lo_b = lo_full[r0:r1].astype(np.float64)
             hi_b = hi_full[r0:r1].astype(np.float64)
             for k in range(n):
-                a = coords[k, r0:r1]
-                d2 = np.full((r1 - r0, L), 1e-12)
-                for ax in range(3):
-                    dc = a[:, ax][:, None] - coords[k, :, ax][None, :]
-                    d2 += dc * dc
-                d = np.sqrt(d2)
+                d = np.sqrt(d2_row_strip(coords[k], r0, r1) + 1e-12)
                 satisfied[k] += int(((d < hi_b + relax) & m).sum()) - int(
                     ((d < lo_b - relax) & m).sum()
                 )
@@ -180,12 +175,7 @@ def _violation_report_chunked(
         m = (mask_full[r0:r1] > 0) & (cols[None, :] > np.arange(r0, r1)[:, None])
         if not m.any():
             continue
-        a = coords[r0:r1]
-        d2 = np.zeros((r1 - r0, L))
-        for ax in range(3):
-            dc = a[:, ax][:, None] - coords[:, ax][None, :]
-            d2 += dc * dc
-        d = np.sqrt(d2)
+        d = np.sqrt(d2_row_strip(coords, r0, r1))
         t = target[r0:r1].astype(np.float64)
         lo = t - negdev[r0:r1]
         hi = t + posdev[r0:r1]
@@ -278,26 +268,15 @@ def write_violation_report(
     dev = np.where(under_lo, -(lo - pd_), np.where(under_hi, 0.0, pd_ - hi))
     satisfied = int(under_hi.sum()) - int(under_lo.sum())
     total = int(len(ii))
+    # total == mask.sum()//2 here (restraint masks are symmetric with a
+    # zero diagonal by construction — |i-j| >= separation), so the chunked
+    # dispatch above guarantees total <= FULL_REPORT_MAX: this body always
+    # writes the complete report; violated-only truncation lives solely in
+    # _violation_report_chunked.
     order = np.argsort(-flag, kind="stable")
-    truncated = total > FULL_REPORT_MAX
-    if truncated:
-        order = order[: int(flag.sum())]       # violated rows only
-    if specs is None and truncated:
-        # spec strings only for the kept rows — formatting all >500k would
-        # defeat the truncation (specs are ~60% of per-row formatting cost)
-        kept = order
-        spec_sorted = [
-            f"assign45  resid {i:3d} and name ca   resid {j:3d} and name ca  "
-            f"{tv:.2f} {ndv:.2f} {pdvv:.2f}"
-            for i, j, tv, ndv, pdvv in zip(
-                (ii[kept] + 1).tolist(), (jj[kept] + 1).tolist(),
-                t[kept].tolist(), nd[kept].tolist(), pdv[kept].tolist(),
-            )
-        ]
-    else:
-        if specs is None:
-            specs = restraint_spec_strings(r)
-        spec_sorted = [specs[k] for k in order.tolist()]
+    if specs is None:
+        specs = restraint_spec_strings(r)
+    spec_sorted = [specs[k] for k in order.tolist()]
     lines = [
         f"{f:3d}\t{dv:.2f}\t{pdist:.2f} # {spec}\n"
         for f, dv, pdist, spec in zip(
@@ -308,12 +287,6 @@ def write_violation_report(
     with open(path, "a" if append else "w") as f:
         f.write(f"#NOE violation check; {pdb_name} against {tbl_name}\n")
         f.write("#violation-flag, deviation, actual-measurement, Input-NOE-restraint\n")
-        if truncated:
-            f.write(
-                f"#beyond-reference scale: {total} restraints, listing the "
-                f"{len(lines)} violated rows only "
-                f"({satisfied}/{total} satisfied)\n"
-            )
         f.writelines(lines)
     return satisfied, total
 

@@ -199,6 +199,22 @@ def cross_resolution_similarity(
 
 
 _CLASH_CHUNK_MIN_L = 4096
+ROW_CHUNK = 512
+
+
+def d2_row_strip(coords: np.ndarray, r0: int, r1: int) -> np.ndarray:
+    """Rows [r0, r1) of the squared pairwise-distance matrix as a float64
+    (r1-r0, L) strip, accumulated per axis. The shared at-scale building
+    block (clash_count, assess.assess_ensemble, the chunked violation
+    writer): never materializes an (L, L, 3) diff tensor, which is multi-GB
+    host traffic on this ~0.1 GB/s single-vCPU box. coords must already be
+    float64 — callers cast once, not per strip."""
+    a = coords[r0:r1]
+    d2 = np.zeros((r1 - r0, len(coords)))
+    for ax in range(3):
+        dc = a[:, ax][:, None] - coords[:, ax][None, :]
+        d2 += dc * dc
+    return d2
 
 
 def clash_count(coords: np.ndarray, threshold: float) -> int:
@@ -215,13 +231,9 @@ def clash_count(coords: np.ndarray, threshold: float) -> int:
     count = 0
     cols = np.arange(L)
     t2 = float(threshold) ** 2
-    for r0 in range(0, L, 512):
-        r1 = min(r0 + 512, L)
-        a = coords[r0:r1]
-        d2 = np.zeros((r1 - r0, L))
-        for ax in range(3):
-            dc = a[:, ax][:, None] - coords[:, ax][None, :]
-            d2 += dc * dc
+    for r0 in range(0, L, ROW_CHUNK):
+        r1 = min(r0 + ROW_CHUNK, L)
+        d2 = d2_row_strip(coords, r0, r1)
         triu = cols[None, :] > np.arange(r0, r1)[:, None]
         count += int(((d2 <= t2) & triu).sum())
     return count

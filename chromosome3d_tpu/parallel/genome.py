@@ -508,8 +508,16 @@ def run_genome(
             from chromosome3d_tpu.ops.energy import ExactRestraints
             from chromosome3d_tpu.restraints import restraints_from_exact_target
 
-            t_all = np.asarray(tiles.target)
-            w_all = np.asarray(tiles.w)
+            # truncate ON DEVICE before downloading: the live tiles are
+            # (B_pad, L', L') with batch-padding chromosomes and padded
+            # rows the assessment never reads — at L'=16384 that is
+            # gigabytes of extra transfer onto a ~0.1 GB/s host. One
+            # static-shape slice program covers both tensors (this path
+            # only runs multi-device, never through the remote-compile
+            # tunnel's single-chip environment).
+            L_max = max(j.length for j in bucket)
+            t_all = np.asarray(tiles.target[: len(bucket), :L_max, :L_max])
+            w_all = np.asarray(tiles.w[: len(bucket), :L_max, :L_max])
             raw = [
                 restraints_from_exact_target(t_all[b, : j.length, : j.length])
                 for b, j in enumerate(bucket)
@@ -542,11 +550,16 @@ def run_genome(
             rc_x = dataclasses.replace(cfg.restraints, alpha=extra_alpha)
             cfg_x = cfg.replace(restraints=rc_x)
             if large_device:
-                res_x, _, _ = solve_bucket_sharded_from_if(
+                res_x, tiles_x, _ = solve_bucket_sharded_from_if(
                     matrices, L_pad, auto_exact_matrix(cfg_x),
                     devices=list(mesh.devices.flat),
                     base_seed=cfg.seed + hash(extra_alpha) % 10000,
                 )
+                # the extra alpha's tiles are solve-only (assessment uses
+                # the primary alpha's views): drop them now so the device
+                # frees the (B_pad, L', L') pair before the next alpha's
+                # prep allocates its own
+                del tiles_x
             else:
                 batched_x, masks_x, _, raw_x = _stack_bucket(
                     bucket, L_pad, cfg_x, as_numpy=large
