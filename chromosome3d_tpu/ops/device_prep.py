@@ -187,14 +187,15 @@ def _tiles_from_if_prog(separation: int, weighting: str,
 
 
 @functools.lru_cache(maxsize=16)
-def _tiles_from_if_batched_prog(separation: int, weighting: str):
+def _tiles_from_if_batched_prog(separation: int, weighting: str,
+                                out_dtype: str = "float32"):
     # the genome at-scale bucket's prep: one program for the whole
     # (B, L_pad, L_pad) bucket, per-chromosome n_true/p as device vectors
     @functools.partial(jax.jit, donate_argnums=0)
     def prog(if_padded, n_true, alpha, kscaling, p):
         return jax.vmap(
             lambda m, n, pe: _tiles_from_if_body(
-                m, n, alpha, kscaling, pe, separation, weighting
+                m, n, alpha, kscaling, pe, separation, weighting, out_dtype
             )
         )(if_padded, n_true, p)
 
@@ -208,6 +209,7 @@ def exact_tiles_from_if_batched_device(
     weighting: str,
     weight_exponents,
     sharding=None,
+    out_dtype: str = "float32",
 ) -> ExactRestraints:
     """Batched exact_tiles_from_if_device for a genome bucket: a list of
     (L_b, L_b) IF matrices -> (B, L_pad, L_pad) ExactRestraints, built by
@@ -218,18 +220,21 @@ def exact_tiles_from_if_batched_device(
     NamedSharding — the stacked upload goes straight to per-device slices
     and the bucket's tiles are born distributed.
 
-    Always f32 (no out_dtype): the genome bucket's LIVE tiles double as the
-    host-assessment source (callers download per-chromosome target slices —
-    parallel/genome.py), so bf16-stored tiles would put bf16-rounded
-    targets in the violation reports. The run/solve/serve at-scale surfaces
-    re-prep a separate f32 assessment view and so can store bf16."""
+    out_dtype: "bfloat16" emits bf16-STORED tiles for the solve (see
+    _tiles_from_if_body). Host assessment must NOT read those — bf16-
+    rounded targets would reach the violation reports — so bf16 callers
+    (run_genome with pair_bf16) free the solve tiles and re-invoke this at
+    f32 for the assessment view, the same two-program split as the
+    run/solve/serve surfaces (pipeline._assessment_view_from_if)."""
     B = len(matrices)
     stack = np.zeros((B, L_pad, L_pad), np.float32)
     for b, m in enumerate(matrices):
         Lb = m.shape[0]
         stack[b, :Lb, :Lb] = np.asarray(m, np.float32)
     x = jnp.asarray(stack) if sharding is None else jax.device_put(stack, sharding)
-    prog = _tiles_from_if_batched_prog(int(rc.separation), weighting)
+    prog = _tiles_from_if_batched_prog(
+        int(rc.separation), weighting, str(out_dtype)
+    )
     return prog(
         x,
         jnp.asarray([m.shape[0] for m in matrices], jnp.float32),

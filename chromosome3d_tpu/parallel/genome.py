@@ -388,33 +388,23 @@ def solve_bucket_sharded_from_if(
     Returns (AnnealResult, tiles, true_L_pad): tiles is the live
     (B_pad, L', L') ExactRestraints — callers download per-chromosome
     slices for host assessment (pipeline.restraints_from_exact_target)
-    instead of rebuilding them. Only valid under the exact gate
-    (pipeline.auto_exact_matrix: matrix restraints are exact by
+    instead of rebuilding them. Under cfg.anneal.pair_bf16 the tiles are
+    bf16-STORED (half the per-device tile HBM and per-step stream — the
+    composed mesh's ceiling extender, same as the single-chip surfaces);
+    assessment callers must then free them and rebuild an f32 view via
+    bucket_tiles_from_if (run_genome does). Only valid under the exact
+    gate (pipeline.auto_exact_matrix: matrix restraints are exact by
     construction)."""
-    from chromosome3d_tpu.ops.device_prep import (
-        exact_tiles_from_if_batched_device,
-    )
-    from chromosome3d_tpu.ops.energy import auto_weight_exponent
-
     devices = list(devices if devices is not None else jax.devices())
-    B = len(matrices)
-    n_dev = len(devices)
-    nc, nb = large_mesh_layout(B, n_dev)
-    B_pad = -(-B // nc) * nc
-    L_pad = -(-L_pad // nb) * nb
-    mesh2 = Mesh(np.asarray(devices).reshape(nc, nb), ("chrom", "beads"))
-    sh_mat = NamedSharding(mesh2, P("chrom", "beads", None))
-    sh_row = NamedSharding(mesh2, P("chrom", None))
-    mats = list(matrices) + [matrices[0]] * (B_pad - B)
-    rc = cfg.restraints
-    p = rc.weight_exponent
-    ps = [auto_weight_exponent(m.shape[0]) if p is None else p for m in mats]
-    tiles = exact_tiles_from_if_batched_device(
-        mats, L_pad, rc, rc.weighting, ps, sharding=sh_mat
+    solve_dtype = "bfloat16" if cfg.anneal.pair_bf16 else "float32"
+    tiles, mesh2, sh_row, B_pad, L_pad = bucket_tiles_from_if(
+        matrices, L_pad, cfg.restraints, devices, solve_dtype
     )
+    mats_n = [m.shape[0] for m in matrices]
+    mats_n += [mats_n[0]] * (B_pad - len(matrices))
     masks = np.zeros((B_pad, L_pad), np.float32)
-    for b, m in enumerate(mats):
-        masks[b, : m.shape[0]] = 1.0
+    for b, n in enumerate(mats_n):
+        masks[b, :n] = 1.0
     masks_p = jax.device_put(masks, sh_row)
     keys = jax.device_put(
         jax.random.split(
@@ -423,8 +413,48 @@ def solve_bucket_sharded_from_if(
         ),
         sh_row,
     )
-    result = _launch_bucket_sharded(tiles, masks_p, keys, cfg, mesh2, B, devices)
+    result = _launch_bucket_sharded(
+        tiles, masks_p, keys, cfg, mesh2, len(matrices), devices
+    )
     return result, tiles, L_pad
+
+
+def bucket_tiles_from_if(
+    matrices: Sequence[np.ndarray],
+    L_pad: int,
+    rc,
+    devices: Sequence,
+    out_dtype: str = "float32",
+):
+    """Build an at-scale genome bucket's exact tiles on device, born
+    distributed over the bucket's (chrom, beads) mesh. Returns
+    (tiles, mesh2, row_sharding, B_pad, true_L_pad). Shared by the solve
+    (solve dtype — bf16-stored under pair_bf16) and by run_genome's f32
+    assessment view (the bf16 route frees the solve tiles first, then
+    re-invokes this at f32: one extra prep program + stack upload per
+    bucket, the price of f32 report values — the same split as
+    pipeline._assessment_view_from_if)."""
+    from chromosome3d_tpu.ops.device_prep import (
+        exact_tiles_from_if_batched_device,
+    )
+    from chromosome3d_tpu.ops.energy import auto_weight_exponent
+
+    devices = list(devices)
+    B = len(matrices)
+    nc, nb = large_mesh_layout(B, len(devices))
+    B_pad = -(-B // nc) * nc
+    L_pad = -(-L_pad // nb) * nb
+    mesh2 = Mesh(np.asarray(devices).reshape(nc, nb), ("chrom", "beads"))
+    sh_mat = NamedSharding(mesh2, P("chrom", "beads", None))
+    sh_row = NamedSharding(mesh2, P("chrom", None))
+    mats = list(matrices) + [matrices[0]] * (B_pad - B)
+    p = rc.weight_exponent
+    ps = [auto_weight_exponent(m.shape[0]) if p is None else p for m in mats]
+    tiles = exact_tiles_from_if_batched_device(
+        mats, L_pad, rc, rc.weighting, ps, sharding=sh_mat,
+        out_dtype=out_dtype,
+    )
+    return tiles, mesh2, sh_row, B_pad, L_pad
 
 
 def run_genome(
@@ -508,6 +538,24 @@ def run_genome(
             from chromosome3d_tpu.ops.energy import ExactRestraints
             from chromosome3d_tpu.restraints import restraints_from_exact_target
 
+            if cfg_b.anneal.pair_bf16:
+                # the solve ran on bf16-STORED tiles (the at-scale ceiling
+                # extender); assessment must read f32 targets. Fence the
+                # solve with host transfers (block_until_ready can return
+                # early through remote backends), free the bf16 tiles, then
+                # re-prep the bucket at f32 — so the two tile sets never
+                # coexist at the HBM peak.
+                result = AnnealResult(
+                    coords=np.asarray(result.coords),
+                    energies={
+                        k: np.asarray(v) for k, v in result.energies.items()
+                    },
+                    history=result.history,
+                )
+                del tiles
+                tiles = bucket_tiles_from_if(
+                    matrices, L_pad, cfg_b.restraints, devs, "float32"
+                )[0]
             # truncate ON DEVICE before downloading: the live tiles are
             # (B_pad, L', L') with batch-padding chromosomes and padded
             # rows the assessment never reads — at L'=16384 that is

@@ -524,3 +524,45 @@ def test_run_pipeline_sharded_bf16_stored(tmp_path, monkeypatch):
     assert summary["best_spearman_if_inv_d"] > 0.7
     assert any(d == "bfloat16" and t == jnp.bfloat16 for d, t in seen), seen
     assert any(t == jnp.float32 for _, t in seen), seen
+
+
+def test_run_genome_at_scale_bf16_stored(tmp_path, monkeypatch):
+    """pair_bf16 on a genome at-scale bucket: the SOLVE tiles are
+    bf16-stored (the composed mesh's ceiling extender, like the run/solve/
+    serve surfaces), the assessment view is a separate f32 re-prep (bf16
+    targets must never reach the violation reports), and the run still
+    reconstructs. Closes the surface asymmetry where run_genome silently
+    ignored pair_bf16 at scale."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    import chromosome3d_tpu.parallel.genome as gn
+
+    seen = []
+    real = gn.bucket_tiles_from_if
+
+    def spy(matrices, L_pad, rc, devices, out_dtype="float32"):
+        r = real(matrices, L_pad, rc, devices, out_dtype)
+        seen.append((out_dtype, r[0].target.dtype))
+        return r
+
+    monkeypatch.setattr(gn, "bucket_tiles_from_if", spy)
+    indir = tmp_path / "input"
+    indir.mkdir()
+    np.savetxt(indir / "chr9_1mb_matrix.txt", structured_matrix(96, seed=9),
+               fmt="%.3f")
+    cfg = scale_cfg()
+    cfg = dataclasses.replace(
+        cfg, anneal=dataclasses.replace(cfg.anneal, pair_bf16=True)
+    )
+    out = str(tmp_path / "out")
+    summaries = gn.run_genome(str(indir), out, cfg)
+    assert summaries["chr9_1mb"]["best_spearman_if_inv_d"] > 0.7
+    # solve prep bf16-stored, assessment view f32 — in that order
+    assert [d for d, _ in seen] == ["bfloat16", "float32"], seen
+    assert seen[0][1] == jnp.bfloat16 and seen[1][1] == jnp.float32, seen
+    # the report targets came from the f32 view: spec distances carry the
+    # %.1f quantization grid, which bf16 cannot represent
+    report = os.path.join(out, "chr9_1mb", "contact_violation.txt")
+    assert os.path.exists(report)
