@@ -288,4 +288,12 @@ def calibrate_dispatch(
         json.dump(table, f, indent=1, allow_nan=False)
     os.replace(tmp, out_path)
     _DISPATCH_CACHE.clear()
+    # use_triangular reads the table at TRACE time, so jax's in-memory jit
+    # cache is not keyed on it: a solve traced before this rewrite would
+    # silently reuse the old kernel choice at the same shape. Drop the
+    # in-process traces (the AOT disk cache already keys on the table
+    # fingerprint; cross-process callers re-trace anyway).
+    import jax
+
+    jax.clear_caches()
     return table

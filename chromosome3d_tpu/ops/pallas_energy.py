@@ -80,6 +80,10 @@ def _pick_tile(Lp: int, exact: bool) -> int:
     for t in (Lp, 512, 384, 320, 256, 128, 64, 32, 16, 8):
         if t <= Lp and Lp % t == 0 and u * t * Lp * 4 <= budget:
             return t
+    # exhaustion needs Lp > ~54k, beyond the measured single-chip HBM
+    # ceiling (~41k) where these whole-matrix kernels are never dispatched;
+    # the sharded row-block variant, which CAN see such Lp, gates on
+    # row_block_feasible instead
     return 8
 
 
@@ -257,6 +261,72 @@ def _kernel_exact(
     e_ref[0] = e_noe + e_vdw
 
 
+def _t_layout_bond(xtf, bead_l, bond_w, bond_len):
+    """Chain bond energy + gradient in T layout (rolls along LANES, full
+    efficiency). xtf (3, Lp) coords, bead_l (1, Lp) mask; returns
+    (energy rows (1, Lp), gradient (3, Lp)): bond i lives on lane i
+    (validity also kills the Lp-1 wraparound lane), and
+    dE/dx_i = +fwd_{i-1} (x_i is bond i-1's "+1" end) - fwd_i (base end).
+
+    ONE source of truth for both fused kernels: _kernel_fused_step and
+    _kernel_fused_update contract to identical bond math (the semi path's
+    fused-vs-unfused equivalence tests and the sharded replicas-stay-
+    identical invariant both rest on it), so the block must not exist as
+    two editable copies."""
+    Lp = xtf.shape[1]
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
+    x_nextT = pltpu.roll(xtf, shift=Lp - 1, axis=1)  # lane r -> x_{r+1}
+    dnT = x_nextT - xtf
+    dbT = jnp.sqrt(jnp.sum(dnT * dnT, axis=0, keepdims=True) + _EPS)
+    v_nextT = (
+        bead_l * pltpu.roll(bead_l, shift=Lp - 1, axis=1)
+        * (lidx < Lp - 1).astype(jnp.float32)
+    )
+    bdevT = dbT - bond_len
+    fwdT = (2.0 * bond_w * v_nextT * bdevT / dbT) * dnT      # (3, Lp)
+    fwd_prevT = pltpu.roll(fwdT, shift=1, axis=1) * (lidx > 0).astype(
+        jnp.float32
+    )
+    return bond_w * v_nextT * bdevT * bdevT, fwd_prevT - fwdT
+
+
+def _t_layout_noise(ints_ref, b, row0, shape):
+    """CLT-4 Langevin noise for a T-layout block whose lanes are global
+    beads row0..row0+shape[1]: four murmur3-finalizer hashed uniforms over
+    the element's global (bead, coord) index, summed (unit variance, tails
+    bounded at +-3.46 sigma, zero transcendentals, backend-independent
+    bits). ONE source of truth for both fused kernels — the streams must
+    stay BITWISE identical (see _t_layout_bond's note)."""
+    coord_s = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    row_l = row0 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    elem = (row_l * 3 + coord_s).astype(jnp.uint32)
+    base = (
+        ints_ref[0, 0].astype(jnp.uint32)
+        + ints_ref[0, 1].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        + b * jnp.uint32(0x7FEB352D)
+    )
+
+    def mix(h):
+        h = h.astype(jnp.uint32)
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        return h
+
+    def uniform(salt):
+        bits = mix(elem ^ base ^ jnp.uint32(salt))
+        return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 24)
+        )
+
+    return (
+        uniform(0x68E31DA4) + uniform(0xB5297A4D) + uniform(0x1B56C4E9)
+        + uniform(0x7C15BD3F) - 2.0
+    ) * np.float32(np.sqrt(3.0))
+
+
 def _kernel_fused_step(
     params_ref,   # SMEM f32 (1, 16): schedule/weight scalars (identical
     #               across any vmap lanes, so never batched)
@@ -382,24 +452,12 @@ def _kernel_fused_step(
     )                                              # (3, TM)
     gT = aT * crowT - cxT                          # (3, TM)
 
-    # ---- chain bond in T layout: rolls along LANES, full efficiency ----
-    bead_l = bmrow_ref[:]                          # (1, Lp)
-    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
-    x_nextT = pltpu.roll(xtf, shift=Lp - 1, axis=1)  # lane r -> x_{r+1}
-    dnT = x_nextT - xtf
-    dbT = jnp.sqrt(jnp.sum(dnT * dnT, axis=0, keepdims=True) + _EPS)  # (1, Lp)
-    v_nextT = (
-        bead_l * pltpu.roll(bead_l, shift=Lp - 1, axis=1)
-        * (lidx < Lp - 1).astype(jnp.float32)
-    )
-    bdevT = dbT - bond_len
-    fwdT = (2.0 * bond_w * v_nextT * bdevT / dbT) * dnT      # (3, Lp)
-    fwd_prevT = pltpu.roll(fwdT, shift=1, axis=1) * (lidx > 0).astype(jnp.float32)
-    # dE/dx_i = +fwd_{i-1} (x_i is bond i-1's "+1" end) - fwd_i (base end);
+    # ---- chain bond in T layout (shared helper — see _t_layout_bond);
     # staged through scratch for the ref-level lane slice (Mosaic has no
     # value-level dynamic_slice)
-    gb_ref[:] = fwd_prevT - fwdT
-    eb_ref[:] = bond_w * v_nextT * bdevT * bdevT
+    eb_full, gb_full = _t_layout_bond(xtf, bmrow_ref[:], bond_w, bond_len)
+    gb_ref[:] = gb_full
+    eb_ref[:] = eb_full
     g_bondT = gb_ref[:, pl.ds(i * TM, TM)]         # (3, TM)
     e_bondT = eb_ref[:, pl.ds(i * TM, TM)]         # (1, TM)
 
@@ -414,38 +472,9 @@ def _kernel_fused_step(
     nu = b2 * nu_ref[0] + (1.0 - b2) * gT * gT
     upd = (mu * bc1) / (jnp.sqrt(nu * bc2) + eps_adam)
 
-    # noise: CLT over 4 hashed uniforms (murmur3 finalizer over the
-    # element's global (bead, coord) index — identical values to the row
-    # layout, just arranged (coord, bead)). Backend-independent bits; tails
-    # bounded at +-3.46 sigma; zero transcendentals.
-    def mix(h):
-        h = h.astype(jnp.uint32)
-        h = h ^ (h >> 16)
-        h = h * jnp.uint32(0x85EBCA6B)
-        h = h ^ (h >> 13)
-        h = h * jnp.uint32(0xC2B2AE35)
-        h = h ^ (h >> 16)
-        return h
-
-    coord_s = jax.lax.broadcasted_iota(jnp.int32, (3, TM), 0)
-    row_l = i * TM + jax.lax.broadcasted_iota(jnp.int32, (3, TM), 1)
-    elem = (row_l * 3 + coord_s).astype(jnp.uint32)
-    base = (
-        ints_ref[0, 0].astype(jnp.uint32)
-        + ints_ref[0, 1].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-        + b * jnp.uint32(0x7FEB352D)
-    )
-
-    def uniform(salt):
-        bits = mix(elem ^ base ^ jnp.uint32(salt))
-        return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (
-            1.0 / (1 << 24)
-        )
-
-    noise = (
-        uniform(0x68E31DA4) + uniform(0xB5297A4D) + uniform(0x1B56C4E9)
-        + uniform(0x7C15BD3F) - 2.0
-    ) * np.float32(np.sqrt(3.0))
+    # noise: this tile's lanes are global beads i*TM.. (identical values to
+    # the row layout, just arranged (coord, bead))
+    noise = _t_layout_noise(ints_ref, b, i * TM, (3, TM))
 
     bead_lane = bmrow_ref[0:1, pl.ds(i * TM, TM)]  # (1, TM)
     xo_ref[0] = aT + (-lr * upd + sigma * noise) * bead_lane
@@ -494,19 +523,9 @@ def _kernel_fused_update(
     xtf = xt_ref[0]                                # (3, Lp)
     gT = gT_ref[0]
     bead_l = bmrow_ref[:]                          # (1, Lp)
-    lidx = jax.lax.broadcasted_iota(jnp.int32, (1, Lp), 1)
-    x_nextT = pltpu.roll(xtf, shift=Lp - 1, axis=1)  # lane r -> x_{r+1}
-    dnT = x_nextT - xtf
-    dbT = jnp.sqrt(jnp.sum(dnT * dnT, axis=0, keepdims=True) + _EPS)
-    v_nextT = (
-        bead_l * pltpu.roll(bead_l, shift=Lp - 1, axis=1)
-        * (lidx < Lp - 1).astype(jnp.float32)
-    )
-    bdevT = dbT - bond_len
-    fwdT = (2.0 * bond_w * v_nextT * bdevT / dbT) * dnT       # (3, Lp)
-    fwd_prevT = pltpu.roll(fwdT, shift=1, axis=1) * (lidx > 0).astype(jnp.float32)
-    gT = gT + fwd_prevT - fwdT
-    eb_ref[0] = bond_w * v_nextT * bdevT * bdevT
+    e_rows, g_bond = _t_layout_bond(xtf, bead_l, bond_w, bond_len)
+    gT = gT + g_bond
+    eb_ref[0] = e_rows
 
     gnormT = jnp.sqrt(jnp.sum(gT * gT, axis=0, keepdims=True) + 1e-12)
     scaleT = jnp.where(clip > 0.0, jnp.minimum(1.0, clip / gnormT), 1.0)
@@ -516,34 +535,7 @@ def _kernel_fused_update(
     nu = b2 * nu_ref[0] + (1.0 - b2) * gT * gT
     upd = (mu * bc1) / (jnp.sqrt(nu * bc2) + eps_adam)
 
-    def mix(h):
-        h = h.astype(jnp.uint32)
-        h = h ^ (h >> 16)
-        h = h * jnp.uint32(0x85EBCA6B)
-        h = h ^ (h >> 13)
-        h = h * jnp.uint32(0xC2B2AE35)
-        h = h ^ (h >> 16)
-        return h
-
-    coord_s = jax.lax.broadcasted_iota(jnp.int32, (3, Lp), 0)
-    row_l = jax.lax.broadcasted_iota(jnp.int32, (3, Lp), 1)
-    elem = (row_l * 3 + coord_s).astype(jnp.uint32)
-    base = (
-        ints_ref[0, 0].astype(jnp.uint32)
-        + ints_ref[0, 1].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-        + b * jnp.uint32(0x7FEB352D)
-    )
-
-    def uniform(salt):
-        bits = mix(elem ^ base ^ jnp.uint32(salt))
-        return (bits >> 8).astype(jnp.int32).astype(jnp.float32) * (
-            1.0 / (1 << 24)
-        )
-
-    noise = (
-        uniform(0x68E31DA4) + uniform(0xB5297A4D) + uniform(0x1B56C4E9)
-        + uniform(0x7C15BD3F) - 2.0
-    ) * np.float32(np.sqrt(3.0))
+    noise = _t_layout_noise(ints_ref, b, 0, (3, Lp))
 
     xo_ref[0] = xtf + (-lr * upd + sigma * noise) * bead_l
     muo_ref[0] = mu
@@ -1307,15 +1299,15 @@ def pallas_energy_grad_tri_batched(
 
 
 def _kernel_exact_tri_strip(
+    row0t_ref,    # PREFETCHED scalar (1,) int32: strip's first GLOBAL row TILE
     params_ref,   # SMEM (8,): noe_w, vdw_w, vdw_radius, ...
-    row0t_ref,    # SMEM (1,) int32: this strip's first GLOBAL row TILE index
-    xrow_ref,     # (1, TM, 3) row-block coords (local block i of the strip)
-    xrowT_ref,    # (1, 3, TM) row-block coords, T layout (rolled block i)
-    xcolT_ref,    # (1, 3, TM) col-block coords from the ROLLED (B, 3, L)
-    t_ref,        # (TM, TM) exact target block (rolled strip, block (i, jj))
-    w_ref,        # (TM, TM) mask-folded weights block (rolled strip)
-    bmr_ref,      # (TM, 1) row-block bead mask (strip rows)
-    bmc_ref,      # (1, TM) col-block bead mask (rolled)
+    xrow_ref,     # (1, TM, 3) row-block coords (global block row0t + i)
+    xrowT_ref,    # (1, 3, TM) row-block coords, T layout (same block)
+    xcolT_ref,    # (1, 3, TM) col-block coords (global block (row0t+i+s)%Tg)
+    t_ref,        # (TM, TM) exact target block (strip row i, global col jj)
+    w_ref,        # (TM, TM) mask-folded weights block (same)
+    bmr_ref,      # (TM, 1) row-block bead mask
+    bmc_ref,      # (1, TM) col-block bead mask
     e_ref,        # out (1, 1, 1, TM): col-summed energy partials of shell s
     growT_ref,    # out (1, 1, 3, TM): row-block gradient of shell s (T)
     gcolT_ref,    # out (1, 1, 3, TM): col-block gradient, COMPACT slot i
@@ -1330,15 +1322,21 @@ def _kernel_exact_tri_strip(
     unordered tile pair exactly once — the triangular kernel's 33-45% pair-
     math saving, lifted across the sequence-parallel mesh axis.
 
-    shard_map traces one SPMD program, so BlockSpec index maps cannot see
-    the device's row offset. Instead the caller pre-ROLLS the strip's
-    columns (and the replicated coords/bead mask) left by row0 = row0t*TM,
-    making the data's local column tile jj = (i + s) % Tg coincide with
-    global tile (i_g + s) % Tg; only the kernel BODY needs row0t (for the
-    |i-j| >= 2 vdw predicate and the even-Tg dedup), and it reads it from
-    SMEM. Col-block gradients land in COMPACT slot i (for fixed s the map
-    i -> jj is injective); the caller un-rolls them (static shell shifts +
-    one traced roll) and psums across the axis."""
+    shard_map traces one SPMD program, so plain BlockSpec index maps cannot
+    see the device's row offset. row0t therefore rides as a SCALAR-PREFETCH
+    operand (pltpu.PrefetchScalarGridSpec): the index maps compute each
+    block's GLOBAL position (i + row0t, (i + row0t + s) % Tg) directly on
+    the unrolled strip/coords/bead inputs. (Round 4 first shipped this with
+    caller-side jnp.roll copies of the strip and coords instead — two extra
+    (Lb, L) restraint tensors live for the whole scan, doubling per-device
+    restraint HBM in exactly the beyond-one-chip regime this kernel exists
+    for, plus a (B, 3, L) roll every step. The prefetched offset removes
+    all of them.) The body also reads row0t for the |i-j| >= 2 vdw
+    predicate and the even-Tg dedup. Col-block gradients land in COMPACT
+    slot i (for fixed s the map i -> jj is injective); slot i of shell s
+    un-compacts to global tile (i + s + row0t) % Tg, which is exactly the
+    static-shell-shift + traced-roll the caller's assemble_strip_tri_grad
+    applies; it then psums across the axis."""
     i = pl.program_id(0)
     s = pl.program_id(1)
     S = pl.num_programs(1)
@@ -1442,25 +1440,26 @@ def strip_tri_feasible(L: int, n_dev: int) -> bool:
 
 
 def pallas_strip_tri_energy_grad_batched(
-    x_rows: jnp.ndarray,       # (B, Lb, 3) this strip's row coords
-    xT_rolled: jnp.ndarray,    # (B, 3, L) full coords, T layout, ROLLED by
-    #                            -row0 columns (caller does the roll)
-    t_rolled: jnp.ndarray,     # (Lb, L) exact target strip, cols rolled
-    w_rolled: jnp.ndarray,     # (Lb, L) mask-folded weights strip, rolled
-    bm_rows: jnp.ndarray,      # (Lb,) strip-row bead mask
-    bm_rolled: jnp.ndarray,    # (L,) bead mask, rolled
+    x: jnp.ndarray,            # (B, L, 3) replicated full coords
+    xT: jnp.ndarray,           # (B, 3, L) the same coords, T layout
+    t_strip: jnp.ndarray,      # (Lb, L) exact target strip, GLOBAL col order
+    w_strip: jnp.ndarray,      # (Lb, L) mask-folded weights strip
+    bead: jnp.ndarray,         # (L,) replicated bead mask
     row0_tiles: jnp.ndarray,   # traced int32: global row TILE offset
     weights: EnergyWeights,
     interpret: bool = False,
     gram: bool = False,
 ):
     """Symmetry-exploiting pair energy+grad for one row strip of a sharded
-    exact-restraint solve (see _kernel_exact_tri_strip). Returns
+    exact-restraint solve (see _kernel_exact_tri_strip). All inputs are in
+    GLOBAL (unrolled) layout — the strip's row-tile offset rides as a
+    scalar-prefetch operand consumed by the block index maps, so no rolled
+    copies of the tiles or coords exist. Returns
     (e partial (B,), growT (B, S, 3, Lb), gcolT compact (B, S, 3, Lb)) —
     all partials lane-major; assembly + collectives are the caller's
     (solver.sharded) job."""
-    B, Lb, _ = x_rows.shape
-    L = xT_rolled.shape[2]
+    B, _, L = xT.shape
+    Lb = t_strip.shape[0]
     TM = pick_tile_tri_strip(Lb)
     if Lb % TM or L % TM:
         raise ValueError(
@@ -1479,30 +1478,36 @@ def pallas_strip_tri_energy_grad_batched(
     ])
     row0t = jnp.full((1,), row0_tiles, jnp.int32)
 
-    def jj(i, s, b):
-        return (i + s) % Tg
+    def ii(i, s, b, off):
+        return i + off[0]             # global row tile (no wrap: strip rows
+        #                               are contiguous inside the matrix)
 
-    grid = (Tl, S, B)
-    e_parts, g_rowT, g_colT = pl.pallas_call(
-        functools.partial(_kernel_exact_tri_strip, Tg=Tg, gram=gram),
-        grid=grid,
+    def jj(i, s, b, off):
+        return (i + off[0] + s) % Tg  # the round-robin column tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tl, S, B),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TM, 3), lambda i, s, b: (b, i, 0), memory_space=pltpu.VMEM),
-            # rolled (B, 3, L) block i == this strip's row tile i in T layout
-            pl.BlockSpec((1, 3, TM), lambda i, s, b: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TM), lambda i, s, b: (b, 0, jj(i, s, b)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, TM), lambda i, s, b: (i, jj(i, s, b)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, TM), lambda i, s, b: (i, jj(i, s, b)), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, 1), lambda i, s, b: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TM), lambda i, s, b: (0, jj(i, s, b)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM, 3), lambda i, s, b, off: (b, ii(i, s, b, off), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TM), lambda i, s, b, off: (b, 0, ii(i, s, b, off)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TM), lambda i, s, b, off: (b, 0, jj(i, s, b, off)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TM), lambda i, s, b, off: (i, jj(i, s, b, off)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, TM), lambda i, s, b, off: (i, jj(i, s, b, off)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 1), lambda i, s, b, off: (ii(i, s, b, off), 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TM), lambda i, s, b, off: (0, jj(i, s, b, off)), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, TM), lambda i, s, b: (b, s, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3, TM), lambda i, s, b: (b, s, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3, TM), lambda i, s, b: (b, s, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, TM), lambda i, s, b, off: (b, s, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, TM), lambda i, s, b, off: (b, s, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, TM), lambda i, s, b, off: (b, s, 0, i), memory_space=pltpu.VMEM),
         ],
+    )
+    bm = bead.astype(jnp.float32)
+    e_parts, g_rowT, g_colT = pl.pallas_call(
+        functools.partial(_kernel_exact_tri_strip, Tg=Tg, gram=gram),
+        grid_spec=grid_spec,
         out_shape=[
             # lane-major partials (see _kernel_exact_tri's layout note)
             jax.ShapeDtypeStruct((B, S, 1, Lb), jnp.float32),
@@ -1516,10 +1521,8 @@ def pallas_strip_tri_energy_grad_batched(
         ),
         interpret=interpret,
     )(
-        params, row0t, x_rows.astype(jnp.float32), xT_rolled, xT_rolled,
-        t_rolled, w_rolled,
-        bm_rows.astype(jnp.float32)[:, None],
-        bm_rolled.astype(jnp.float32)[None, :],
+        row0t, params, x.astype(jnp.float32), xT, xT,
+        t_strip, w_strip, bm[:, None], bm[None, :],
     )
     return jnp.sum(e_parts[:, :, 0, :], axis=(1, 2)), g_rowT, g_colT
 
@@ -1533,9 +1536,10 @@ def assemble_strip_tri_grad(
     """Scatter one strip's tri-kernel gradient contributions into a full
     (B, 3, L) array (zeros elsewhere); psum over the mesh axis then yields
     the complete replicated gradient. Compact col slot i of shell s holds
-    ROLLED column tile (i + s) % Tg, i.e. rolled columns [s*TM + i*TM)
-    wrapping — so shell s un-compacts with a STATIC roll by s*TM, and one
-    traced roll by row0 undoes the caller's strip roll."""
+    GLOBAL column tile (i + s + row0t) % Tg — placing slot i at position
+    i*TM, shifting shell s by a STATIC roll of s*TM, and applying one
+    traced roll by row0 = row0t*TM lands every slot at its global tile
+    (the rolls compose to ((i + s + row0t) % Tg) * TM mod L)."""
     B, S, _, Lb = g_rowT.shape
     TM = pick_tile_tri_strip(Lb)
     pad = L - Lb
@@ -1551,16 +1555,30 @@ def assemble_strip_tri_grad(
     )
 
 
-def _pick_tile_rows(Lb: int, Lp: int, exact: bool) -> int:
+def _pick_tile_rows(Lb: int, Lp: int, exact: bool):
     """Row-tile size for a ROW-BLOCK call: must divide the block height Lb
     (so no row padding is needed and every x slice stays in bounds), sized
-    to the same scoped-VMEM budget as _pick_tile."""
+    to the same scoped-VMEM budget as _pick_tile. Returns None when even
+    the minimum (8, Lp) tile exceeds the budget (global L ~ >54k f32) —
+    dispatching anyway would die in the Mosaic scoped-VMEM check at
+    compile time, so callers must gate on row_block_feasible and keep the
+    chunked jnp fallback."""
     budget = 14 * 1024 * 1024
     u = 8.5 if exact else 10.5
     for t in (Lb, 512, 384, 320, 256, 128, 64, 32, 16, 8):
         if t <= Lb and Lb % t == 0 and u * t * Lp * 4 <= budget:
             return t
-    return 8
+    return None
+
+
+def row_block_feasible(L: int, n_dev: int, exact: bool) -> bool:
+    """Whether pallas_row_block_energy_grad_batched can tile an
+    (L/n_dev, L) strip within the scoped-VMEM budget at this global L.
+    The sharded solver consults this before selecting the row-block
+    kernel; False routes the shard body to the chunked jnp fallback
+    (solver/sharded.py), which exists for exactly this regime."""
+    Lp = _round_up(max(L, 8), 128)
+    return _pick_tile_rows(L // n_dev, Lp, exact) is not None
 
 
 def pallas_row_block_energy_grad_batched(
@@ -1610,6 +1628,11 @@ def pallas_row_block_energy_grad_batched(
     row0 = jnp.full((1,), row_start, jnp.int32)
 
     TM = _pick_tile_rows(Lb, Lp, exact)
+    if TM is None:
+        raise ValueError(
+            f"row-block kernel infeasible at Lb={Lb}, Lp={Lp} (minimum tile "
+            "exceeds the scoped-VMEM budget); gate on row_block_feasible"
+        )
     tile_spec = pl.BlockSpec((TM, Lp), lambda i, b: (i, 0), memory_space=pltpu.VMEM)
     common_in = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1722,16 +1745,13 @@ pallas_energy.defvjp(_fwd, _bwd)
 
 
 def _bond_energy_batched(coords, weights, bead_mask):
-    bond_vec = coords[:, 1:, :] - coords[:, :-1, :]
-    bond_d = jnp.sqrt(jnp.sum(bond_vec * bond_vec, axis=-1) + _EPS)
-    bond_valid = (bead_mask[1:] * bead_mask[:-1])[None, :]
-    bdev = bond_d - weights.bond_length
-    e = weights.bond * jnp.sum(bond_valid * bdev * bdev, axis=1)
-    cosphi = (bond_vec[:, :-1, :] * bond_vec[:, 1:, :]).sum(-1) / (
-        bond_d[:, :-1] * bond_d[:, 1:]
-    )
-    tri_valid = bond_valid[:, :-1] * bond_valid[:, 1:]
-    return e + weights.angle * (tri_valid * (1.0 - cosphi)).sum(axis=1)
+    """Batched bonded energy = vmap of _bond_energy, so the VALUE comes
+    from the same implementation the batched GRADIENT differentiates
+    (pallas_energy_and_grad_batched vmaps jax.grad(_bond_energy)) — a
+    hand-inlined batched twin here once computed the angle term from a
+    second copy of the formula, where an edit to ops.energy._angle_energy
+    (the semantic reference) would silently desync energy from descent."""
+    return jax.vmap(lambda c: _bond_energy(c, weights, bead_mask))(coords)
 
 
 def pallas_energy_and_grad_batched(

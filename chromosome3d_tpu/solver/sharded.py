@@ -263,8 +263,8 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
     # solver.anneal's condition.
     from chromosome3d_tpu.solver.anneal import resolve_use_pallas
 
-    use_pallas = resolve_use_pallas(cfg) and (L // n_dev) % 8 == 0  # sublane-tileable blocks
     exact = cfg.exact_restraints and cfg.noe_rswitch >= 1e8
+    pallas_req = resolve_use_pallas(cfg) and (L // n_dev) % 8 == 0  # sublane-tileable blocks
     interpret = jax.default_backend() != "tpu"
     # FUSED-UPDATE (semi) sharded path: the same gate as the single-chip
     # solve_ensemble_impl `fusable` — the pair kernel feeds the fused update
@@ -275,12 +275,21 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
     # distributed over the mesh axis, so each unordered tile pair is
     # computed once ACROSS shards (~2x less pair work than the full-row
     # convention); the gradient then needs a psum instead of an all_gather.
-    from chromosome3d_tpu.ops.pallas_energy import strip_tri_feasible
+    from chromosome3d_tpu.ops.pallas_energy import (
+        row_block_feasible,
+        strip_tri_feasible,
+    )
 
+    # the row-block kernel's minimum (8, Lp) tile outgrows the scoped-VMEM
+    # budget past global L ~ 54k — beyond that only the strip-tri kernel
+    # (whose tiles span Lb, not L) or the chunked jnp fallback can run
+    rb_ok = pallas_req and row_block_feasible(L, n_dev, exact)
     fusable = (
-        use_pallas and exact and cfg.fuse_update and cfg.angle_weight == 0.0
+        pallas_req and exact and cfg.fuse_update and cfg.angle_weight == 0.0
     )
     strip_tri = fusable and strip_tri_feasible(L, n_dev)
+    fusable = fusable and (strip_tri or rb_ok)
+    use_pallas = rb_ok or strip_tri
 
     def shard_fn(lo, hi, w, bead, key, srows, og=None):
         """Everything below runs per device on its (Lb, L) restraint rows;
@@ -394,11 +403,9 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
                 pallas_row_block_energy_grad_batched,
             )
 
-            bm_rows_blk = jax.lax.dynamic_slice(bead, (row_start,), (Lb,))
-
             def pair_total_and_grad(x, weights):
                 e_p, g_rows = pallas_row_block_energy_grad_batched(
-                    x, lo, hi, w, bead, bm_rows_blk, row_start, weights,
+                    x, lo, hi, w, bead, bm_rows, row_start, weights,
                     interpret=interpret, exact=exact,
                 )
                 e = jax.lax.psum(e_p, axis)
@@ -438,30 +445,25 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
             if strip_tri:
                 TM_s = pick_tile_tri_strip(Lb)
                 row0t = row_start // TM_s
-                # rolled strips: static per solve (see the strip kernel's
-                # docstring — the roll makes local col tiles == global ones
-                # under shard_map's single SPMD trace)
-                t_roll = jnp.roll(lo, -row_start, axis=1)
-                w_roll = jnp.roll(w, -row_start, axis=1)
+                # the kernel reads the UNROLLED strip/coords/bead — the
+                # row-tile offset rides as a scalar-prefetch operand of the
+                # block index maps, so no rolled tile copies exist (the
+                # first round-4 version rolled lo/w per solve and xT per
+                # step: 2 extra (Lb, L) tensors live for the whole scan)
+                t_strip, w_strip = lo, w
                 if cfg.pair_bf16:
-                    # AnnealConfig.pair_bf16: bf16 tiles, f32 math
-                    t_roll = t_roll.astype(jnp.bfloat16)
-                    w_roll = w_roll.astype(jnp.bfloat16)
-                bm_roll = jnp.roll(bead, -row_start)
-                bm_rows_s = jax.lax.dynamic_slice(bead, (row_start,), (Lb,))
+                    # AnnealConfig.pair_bf16: bf16 tiles, f32 math (no-op
+                    # when the tiles already arrive bf16-STORED)
+                    t_strip = t_strip.astype(jnp.bfloat16)
+                    w_strip = w_strip.astype(jnp.bfloat16)
 
                 def pair_T(xT, weights):
                     """(pair energy (n,), pair grad (n, 3, L)) — T layout,
                     ready for the companion; ~half the pair math of the
                     full-row convention, one psum of (n, 3, L)."""
-                    nB = xT.shape[0]
-                    x_row_view = jnp.swapaxes(xT, 1, 2)
-                    x_rows = jax.lax.dynamic_slice(
-                        x_row_view, (0, row_start, 0), (nB, Lb, 3)
-                    )
                     e_p, grow, gcol = pallas_strip_tri_energy_grad_batched(
-                        x_rows, jnp.roll(xT, -row_start, axis=2),
-                        t_roll, w_roll, bm_rows_s, bm_roll, row0t, weights,
+                        jnp.swapaxes(xT, 1, 2), xT, t_strip, w_strip,
+                        bead, row0t, weights,
                         interpret=interpret, gram=cfg.gram_d2,
                     )
                     g_loc = assemble_strip_tri_grad(grow, gcol, row_start, L)

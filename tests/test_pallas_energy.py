@@ -639,15 +639,12 @@ def test_strip_tri_kernel_matches_full():
         g_total = jnp.zeros((B, 3, L), jnp.float32)
         for d in range(n_dev):
             row0 = jnp.int32(d * Lb)
+            # unrolled global-layout strips: the row-tile offset reaches the
+            # kernel as a scalar-prefetch operand (no rolled copies)
             t_strip = jax.lax.dynamic_slice(dense.lo, (row0, 0), (Lb, L))
             w_strip = jax.lax.dynamic_slice(w_full, (row0, 0), (Lb, L))
             e_p, grow, gcol = pallas_strip_tri_energy_grad_batched(
-                jax.lax.dynamic_slice(x, (0, row0, 0), (B, Lb, 3)),
-                jnp.roll(xT, -row0, axis=2),
-                jnp.roll(t_strip, -row0, axis=1),
-                jnp.roll(w_strip, -row0, axis=1),
-                jax.lax.dynamic_slice(bead_j, (row0,), (Lb,)),
-                jnp.roll(bead_j, -row0),
+                x, xT, t_strip, w_strip, bead_j,
                 row0 // TM, wts, interpret=True,
             )
             e_total = e_total + e_p
