@@ -46,9 +46,17 @@ def pad_f32(a, L_pad: int):
     work the device-prep path pays). An already-padded f32 jax array passes
     straight through — callers that generate input ON device (the scaling
     bench) never round-trip it to the host."""
-    if isinstance(a, jnp.ndarray) and a.shape[0] == L_pad and a.dtype == jnp.float32:
+    if (
+        isinstance(a, jnp.ndarray)
+        and a.shape == (L_pad, L_pad)
+        and a.dtype == jnp.float32
+    ):
         return a
     a = np.asarray(a)
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        # a (L_pad, L)-shaped array would otherwise slip through the
+        # passthrough above and trace the prep program at a wrong shape
+        raise ValueError(f"pad_f32 needs a square matrix, got {a.shape}")
     L = a.shape[0]
     if L == L_pad and a.dtype == np.float32:
         return np.ascontiguousarray(a)
@@ -151,6 +159,9 @@ def _tiles_from_if_body(if_padded, n_true, alpha, kscaling, p,
     n = n_true.astype(jnp.int32)
     mask = (
         (jnp.abs(i - j) >= separation)
+        & (i != j)     # host route excludes the diagonal EXPLICITLY
+        #                (dist_to_restraints), not via separation >= 1 —
+        #                at separation = 0 the routes must still agree
         & (q > 0.0)
         & (i < n)
         & (j < n)
@@ -252,6 +263,7 @@ def exact_tiles_from_if_device(
     weight_exponent: float,
     sharding=None,
     out_dtype: str = "float32",
+    n_true: int | None = None,
 ) -> ExactRestraints:
     """Full L3 restraint generation on device: (L, L) IF matrix ->
     ExactRestraints at (L_pad, L_pad). Mirrors if_to_dist + quantize_dist +
@@ -263,12 +275,17 @@ def exact_tiles_from_if_device(
     goes straight to per-device row slices and the tiles are born
     distributed (the global mean is one all-reduce under GSPMD).
     out_dtype: "bfloat16" emits bf16-STORED tiles (see _tiles_from_if_body)
-    — a distinct compiled program from the f32 one."""
+    — a distinct compiled program from the f32 one.
+    n_true: the matrix's TRUE length when if_matrix arrives PRE-PADDED to
+    (L_pad, L_pad) f32 (pad_f32 passes such arrays through) — callers that
+    invoke this several times on one matrix (solve prep + alpha ensemble +
+    the f32 assessment view) pad once and thread the copy; each pad is an
+    O(L^2) host pass (~25 s at L = 24576 on this ~0.1 GB/s host)."""
     prog = _tiles_from_if_prog(int(rc.separation), weighting, str(out_dtype))
     m = pad_f32(if_matrix, L_pad)
     return prog(
         jnp.asarray(m) if sharding is None else jax.device_put(m, sharding),
-        jnp.float32(if_matrix.shape[0]),
+        jnp.float32(if_matrix.shape[0] if n_true is None else n_true),
         jnp.float32(rc.alpha),
         jnp.float32(rc.kscaling),
         jnp.float32(weight_exponent),

@@ -525,8 +525,14 @@ def run_genome(
         # IF matrices go straight to device tiles (exact by construction —
         # auto_exact_matrix), and the host assessment views are downloaded
         # from the live tiles afterwards. The host route below pays
-        # build_restraints per chromosome (313 s at L = 8192 here).
-        large_device = large and _exact_provable(auto_exact_matrix(cfg))
+        # build_restraints per chromosome (313 s at L = 8192 here) — which
+        # is why this route does NOT require multiple devices: on one
+        # device the (1, 1)-mesh degenerate of the composed solver runs at
+        # single-chip per-step cost (DESIGN.md chip check) and the prep
+        # stays off the host either way.
+        large_device = L_pad > max_bucket and _exact_provable(
+            auto_exact_matrix(cfg)
+        )
         dense_views = None
         if large_device:
             matrices = [load_if_matrix(job.path) for job in bucket]
@@ -556,16 +562,27 @@ def run_genome(
                 tiles = bucket_tiles_from_if(
                     matrices, L_pad, cfg_b.restraints, devs, "float32"
                 )[0]
-            # truncate ON DEVICE before downloading: the live tiles are
-            # (B_pad, L', L') with batch-padding chromosomes and padded
-            # rows the assessment never reads — at L'=16384 that is
-            # gigabytes of extra transfer onto a ~0.1 GB/s host. One
-            # static-shape slice program covers both tensors (this path
-            # only runs multi-device, never through the remote-compile
-            # tunnel's single-chip environment).
+            # truncate ON DEVICE before downloading when the padding is
+            # material: the live tiles are (B_pad, L', L') with batch-
+            # padding chromosomes and padded rows the assessment never
+            # reads — at L'=16384 that is gigabytes of extra transfer onto
+            # a ~0.1 GB/s host. One static-shape slice program covers both
+            # tensors. On a SINGLE device (B_pad == B, L' = the quantum
+            # bucket) the waste is a few %, not worth a fresh compiled
+            # program on a remote-compile environment (minutes/program) —
+            # download the tiles as-is there.
             L_max = max(j.length for j in bucket)
-            t_all = np.asarray(tiles.target[: len(bucket), :L_max, :L_max])
-            w_all = np.asarray(tiles.w[: len(bucket), :L_max, :L_max])
+            B_real = len(bucket)
+            t_dev, w_dev = tiles.target, tiles.w
+            waste = (t_dev.shape[0] * t_dev.shape[1] ** 2) / (
+                B_real * L_max**2
+            )
+            if waste > 1.15:
+                t_dev = t_dev[:B_real, :L_max, :L_max]
+                w_dev = w_dev[:B_real, :L_max, :L_max]
+            t_all = np.asarray(t_dev)
+            w_all = np.asarray(w_dev)
+            del t_dev, w_dev
             raw = [
                 restraints_from_exact_target(t_all[b, : j.length, : j.length])
                 for b, j in enumerate(bucket)

@@ -130,7 +130,7 @@ _SHARDED_PROGRAMS: dict = {}
 
 def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
                    or_groups_np=None, conf=None, device_prep: bool = False,
-                   if_matrix=None):
+                   if_matrix=None, L_true=None):
     """Sequence-parallel ensemble solve over ALL devices (`beads` mesh axis):
     the product-surface entry to solver.sharded.solve_ensemble_sharded for
     chromosomes beyond the largest bucket. Pads to a multiple of
@@ -151,7 +151,10 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
     (ops.device_prep.exact_tiles_from_if_device), row-sharded over the
     beads mesh: the host never pays a single O(L^2) pass (build_restraints
     measured 313 s at L = 8192 here). Only valid for matrix-derived
-    restraints under the exact gate (they are exact by construction)."""
+    restraints under the exact gate (they are exact by construction).
+    L_true: the matrix's real length when if_matrix arrives PRE-PADDED
+    (run_pipeline/serve pad once and thread the copy through the solve,
+    alpha-ensemble, and assessment preps)."""
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
@@ -160,7 +163,11 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
 
     devices = jax.devices()
     nb = len(devices)
-    L = restraints.length if restraints is not None else if_matrix.shape[0]
+    L = (
+        L_true
+        if L_true is not None
+        else restraints.length if restraints is not None else if_matrix.shape[0]
+    )
     L_pad = quantum_bucket(L, cfg.shard_quantum, multiple=nb)
     # device_prep: matrix-derived restraints (quantized targets are >= 0.1
     # wherever a restraint exists) build their exact-form tiles ON device —
@@ -188,7 +195,7 @@ def _sharded_solve(restraints, rc, cfg: PipelineConfig, key, n_models: int,
         if if_matrix is not None:
             dense = exact_tiles_from_if_device(
                 if_matrix, L_pad, rc, rc.weighting, p, sharding=row_sh,
-                out_dtype=dt,
+                out_dtype=dt, n_true=L,
             )
         else:
             dense = exact_tiles_from_target_device(
@@ -298,7 +305,8 @@ def _beads_row_sharding():
     )
 
 
-def _assessment_view_from_if(if_matrix, rc, L_pad: int, sharded: bool):
+def _assessment_view_from_if(if_matrix, rc, L_pad: int, sharded: bool,
+                             n_true=None):
     """Post-solve host view for the at-scale device-prep matrix route:
     re-invoke the device prep program at f32 and DOWNLOAD the exact
     tiles — (Restraints view, ExactRestraints numpy view), one f32
@@ -316,13 +324,14 @@ def _assessment_view_from_if(if_matrix, rc, L_pad: int, sharded: bool):
     from chromosome3d_tpu.ops.energy import ExactRestraints, auto_weight_exponent
     from chromosome3d_tpu.restraints import restraints_from_exact_target
 
-    L = if_matrix.shape[0]
+    L = if_matrix.shape[0] if n_true is None else n_true
     p = rc.weight_exponent
     if p is None:
         p = auto_weight_exponent(L)
     tiles = exact_tiles_from_if_device(
         if_matrix, L_pad, rc, rc.weighting, p,
         sharding=_beads_row_sharding() if sharded else None,
+        n_true=L,
     )
     target_np = np.asarray(tiles.target)[:L, :L]
     w_np = np.asarray(tiles.w)[:L, :L]
@@ -509,12 +518,29 @@ def run_pipeline(
     L_pad, bead_mask = _bucket_pad(L, cfg)
     bm = None if bead_mask is None else jax.numpy.asarray(bead_mask)
     cfg_solve = cfg
+    if_dev = None
+    if device_route:
+        # pad the IF matrix to the solve layout ONCE and thread the copy:
+        # the solve prep, each extra-alpha prep, and the post-solve
+        # assessment view all pass this pre-padded f32 array through
+        # pad_f32 — each separate pad is an O(L^2) host copy (~25 s at
+        # L = 24576 on this ~0.1 GB/s host). Preps-only: scoring and
+        # artifact emission keep the original float64 matrix.
+        from chromosome3d_tpu.ops.device_prep import pad_f32
+
+        if_dev = pad_f32(
+            if_matrix,
+            quantum_bucket(L, cfg.shard_quantum, multiple=len(jax.devices()))
+            if sharded
+            else L_pad,
+        )
 
     def do_solve(restr_np, rc_x, k):
         if device_route and sharded:
             # matrix straight to row-sharded device tiles; no host prep
             res, _ = _sharded_solve(None, rc_x, cfg_solve, k,
-                                    cfg_solve.model_count, if_matrix=if_matrix)
+                                    cfg_solve.model_count, if_matrix=if_dev,
+                                    L_true=L)
             return res
         if device_route:
             # beyond-bucket single-chip: the whole L3 prep on device from
@@ -527,7 +553,7 @@ def run_pipeline(
             if p_x is None:
                 p_x = auto_weight_exponent(L)
             tiles = exact_tiles_from_if_device(
-                if_matrix, L_pad, rc_x, rc_x.weighting, p_x,
+                if_dev, L_pad, rc_x, rc_x.weighting, p_x, n_true=L,
                 # pair_bf16 at scale: tiles STORED bf16 (half the argument
                 # HBM and the per-step stream; measured +16-27% at
                 # L=8192-24576, quality-neutral — DESIGN.md round-4
@@ -613,7 +639,7 @@ def run_pipeline(
             else L_pad
         )
         restraints, dense = _assessment_view_from_if(
-            if_matrix, rc, L_pad_assess, sharded
+            if_dev, rc, L_pad_assess, sharded, n_true=L
         )
         n_tbl = restraints.count
     summary = emit_artifacts(

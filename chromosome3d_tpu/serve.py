@@ -143,6 +143,20 @@ class SolverCache:
         key = jax.random.PRNGKey(cfg.seed)
         L_warm = None
         sharded = _use_sharded(L, cfg)
+        if_dev = None
+        if device_route:
+            # pad once, thread the copy through the solve prep and the f32
+            # assessment view (each separate pad_f32 is an O(L^2) host
+            # copy — run_pipeline's discipline)
+            from chromosome3d_tpu.ops.device_prep import pad_f32
+
+            if_dev = pad_f32(
+                matrix,
+                quantum_bucket(L, cfg.shard_quantum,
+                               multiple=len(jax.devices()))
+                if sharded
+                else self.bucket_for(L),
+            )
         if sharded:
             # at-scale request: row-sharded over the device mesh, same
             # dispatch as run_pipeline (the program cache is jax's jit
@@ -151,7 +165,8 @@ class SolverCache:
             # (lcm(quantum, devices) — not the plain quantum bucket).
             if device_route:
                 result, L_warm = _sharded_solve(
-                    None, rc, cfg, key, cfg.model_count, if_matrix=matrix
+                    None, rc, cfg, key, cfg.model_count, if_matrix=if_dev,
+                    L_true=L,
                 )
             else:
                 result, L_warm = _sharded_solve(r, rc, cfg, key,
@@ -171,7 +186,7 @@ class SolverCache:
                 )
 
                 dense = exact_tiles_from_if_device(
-                    matrix, L_pad, rc, rc.weighting, p,
+                    if_dev, L_pad, rc, rc.weighting, p, n_true=L,
                     # bf16-STORED tiles when pair_bf16 (the assessment view
                     # below is a separate f32 prep program)
                     out_dtype="bfloat16" if cfg.anneal.pair_bf16
@@ -203,6 +218,11 @@ class SolverCache:
         self.add_warm(L_warm, cfg)
         coords = np.asarray(result.coords)[:, :L, :]
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
+        # the downloads above fenced the solve: free the solve tiles BEFORE
+        # the f32 assessment re-prep below allocates its own, so the two
+        # tile sets never coexist at the HBM peak (same order as
+        # run_pipeline's at-scale branch and run_genome's bf16 route)
+        dense = result = None
         dense_view = None
         if device_route:
             # host views for assessment: one f32 download. With pair_bf16
@@ -218,7 +238,7 @@ class SolverCache:
                 else self.bucket_for(L)
             )
             r, dense_view = _assessment_view_from_if(
-                matrix, rc, L_assess, sharded
+                if_dev, rc, L_assess, sharded, n_true=L
             )
         return coords, energies, r, dense_view
 
@@ -320,21 +340,39 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
                 # every bucket: the exact-L solve still completed) — never
                 # turn a finished solve into an error response
                 pass
-            return {"ok": True, **summary}
+            # same wire shape as the matrix route (the documented protocol:
+            # {"ok": true, "summary": {...}})
+            return {"ok": True, "summary": summary}
 
         matrix_path = req["matrix"]
         out_dir = req["out"]
         anneal = cache.base.anneal
         if req.get("turbo"):
             anneal = turbo_anneal(anneal)
+        import dataclasses
+
         cfg = cache.base.replace(
             model_count=int(req.get("models", cache.base.model_count)),
-            restraints=RestraintConfig(
+            # per-request knobs override the server's BASE restraint config;
+            # rebuilding RestraintConfig() here would silently reset every
+            # other field (separation, weighting, weight_exponent, ...) the
+            # operator configured at serve() time
+            restraints=dataclasses.replace(
+                cache.base.restraints,
                 kscaling=float(req.get("kscaling", 11.0)),
                 alpha=float(req.get("alpha", 0.5)),
             ),
             anneal=anneal,
         )
+        # bound L from the FIRST ROW before materializing the whole matrix:
+        # a typo'd/hostile 200k-square file would otherwise make the server
+        # load tens of GB of float64 before the post-load check ran
+        from chromosome3d_tpu.io.matrix import matrix_length
+
+        L_head = matrix_length(matrix_path)
+        if L_head > MAX_L:
+            return {"ok": False,
+                    "error": f"matrix L={L_head} exceeds {MAX_L}"}
         matrix = load_if_matrix(matrix_path)
         if matrix.shape[0] > MAX_L:
             return {"ok": False,

@@ -282,3 +282,27 @@ def test_target_tiles_bf16_stored_match_f32_cast():
     np.testing.assert_array_equal(
         np.asarray(b16.w), np.asarray(f32.w.astype(jnp.bfloat16))
     )
+
+
+def test_tiles_from_if_separation_zero_excludes_diagonal():
+    """The host route drops i == j EXPLICITLY (~np.eye in
+    dist_to_restraints), not via the separation test — so at separation=0
+    the device mask must also exclude the diagonal or the routes diverge by
+    L spurious self-restraints (which would also skew the relative-
+    weighting mean normalization)."""
+    rc = RestraintConfig(separation=0)
+    m = _matrix(64)
+    r = build_restraints(m, rc)
+    p = auto_weight_exponent(64)
+    host = exact_restraints_from_numpy(r, rc.weighting, p)
+    dev = exact_tiles_from_if_device(m, 64, rc, rc.weighting, p)
+    t_d = np.asarray(dev.target)
+    assert not np.diagonal(t_d).any()
+    t_h = np.asarray(host.target)
+    diff = t_d != t_h
+    assert diff.mean() < 1e-3
+    assert not np.logical_xor(t_d > 0, t_h > 0)[~diff].any()
+    np.testing.assert_allclose(
+        np.asarray(dev.w)[~diff], np.asarray(host.w)[~diff],
+        rtol=1e-4, atol=1e-8,
+    )

@@ -718,3 +718,27 @@ def test_bf16_tiles_close_to_f32():
     e_b = np.asarray(r16.energies["overall"])
     assert np.isfinite(e_b).all()
     np.testing.assert_allclose(e_b, e_a, rtol=0.1)
+
+
+def test_row_block_feasible_bounds():
+    """The sharded row-block kernel's minimum (8, Lp) tile outgrows the
+    scoped-VMEM budget past global L ~ 54k: the dispatcher must refuse it
+    there (the chunked jnp fallback takes over) and _pick_tile_rows must
+    return None rather than an uncompilable tile size."""
+    from chromosome3d_tpu.ops.pallas_energy import (
+        _pick_tile_rows,
+        _round_up,
+        row_block_feasible,
+    )
+
+    assert row_block_feasible(8192, 8, True)
+    assert row_block_feasible(32768, 8, True)
+    assert not row_block_feasible(65536, 8, True)
+    assert not row_block_feasible(65536, 64, False)
+    assert _pick_tile_rows(8192, _round_up(65536, 128), True) is None
+    # the budget rule itself: every returned tile fits 8.5*t*Lp*4 <= 14 MiB
+    for L in (456, 2048, 8192, 24576, 53248):
+        Lp = _round_up(L, 128)
+        t = _pick_tile_rows(L // 8, Lp, True)
+        if t is not None:
+            assert 8.5 * t * Lp * 4 <= 14 * 1024 * 1024

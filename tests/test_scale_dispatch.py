@@ -566,3 +566,32 @@ def test_run_genome_at_scale_bf16_stored(tmp_path, monkeypatch):
     # %.1f quantization grid, which bf16 cannot represent
     report = os.path.join(out, "chr9_1mb", "contact_violation.txt")
     assert os.path.exists(report)
+
+
+def test_run_genome_at_scale_single_device(tmp_path, monkeypatch):
+    """On ONE device an at-scale exact bucket still takes the IF->device
+    prep route (never per-chromosome host build_restraints — 313 s at
+    L=8192 on this host) through the (1, 1)-mesh degenerate of the
+    composed solver, which runs at single-chip per-step cost (DESIGN.md
+    chip check)."""
+    import jax
+    from jax.sharding import Mesh
+
+    import chromosome3d_tpu.parallel.genome as gn
+
+    indir = tmp_path / "input"
+    indir.mkdir()
+    np.savetxt(indir / "chr5_1mb_matrix.txt", structured_matrix(96, seed=5),
+               fmt="%.3f")
+    build_lengths = []
+    real_build = gn.build_restraints
+    monkeypatch.setattr(
+        gn, "build_restraints",
+        lambda m, rc: (build_lengths.append(m.shape[0]), real_build(m, rc))[1],
+    )
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("chrom",))
+    out = str(tmp_path / "out")
+    s = gn.run_genome(str(indir), out, scale_cfg(), mesh=mesh1)
+    assert 96 not in build_lengths, "single-device at-scale bucket host-built"
+    assert s["chr5_1mb"]["L"] == 96
+    assert s["chr5_1mb"]["best_spearman_if_inv_d"] > 0.7

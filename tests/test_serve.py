@@ -98,7 +98,7 @@ def test_restraints_file_request(server, tmp_path):
         {"restraints": str(tbl), "out": str(out), "models": 2},
         timeout=600,
     )
-    assert resp["ok"] and resp["or_groups"] == 1
+    assert resp["ok"] and resp["summary"]["or_groups"] == 1
     assert (out / "amb_model1.pdb").exists()
 
 
@@ -114,7 +114,7 @@ def test_restraints_rr_request(server, tmp_path):
         {"restraints": str(rr), "out": str(out), "models": 2},
         timeout=600,
     )
-    assert resp["ok"] and resp["restraints"] == L - 1
+    assert resp["ok"] and resp["summary"]["restraints"] == L - 1
     assert (out / "chain_model1.pdb").exists()
 
 
