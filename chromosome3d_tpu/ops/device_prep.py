@@ -65,6 +65,19 @@ def pad_f32(a, L_pad: int):
     return out
 
 
+def _run_prog(prog, args: tuple, tag: str, statics: str):
+    """Dispatch a prep program through the AOT executable cache when
+    CHROM3D_AOT_CACHE is set (utils/aot.py). The at-scale prep programs
+    compile through the same remote tunnel as the solve programs, so a
+    fresh process re-running a known bucket shape should skip the compile
+    for the PREP too, not just the solve — otherwise the cold-start win
+    the solve blobs buy is bounded by the prep's compile. Disabled (no
+    env var): the plain jitted callable, jax's in-process cache applies."""
+    from chromosome3d_tpu.utils.aot import load_or_compile
+
+    return load_or_compile(prog, args, tag, statics=statics)(*args)
+
+
 def _weights_from_target(t, p, weighting: str):
     """Device mirror of ops.energy._restraint_weights for exact restraints:
     mask is recoverable as t > 0 (quantized targets are >= 0.1 wherever a
@@ -126,8 +139,11 @@ def exact_tiles_from_target_device(
     out_dtype: "bfloat16" emits bf16-STORED tiles (see _tiles_from_if_body)."""
     t = pad_f32(target, L_pad)
     t = jnp.asarray(t) if sharding is None else jax.device_put(t, sharding)
-    return _tiles_from_target_prog(weighting, str(out_dtype))(
-        t, jnp.float32(weight_exponent)
+    return _run_prog(
+        _tiles_from_target_prog(weighting, str(out_dtype)),
+        (t, jnp.float32(weight_exponent)),
+        "prep_target",
+        f"w={weighting};dt={out_dtype}",
     )
 
 
@@ -246,12 +262,17 @@ def exact_tiles_from_if_batched_device(
     prog = _tiles_from_if_batched_prog(
         int(rc.separation), weighting, str(out_dtype)
     )
-    return prog(
-        x,
-        jnp.asarray([m.shape[0] for m in matrices], jnp.float32),
-        jnp.float32(rc.alpha),
-        jnp.float32(rc.kscaling),
-        jnp.asarray(np.asarray(weight_exponents, np.float32)),
+    return _run_prog(
+        prog,
+        (
+            x,
+            jnp.asarray([m.shape[0] for m in matrices], jnp.float32),
+            jnp.float32(rc.alpha),
+            jnp.float32(rc.kscaling),
+            jnp.asarray(np.asarray(weight_exponents, np.float32)),
+        ),
+        "prep_if_bucket",
+        f"sep={int(rc.separation)};w={weighting};dt={out_dtype}",
     )
 
 
@@ -283,10 +304,15 @@ def exact_tiles_from_if_device(
     O(L^2) host pass (~25 s at L = 24576 on this ~0.1 GB/s host)."""
     prog = _tiles_from_if_prog(int(rc.separation), weighting, str(out_dtype))
     m = pad_f32(if_matrix, L_pad)
-    return prog(
-        jnp.asarray(m) if sharding is None else jax.device_put(m, sharding),
-        jnp.float32(if_matrix.shape[0] if n_true is None else n_true),
-        jnp.float32(rc.alpha),
-        jnp.float32(rc.kscaling),
-        jnp.float32(weight_exponent),
+    return _run_prog(
+        prog,
+        (
+            jnp.asarray(m) if sharding is None else jax.device_put(m, sharding),
+            jnp.float32(if_matrix.shape[0] if n_true is None else n_true),
+            jnp.float32(rc.alpha),
+            jnp.float32(rc.kscaling),
+            jnp.float32(weight_exponent),
+        ),
+        "prep_if",
+        f"sep={int(rc.separation)};w={weighting};dt={out_dtype}",
     )

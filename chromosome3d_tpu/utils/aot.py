@@ -7,7 +7,9 @@ COMPILED executable serialized with `jax.experimental.serialize_executable`
 does reload across processes (verified on this box's remote-TPU backend:
 0.06 s load, bit-identical results) — so the big solve programs (a genome
 bucket, a serve bucket) can be shipped to disk once and every later process
-skips the tunnel entirely.
+skips the tunnel entirely. The at-scale device-prep programs
+(ops/device_prep.py) ride the same cache: a fresh process re-running a
+known bucket shape skips the compile for the prep too, not just the solve.
 
 Scope and invariants:
   * An executable is valid only for the exact argument shapes/dtypes/

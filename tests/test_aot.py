@@ -123,6 +123,30 @@ def test_run_pipeline_aot_roundtrip(tmp_path, monkeypatch):
     assert s1["best_spearman_if_inv_d"] == s2["best_spearman_if_inv_d"]
 
 
+def test_device_prep_aot_roundtrip(tmp_path, monkeypatch):
+    """The at-scale device-prep programs ride the AOT cache too: a fresh
+    process re-running a known bucket shape must skip the (remote) compile
+    for the PREP, not just the solve — otherwise the solve blobs' cold-start
+    win is bounded by the prep's compile."""
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_device
+
+    rng = np.random.RandomState(5)
+    L = 12
+    base = rng.gamma(2.0, 50.0, size=(L, L))
+    m = (base + base.T) / 2
+    np.fill_diagonal(m, 5000.0)
+    rc = RestraintConfig()
+    monkeypatch.setenv("CHROM3D_AOT_CACHE", str(tmp_path))
+    t1 = exact_tiles_from_if_device(m, 16, rc, rc.weighting, 1.0)
+    t1 = (np.asarray(t1.target), np.asarray(t1.w))
+    blobs = [p for p in os.listdir(tmp_path) if p.endswith(".aotx")]
+    assert len(blobs) == 1 and blobs[0].startswith("prep_if-")
+    t2 = exact_tiles_from_if_device(m, 16, rc, rc.weighting, 1.0)
+    np.testing.assert_array_equal(t1[0], np.asarray(t2.target))
+    np.testing.assert_array_equal(t1[1], np.asarray(t2.w))
+
+
 def test_code_fingerprint_in_key(tmp_path, monkeypatch):
     """The cache key embeds a fingerprint of the package source: editing
     any module must invalidate cached executables (a serialized executable
