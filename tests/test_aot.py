@@ -147,6 +147,33 @@ def test_device_prep_aot_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_array_equal(t1[1], np.asarray(t2.w))
 
 
+def test_device_prep_bucket_aot_roundtrip(tmp_path, monkeypatch):
+    """The batched (genome at-scale bucket) prep program rides the cache
+    too — it adds vmap + a donated (B, L, L) stack over the single-matrix
+    program, so pin its serialize/reload separately."""
+    from chromosome3d_tpu.config import RestraintConfig
+    from chromosome3d_tpu.ops.device_prep import (
+        exact_tiles_from_if_batched_device,
+    )
+
+    rng = np.random.RandomState(7)
+    mats = []
+    for L in (10, 12):
+        base = rng.gamma(2.0, 50.0, size=(L, L))
+        m = (base + base.T) / 2
+        np.fill_diagonal(m, 5000.0)
+        mats.append(m)
+    rc = RestraintConfig()
+    monkeypatch.setenv("CHROM3D_AOT_CACHE", str(tmp_path))
+    t1 = exact_tiles_from_if_batched_device(mats, 16, rc, rc.weighting, [1.0, 1.0])
+    t1 = (np.asarray(t1.target), np.asarray(t1.w))
+    blobs = [p for p in os.listdir(tmp_path) if p.endswith(".aotx")]
+    assert len(blobs) == 1 and blobs[0].startswith("prep_if_bucket-")
+    t2 = exact_tiles_from_if_batched_device(mats, 16, rc, rc.weighting, [1.0, 1.0])
+    np.testing.assert_array_equal(t1[0], np.asarray(t2.target))
+    np.testing.assert_array_equal(t1[1], np.asarray(t2.w))
+
+
 def test_code_fingerprint_in_key(tmp_path, monkeypatch):
     """The cache key embeds a fingerprint of the package source: editing
     any module must invalidate cached executables (a serialized executable
