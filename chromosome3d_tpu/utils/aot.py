@@ -156,6 +156,22 @@ class _GuardedExec:
                     log.info(f"AOT: evicted poisoned entry {self._path}")
                 except OSError:
                     pass
+            # donated inputs (the prep programs donate their (L, L) upload)
+            # may already be consumed by the failed dispatch — retrying with
+            # deleted buffers would surface as a confusing low-level error.
+            # The poisoned entry is evicted either way, so a rerun recompiles
+            # cleanly; say exactly that.
+            import jax
+
+            if any(
+                getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree.leaves(args)
+            ):
+                raise RuntimeError(
+                    f"AOT: cached {self._tag} executable failed at dispatch "
+                    "after consuming a donated input buffer; the cache entry "
+                    "was evicted — rerun to recompile cleanly"
+                ) from e
             self._exec = self._compile_fn()
             out = self._exec(*args)
         self._proven = True

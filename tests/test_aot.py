@@ -174,6 +174,51 @@ def test_device_prep_bucket_aot_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_array_equal(t1[1], np.asarray(t2.w))
 
 
+def test_guarded_retry_recompiles_when_inputs_survive(tmp_path):
+    """A cached executable that fails at dispatch WITHOUT consuming its
+    inputs is recompiled in place and the poisoned entry evicted."""
+    from chromosome3d_tpu.utils.aot import _GuardedExec
+
+    poisoned = tmp_path / "t-dead-beef.aotx"
+    poisoned.write_bytes(b"x")
+
+    def bad_exec(*args):
+        raise ValueError("backend rejected blob")
+
+    f = _f()
+    x, y = jnp.ones((4, 4)), jnp.ones((4, 4))
+    g = _GuardedExec(
+        bad_exec, lambda: f.lower(x, y).compile(), "t", str(poisoned)
+    )
+    np.testing.assert_allclose(np.asarray(g(x, y)), np.asarray(f(x, y)))
+    assert not poisoned.exists()
+
+
+def test_guarded_retry_donated_inputs_consumed(tmp_path):
+    """If the failed dispatch already CONSUMED a donated input (the prep
+    programs donate their (L, L) upload), retrying would pass deleted
+    buffers to the fresh executable — the guard must evict the entry and
+    raise a clear error instead of a confusing low-level one."""
+    import pytest
+
+    from chromosome3d_tpu.utils.aot import _GuardedExec
+
+    poisoned = tmp_path / "t-dead-beef.aotx"
+    poisoned.write_bytes(b"x")
+
+    def consuming_bad_exec(x):
+        x.delete()
+        raise ValueError("backend rejected blob mid-dispatch")
+
+    x = jnp.ones((4, 4))
+    g = _GuardedExec(
+        consuming_bad_exec, lambda: None, "t", str(poisoned)
+    )
+    with pytest.raises(RuntimeError, match="donated input"):
+        g(x)
+    assert not poisoned.exists()
+
+
 def test_code_fingerprint_in_key(tmp_path, monkeypatch):
     """The cache key embeds a fingerprint of the package source: editing
     any module must invalidate cached executables (a serialized executable
