@@ -320,10 +320,10 @@ def solve_ensemble_impl(
     # but not the fully fused step (its update happens inside the kernel,
     # before any external gradient could join).
     fusable = (
-        use_pallas and exact and cfg.fuse_update and cfg.angle_weight == 0.0
+        use_pallas and cfg.fuse_update and cfg.angle_weight == 0.0
     )
     fused = semi = False
-    if fusable:
+    if fusable and exact:
         # at large L the triangular (symmetry-exploiting) pair kernel beats
         # the fully fused whole-matrix step: each unordered tile pair is
         # computed once (33-45% less pair math) — and past Lp ~= 2048 the
@@ -347,6 +347,15 @@ def solve_ensemble_impl(
         # the semi path IS the triangular kernel (+ companion), so the
         # CHROM3D_NO_TRI A/B override must push it to the unfused scan
         semi = not fused and not _os.environ.get("CHROM3D_NO_TRI")
+    elif fusable:
+        # GENERAL (windowed-deviation / soft-square) restraints: no exact
+        # specialization and no triangular kernel, but the update half of
+        # the step is restraint-agnostic — the general whole-matrix pair
+        # kernel feeds the same fused update companion, killing the same
+        # optax/threefry/clip glue the exact semi path killed (the last
+        # dispatch asymmetry: external .rr/.tbl files with real deviation
+        # windows used to pay the round-2 unfused step cost forever).
+        semi = True
     if use_pallas:
         from chromosome3d_tpu.ops.pallas_energy import pallas_energy_and_grad_batched
 
@@ -428,27 +437,46 @@ def solve_ensemble_impl(
                 )
                 return (xT, muT, nuT, count + 1), e
         else:
-            # SEMI-fused: the TRIANGULAR pair kernel + the fused update
-            # companion — exactly the combination the calibration timed as
-            # `semi_s` (the unfused tri-vs-row dispatch answers a different
-            # question and must not leak in here); the two O(B*L*3)
-            # transposes are noise next to the O(L^2) pair work. The noise
-            # stream is bitwise the fused step's.
+            # SEMI-fused. Exact restraints: the TRIANGULAR pair kernel +
+            # the fused update companion — exactly the combination the
+            # calibration timed as `semi_s` (the unfused tri-vs-row
+            # dispatch answers a different question and must not leak in
+            # here). General (windowed) restraints: the whole-matrix
+            # soft-square pair kernel + the same companion (there is no
+            # triangular variant for the general well; the win here is
+            # purely the update half). The two O(B*L*3) transposes are
+            # noise next to the O(L^2) pair work. The noise stream is
+            # bitwise the fused step's.
             from chromosome3d_tpu.ops.pallas_energy import (
+                _pairwise_energy_grad_batched,
                 exact_pair_tiles,
                 pallas_energy_grad_tri_batched,
                 pallas_fused_update_batched,
             )
 
-            # (target, folded weight) hoisted OUTSIDE the scan: aliases of
-            # the stored tensors for the two-tensor ExactRestraints form
-            # (zero copies — the at-scale path's live restraint HBM is then
-            # exactly the two uploaded tensors), one explicit fold otherwise
-            tri_tiles = exact_pair_tiles(restraints)
-            if cfg.pair_bf16:
-                tri_tiles = tuple(
-                    t.astype(jnp.bfloat16) for t in tri_tiles
-                )
+            if exact:
+                # (target, folded weight) hoisted OUTSIDE the scan: aliases
+                # of the stored tensors for the two-tensor ExactRestraints
+                # form (zero copies — the at-scale path's live restraint
+                # HBM is then exactly the two uploaded tensors), one
+                # explicit fold otherwise
+                tri_tiles = exact_pair_tiles(restraints)
+                if cfg.pair_bf16:
+                    tri_tiles = tuple(
+                        t.astype(jnp.bfloat16) for t in tri_tiles
+                    )
+
+                def pair_vag(x, weights):
+                    return pallas_energy_grad_tri_batched(
+                        x, restraints, weights, bead_mask, interpret=interp,
+                        gram=cfg.gram_d2, tiles=tri_tiles,
+                    )
+            else:
+                def pair_vag(x, weights):
+                    return _pairwise_energy_grad_batched(
+                        x, restraints, weights, bead_mask, interp, False,
+                        gram=cfg.gram_d2,
+                    )
 
             if or_groups is not None:
                 _og_vg_semi = jax.value_and_grad(or_group_energy)
@@ -458,10 +486,7 @@ def solve_ensemble_impl(
                 lr, sigma, vdw_w, repel, bc1, bc2 = srow
                 weights = sched_weights(vdw_w, repel)
                 x = jnp.swapaxes(xT, 1, 2)
-                e_pair, g = pallas_energy_grad_tri_batched(
-                    x, restraints, weights, bead_mask, interpret=interp,
-                    gram=cfg.gram_d2, tiles=tri_tiles,
-                )
+                e_pair, g = pair_vag(x, weights)
                 if or_groups is not None:
                     # the O(R*G) group-min term joins the pair gradient
                     # BEFORE the update companion — or-group solves keep

@@ -285,9 +285,13 @@ def _ensemble_shard_fn(cfg: AnnealConfig, n_models: int, L: int, n_dev: int,
     # (whose tiles span Lb, not L) or the chunked jnp fallback can run
     rb_ok = pallas_req and row_block_feasible(L, n_dev, exact)
     fusable = (
-        pallas_req and exact and cfg.fuse_update and cfg.angle_weight == 0.0
+        pallas_req and cfg.fuse_update and cfg.angle_weight == 0.0
     )
-    strip_tri = fusable and strip_tri_feasible(L, n_dev)
+    # the strip-triangular kernel reads the two-tensor (target, weight)
+    # exact form; GENERAL (windowed) restraints keep the row-block pair
+    # kernel but still feed the fused update companion (same round-4
+    # dispatch symmetry as solve_ensemble_impl's semi-general path)
+    strip_tri = fusable and exact and strip_tri_feasible(L, n_dev)
     fusable = fusable and (strip_tri or rb_ok)
     use_pallas = rb_ok or strip_tri
 

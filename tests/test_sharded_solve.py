@@ -130,8 +130,13 @@ def test_sharded_ensemble_pallas_matches_jnp():
 
     L = 16 * 8
     dense = make_case(L)
+    # fuse_update=False isolates the PAIR kernel: with it on, the pallas
+    # arm takes the semi path (fused update companion, counter-hash noise)
+    # while the jnp arm keeps optax+threefry — different noise streams by
+    # design (the semi-vs-single-chip tests below cover that route)
     base_cfg = dataclasses.replace(
-        fast_anneal(AnnealConfig()), init="landmark", landmark_count=16
+        fast_anneal(AnnealConfig()), init="landmark", landmark_count=16,
+        fuse_update=False,
     )
     key = jax.random.PRNGKey(11)
     mesh = Mesh(np.array(jax.devices()), ("beads",))
@@ -228,6 +233,45 @@ def test_sharded_ensemble_fused_single_device_degenerate():
     for k2 in ("noe", "bon", "vdw", "overall"):
         np.testing.assert_allclose(
             np.asarray(s.energies[k2]), np.asarray(p.energies[k2]), rtol=2e-3
+        )
+
+
+def test_sharded_ensemble_semi_general_matches_single_chip():
+    """GENERAL (windowed) restraints on the fused-update sharded path: the
+    row-block pair kernel (exact=False) feeds the fused update companion —
+    round 4's last dispatch symmetry. Must reproduce the single-chip
+    semi-general solve on the same key (shared counter-hash noise stream,
+    mirrored seed derivation), noise ON."""
+    import dataclasses
+
+    from chromosome3d_tpu.solver.anneal import solve_ensemble_impl
+    from chromosome3d_tpu.solver.sharded import solve_ensemble_sharded
+
+    L = 16 * 8
+    dense = make_case(L)
+    dense = dense._replace(lo=dense.lo * 0.8, hi=dense.hi * 1.2)
+    cfg = dataclasses.replace(
+        fast_anneal(AnnealConfig()), init="landmark", landmark_count=16,
+        use_pallas=True, exact_restraints=False, fuse_update=True,
+    )
+    key = jax.random.PRNGKey(19)
+    mesh = Mesh(np.array(jax.devices()), ("beads",))
+    sharded = jax.jit(
+        lambda d, k: solve_ensemble_sharded(mesh, d, cfg, k, 2)
+    )(dense, key)
+    ref = jax.jit(
+        lambda d, k: solve_ensemble_impl(d, cfg, k, 2)
+    )(dense, key)
+    np.testing.assert_allclose(
+        np.asarray(sharded.history), np.asarray(ref.history), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.coords), np.asarray(ref.coords), atol=5e-3
+    )
+    for k2 in ("noe", "bon", "vdw", "overall"):
+        np.testing.assert_allclose(
+            np.asarray(sharded.energies[k2]), np.asarray(ref.energies[k2]),
+            rtol=2e-3,
         )
 
 
