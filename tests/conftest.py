@@ -48,6 +48,8 @@ SLOW_TESTS = {
     "test_fused_step_noise_statistics",
     "test_fused_update_matches_fused_step_with_noise",
     "test_semi_fused_solve_matches_unfused",
+    "test_semi_general_solve_matches_unfused",
+    "test_sharded_ensemble_semi_general_matches_single_chip",
     "test_fused_update_padded_and_noise_stats",
     "test_pallas_vmap",
     "test_pallas_vmap_grad",
