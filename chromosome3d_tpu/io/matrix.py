@@ -21,8 +21,11 @@ def matrix_length(path: str | os.PathLike) -> int:
     with open(path, "r") as f:
         for line in f:
             line = line.strip()
-            if len(line) < 2:
-                raise ValueError(f"{path}: malformed first row")
+            if not line:
+                # blank/CRLF-only lines: the same tolerance as
+                # load_if_matrix, which skips them — a pre-check must
+                # never reject a file the loader accepts
+                continue
             return len(line.split())
     raise ValueError(f"{path}: empty matrix file")
 

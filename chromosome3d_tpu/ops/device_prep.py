@@ -237,6 +237,7 @@ def exact_tiles_from_if_batched_device(
     weight_exponents,
     sharding=None,
     out_dtype: str = "float32",
+    stack: "np.ndarray | None" = None,
 ) -> ExactRestraints:
     """Batched exact_tiles_from_if_device for a genome bucket: a list of
     (L_b, L_b) IF matrices -> (B, L_pad, L_pad) ExactRestraints, built by
@@ -252,12 +253,25 @@ def exact_tiles_from_if_batched_device(
     rounded targets would reach the violation reports — so bf16 callers
     (run_genome with pair_bf16) free the solve tiles and re-invoke this at
     f32 for the assessment view, the same two-program split as the
-    run/solve/serve surfaces (pipeline._assessment_view_from_if)."""
+    run/solve/serve surfaces (pipeline._assessment_view_from_if).
+
+    stack: optional prebuilt (B, L_pad, L_pad) f32 pad/stack — callers
+    that prep the same bucket more than once (the bf16 two-program split,
+    alpha ensembles) pass it so the O(B*L_pad^2) host copy runs ONCE, the
+    same pad-once-and-thread discipline as pipeline's if_dev. The device
+    upload donates only the device buffer; the host array stays valid
+    across calls."""
     B = len(matrices)
-    stack = np.zeros((B, L_pad, L_pad), np.float32)
-    for b, m in enumerate(matrices):
-        Lb = m.shape[0]
-        stack[b, :Lb, :Lb] = np.asarray(m, np.float32)
+    if stack is None:
+        stack = np.zeros((B, L_pad, L_pad), np.float32)
+        for b, m in enumerate(matrices):
+            Lb = m.shape[0]
+            stack[b, :Lb, :Lb] = np.asarray(m, np.float32)
+    elif stack.shape != (B, L_pad, L_pad) or stack.dtype != np.float32:
+        raise ValueError(
+            f"prebuilt stack {stack.shape}/{stack.dtype} does not match "
+            f"({B}, {L_pad}, {L_pad}) float32"
+        )
     x = jnp.asarray(stack) if sharding is None else jax.device_put(stack, sharding)
     prog = _tiles_from_if_batched_prog(
         int(rc.separation), weighting, str(out_dtype)

@@ -376,6 +376,7 @@ def solve_bucket_sharded_from_if(
     cfg: PipelineConfig,
     devices: Optional[Sequence] = None,
     base_seed: Optional[int] = None,
+    stack: Optional[np.ndarray] = None,
 ):
     """The at-scale genome bucket's IF→device route (late round 4): build
     the whole bucket's exact tiles ON the accelerator straight from the IF
@@ -398,7 +399,7 @@ def solve_bucket_sharded_from_if(
     devices = list(devices if devices is not None else jax.devices())
     solve_dtype = "bfloat16" if cfg.anneal.pair_bf16 else "float32"
     tiles, mesh2, sh_row, B_pad, L_pad = bucket_tiles_from_if(
-        matrices, L_pad, cfg.restraints, devices, solve_dtype
+        matrices, L_pad, cfg.restraints, devices, solve_dtype, stack=stack
     )
     mats_n = [m.shape[0] for m in matrices]
     mats_n += [mats_n[0]] * (B_pad - len(matrices))
@@ -419,12 +420,33 @@ def solve_bucket_sharded_from_if(
     return result, tiles, L_pad
 
 
+def bucket_stack(
+    matrices: Sequence[np.ndarray], L_pad: int, devices: Sequence
+) -> np.ndarray:
+    """The (B_pad, L', L') f32 pad/stack bucket_tiles_from_if would build,
+    computed ONCE by callers that prep the same bucket repeatedly (the
+    bf16 two-program split, alpha ensembles) — each rebuild is an
+    O(B*L'^2) host copy on a ~0.1 GB/s host. Uses the same mesh-layout
+    rounding as bucket_tiles_from_if, so the shapes always agree."""
+    B = len(matrices)
+    nc, nb = large_mesh_layout(B, len(devices))
+    B_pad = -(-B // nc) * nc
+    L_pad = -(-L_pad // nb) * nb
+    mats = list(matrices) + [matrices[0]] * (B_pad - B)
+    stack = np.zeros((B_pad, L_pad, L_pad), np.float32)
+    for b, m in enumerate(mats):
+        Lb = m.shape[0]
+        stack[b, :Lb, :Lb] = np.asarray(m, np.float32)
+    return stack
+
+
 def bucket_tiles_from_if(
     matrices: Sequence[np.ndarray],
     L_pad: int,
     rc,
     devices: Sequence,
     out_dtype: str = "float32",
+    stack: Optional[np.ndarray] = None,
 ):
     """Build an at-scale genome bucket's exact tiles on device, born
     distributed over the bucket's (chrom, beads) mesh. Returns
@@ -452,7 +474,7 @@ def bucket_tiles_from_if(
     ps = [auto_weight_exponent(m.shape[0]) if p is None else p for m in mats]
     tiles = exact_tiles_from_if_batched_device(
         mats, L_pad, rc, rc.weighting, ps, sharding=sh_mat,
-        out_dtype=out_dtype,
+        out_dtype=out_dtype, stack=stack,
     )
     return tiles, mesh2, sh_row, B_pad, L_pad
 
@@ -538,8 +560,17 @@ def run_genome(
             matrices = [load_if_matrix(job.path) for job in bucket]
             cfg_b = auto_exact_matrix(cfg)
             devs = list(mesh.devices.flat)
+            # pad/stack the bucket ONCE when a later prep reuses it (the
+            # bf16 f32-assessment re-prep, alpha-ensemble solves) — each
+            # rebuild is an O(B*L'^2) host copy (~25 s per L=24576 pad on
+            # this ~0.1 GB/s host); 125 GB host RAM holds it comfortably
+            stack = (
+                bucket_stack(matrices, L_pad, devs)
+                if (cfg_b.anneal.pair_bf16 or cfg.alpha_ensemble)
+                else None
+            )
             result, tiles, _ = solve_bucket_sharded_from_if(
-                matrices, L_pad, cfg_b, devices=devs
+                matrices, L_pad, cfg_b, devices=devs, stack=stack
             )
             from chromosome3d_tpu.ops.energy import ExactRestraints
             from chromosome3d_tpu.restraints import restraints_from_exact_target
@@ -560,7 +591,8 @@ def run_genome(
                 )
                 del tiles
                 tiles = bucket_tiles_from_if(
-                    matrices, L_pad, cfg_b.restraints, devs, "float32"
+                    matrices, L_pad, cfg_b.restraints, devs, "float32",
+                    stack=stack,
                 )[0]
             # truncate ON DEVICE before downloading when the padding is
             # material: the live tiles are (B_pad, L', L') with batch-
@@ -574,10 +606,13 @@ def run_genome(
             L_max = max(j.length for j in bucket)
             B_real = len(bucket)
             t_dev, w_dev = tiles.target, tiles.w
-            waste = (t_dev.shape[0] * t_dev.shape[1] ** 2) / (
-                B_real * L_max**2
-            )
-            if waste > 1.15:
+            # batch-padding chromosomes (B_pad > B_real on multi-device
+            # meshes) are WHOLE duplicated (L', L') tensors the assessment
+            # never reads — always slice them off before the download; row
+            # padding is only worth a fresh compiled slice program (minutes
+            # on a remote-compile backend) when it is material
+            waste = t_dev.shape[1] ** 2 / L_max**2
+            if t_dev.shape[0] > B_real or waste > 1.15:
                 t_dev = t_dev[:B_real, :L_max, :L_max]
                 w_dev = w_dev[:B_real, :L_max, :L_max]
             t_all = np.asarray(t_dev)
@@ -619,6 +654,10 @@ def run_genome(
                     matrices, L_pad, auto_exact_matrix(cfg_x),
                     devices=list(mesh.devices.flat),
                     base_seed=cfg.seed + hash(extra_alpha) % 10000,
+                    # alpha/K/p are device scalars: the prep PROGRAM is
+                    # reused, and the threaded stack skips the host
+                    # pad/stack rebuild too
+                    stack=stack,
                 )
                 # the extra alpha's tiles are solve-only (assessment uses
                 # the primary alpha's views): drop them now so the device
@@ -642,6 +681,9 @@ def run_genome(
                 for k, v in energies_all.items()
             }
             alphas += [extra_alpha] * res_x.coords.shape[1]
+        if large_device:
+            stack = None  # last prep done: release the (B_pad, L', L') pad
+
         def emit_one(b, job):
             """Assessment + artifact emission for one chromosome — pure
             HOST work (numpy/scipy/file IO; dense tensors stay numpy), so

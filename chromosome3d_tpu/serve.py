@@ -249,10 +249,10 @@ def _validate(req: Dict, cache: SolverCache) -> Optional[str]:
         models = int(req.get("models", cache.base.model_count))
         if not 1 <= models <= MAX_MODELS:
             return f"models={models} out of bounds [1, {MAX_MODELS}]"
-        alpha = float(req.get("alpha", 0.5))
+        alpha = float(req.get("alpha", cache.base.restraints.alpha))
         if not 0.0 < alpha <= MAX_ALPHA:
             return f"alpha={alpha} out of bounds (0, {MAX_ALPHA}]"
-        k = float(req.get("kscaling", 11.0))
+        k = float(req.get("kscaling", cache.base.restraints.kscaling))
         if not 0.0 < k <= MAX_KSCALING:
             return f"kscaling={k} out of bounds (0, {MAX_KSCALING}]"
         if "L" in req:
@@ -359,8 +359,13 @@ def handle_request(req: Dict, cache: SolverCache) -> Dict:
             # operator configured at serve() time
             restraints=dataclasses.replace(
                 cache.base.restraints,
-                kscaling=float(req.get("kscaling", 11.0)),
-                alpha=float(req.get("alpha", 0.5)),
+                # absent fields keep the OPERATOR's values — a hardcoded
+                # 11.0/0.5 here would silently reset exactly the two knobs
+                # this replace() exists to preserve
+                kscaling=float(
+                    req.get("kscaling", cache.base.restraints.kscaling)
+                ),
+                alpha=float(req.get("alpha", cache.base.restraints.alpha)),
             ),
             anneal=anneal,
         )

@@ -25,6 +25,21 @@ def test_load_crlf_and_leading_space(tmp_path):
     np.testing.assert_allclose(m, [[1.0, 2.0], [3.5, 4.0]])
 
 
+def test_matrix_length_skips_blank_lines(tmp_path):
+    """matrix_length is a pre-check used before load_if_matrix (serve's
+    bound on hostile L): it must accept exactly what the loader accepts,
+    including leading blank/CRLF-only lines (which the loader skips)."""
+    p = tmp_path / "m.txt"
+    p.write_bytes(b"\r\n \r\n1.0 2.0\r\n3.5 4.0\r\n")
+    assert matrix_length(p) == 2
+    m = load_if_matrix(p)
+    assert m.shape == (2, 2)
+    empty = tmp_path / "empty.txt"
+    empty.write_bytes(b"\r\n  \r\n")
+    with pytest.raises(ValueError):
+        matrix_length(empty)
+
+
 def test_load_shipped_matrix():
     path = os.path.join(REF, "input", "chr22_1mb_matrix.txt")
     if not os.path.exists(path):

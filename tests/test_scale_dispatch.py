@@ -542,9 +542,9 @@ def test_run_genome_at_scale_bf16_stored(tmp_path, monkeypatch):
     seen = []
     real = gn.bucket_tiles_from_if
 
-    def spy(matrices, L_pad, rc, devices, out_dtype="float32"):
-        r = real(matrices, L_pad, rc, devices, out_dtype)
-        seen.append((out_dtype, r[0].target.dtype))
+    def spy(matrices, L_pad, rc, devices, out_dtype="float32", stack=None):
+        r = real(matrices, L_pad, rc, devices, out_dtype, stack=stack)
+        seen.append((out_dtype, r[0].target.dtype, stack is not None))
         return r
 
     monkeypatch.setattr(gn, "bucket_tiles_from_if", spy)
@@ -560,8 +560,11 @@ def test_run_genome_at_scale_bf16_stored(tmp_path, monkeypatch):
     summaries = gn.run_genome(str(indir), out, cfg)
     assert summaries["chr9_1mb"]["best_spearman_if_inv_d"] > 0.7
     # solve prep bf16-stored, assessment view f32 — in that order
-    assert [d for d, _ in seen] == ["bfloat16", "float32"], seen
+    assert [d for d, _, _ in seen] == ["bfloat16", "float32"], seen
     assert seen[0][1] == jnp.bfloat16 and seen[1][1] == jnp.float32, seen
+    # both preps rode ONE prebuilt pad/stack (round-4 review: each call
+    # was rebuilding the O(B*L'^2) host copy)
+    assert all(s for _, _, s in seen), seen
     # the report targets came from the f32 view: spec distances carry the
     # %.1f quantization grid, which bf16 cannot represent
     report = os.path.join(out, "chr9_1mb", "contact_violation.txt")

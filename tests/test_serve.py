@@ -6,6 +6,7 @@ import os
 import threading
 import time
 
+import numpy as np
 import pytest
 
 from chromosome3d_tpu.config import AnnealConfig, PipelineConfig, RestraintConfig, fast_anneal
@@ -315,6 +316,43 @@ def test_queue_depth_cap():
         assert cache.busy == MAX_QUEUE  # not leaked by the rejection
     finally:
         os.unlink(path)
+
+
+def test_matrix_request_keeps_operator_restraint_config(tmp_path, monkeypatch):
+    """A matrix request that omits alpha/kscaling must solve with the
+    OPERATOR's base restraint config, not hardcoded 0.5/11.0 (round-4
+    review: the dataclasses.replace existed to preserve operator fields,
+    then overwrote exactly the two it touched)."""
+    import dataclasses
+
+    from chromosome3d_tpu.serve import SolverCache, handle_request
+
+    base = PipelineConfig(
+        model_count=2,
+        restraints=RestraintConfig(alpha=1.1, kscaling=7.0),
+    )
+    cache = SolverCache(base)
+    seen = {}
+
+    def fake_solve(self, matrix, cfg):
+        seen["rc"] = cfg.restraints
+        raise RuntimeError("stop after capture")
+
+    monkeypatch.setattr(SolverCache, "solve", fake_solve)
+    src = tmp_path / "m.txt"
+    np.savetxt(src, [[9.0, 2.0], [2.0, 9.0]], fmt="%.1f")
+    # the capture stub raises (exception-to-response wrapping lives in the
+    # socket handler, not handle_request)
+    with pytest.raises(RuntimeError, match="stop after capture"):
+        handle_request({"matrix": str(src), "out": str(tmp_path / "o")}, cache)
+    assert seen["rc"].alpha == 1.1 and seen["rc"].kscaling == 7.0
+    # explicit request fields still override the base
+    with pytest.raises(RuntimeError, match="stop after capture"):
+        handle_request(
+            {"matrix": str(src), "out": str(tmp_path / "o"), "alpha": 0.7,
+             "kscaling": 12.0}, cache
+        )
+    assert seen["rc"].alpha == 0.7 and seen["rc"].kscaling == 12.0
 
 
 def test_restraint_request_marks_warm(server, tmp_path):
