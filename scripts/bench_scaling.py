@@ -12,6 +12,7 @@ data exactly.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -83,6 +84,45 @@ def synthetic_matrix_device(L, seed=0):
     return gen(jax.random.PRNGKey(seed))
 
 
+def synthetic_tiles_device(L, rc, weighting, p, out_dtype="float32"):
+    """ExactRestraints synthesized DIRECTLY on device — no (L, L) IF matrix
+    is ever resident. This is the SOLVE-feasibility probe past the one-shot
+    prep ceiling (DESIGN.md: L = 49152 OOMs in PREP because the f32 IF
+    upload + the bf16 output tiles together exceed one v5e's HBM; whether
+    the SOLVE fits there is a separate question this mode answers). Targets
+    follow the equilibrium-globule scaling d ~ |i-j|^(1/3) with the same
+    %.1f quantization and separation mask device prep emits, so the solve
+    sees production-shaped tiles; every input is iota-derived, so XLA fuses
+    the whole program into the two output loops + one weight-norm reduce
+    (peak ~= the output tiles themselves)."""
+    import jax
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.ops.device_prep import _weights_from_target
+
+    sep = int(rc.separation)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 2))
+    def gen(Ls, w_mode, dt_name, pe):
+        i = jax.lax.broadcasted_iota(jnp.int32, (Ls, Ls), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (Ls, Ls), 1)
+        s = jnp.abs(i - j).astype(jnp.float32)
+        d = jnp.power(jnp.maximum(s, 1.0), jnp.float32(1.0 / 3.0))
+        # the %.1f quantization, compensated /10 (ops/device_prep.py)
+        k = jnp.round(d * 10.0)
+        q = k * jnp.float32(0.1) + k * jnp.float32(0.1 - float(np.float32(0.1)))
+        t = jnp.where((s >= sep) & (i != j), q, 0.0)
+        w = _weights_from_target(t, pe, w_mode)
+        if dt_name != "float32":
+            dt = jnp.dtype(dt_name)
+            t, w = t.astype(dt), w.astype(dt)
+        from chromosome3d_tpu.ops.energy import ExactRestraints
+
+        return ExactRestraints(target=t, w=w)
+
+    return gen(L, weighting, str(out_dtype), jnp.float32(p))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="512,1024,2048")
@@ -107,6 +147,10 @@ def main():
                     help="score best Spearman(IF, 1/d) of the ensemble "
                          "against the synthetic matrix (host scipy; "
                          "practical to L ~ 4096 on this single-vCPU box)")
+    ap.add_argument("--tiles-only", action="store_true",
+                    help="synthesize the ExactRestraints tiles directly on "
+                         "device (no IF matrix ever resident) — the solve-"
+                         "feasibility probe past the one-shot prep ceiling")
     ap.add_argument("--structured", action="store_true",
                     help="use the structured synthetic (consistent 3D "
                          "ground truth) instead of the gamma matrix — the "
@@ -162,9 +206,23 @@ def main():
         # last ~10% of the ceiling one size per process
         dense = res = coords = None
         gen = synthetic_structured_matrix if args.structured else synthetic_matrix
-        m_host = gen(L) if (args.quality or args.structured) else None
+        m_host = (
+            gen(L) if (args.quality or args.structured) and not args.tiles_only
+            else None
+        )
         t_prep = time.time()
-        if args.host_prep or args.dense_form:
+        if args.tiles_only:
+            from chromosome3d_tpu.ops.energy import auto_weight_exponent
+
+            dense = synthetic_tiles_device(
+                L, rc, rc.weighting,
+                auto_weight_exponent(L)
+                if rc.weight_exponent is None
+                else rc.weight_exponent,
+                out_dtype="bfloat16" if args.bf16 else "float32",
+            )
+            np.asarray(dense.w[:1, :1])  # fence: include tile synthesis
+        elif args.host_prep or args.dense_form:
             dense = builder(build_restraints(
                 synthetic_matrix(L) if m_host is None else m_host, rc
             ))
@@ -237,7 +295,10 @@ def main():
             "platform": platform,
             "devices": len(jax.devices()),
             "sharded": args.sharded,
-            "form": "dense" if args.dense_form else "exact2",
+            "form": (
+                "tiles_only" if args.tiles_only
+                else "dense" if args.dense_form else "exact2"
+            ),
             "bf16": args.bf16,
             "peak_hbm_gb": peak_gb,
             "best_spearman": best_sp,
