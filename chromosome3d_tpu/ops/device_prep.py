@@ -78,20 +78,30 @@ def _run_prog(prog, args: tuple, tag: str, statics: str):
     return load_or_compile(prog, args, tag, statics=statics)(*args)
 
 
+def _unnorm_weights(t, p, weighting: str):
+    """(unnormalized weights, restraint-mask) — the per-element half of the
+    weight math, shared by the one-shot and the strip-streamed programs (the
+    streamed route applies the global normalization as a separate pass once
+    every strip's partial sums are in)."""
+    m = (t > 0.0).astype(jnp.float32)
+    if weighting == "relative":
+        return m * jnp.power(jnp.maximum(t, 1.0), -p), m
+    if weighting == "absolute":
+        return m, m
+    raise ValueError(f"unknown weighting {weighting!r}")
+
+
 def _weights_from_target(t, p, weighting: str):
     """Device mirror of ops.energy._restraint_weights for exact restraints:
     mask is recoverable as t > 0 (quantized targets are >= 0.1 wherever a
     restraint exists; padding and masked-out cells are exactly 0)."""
-    m = (t > 0.0).astype(jnp.float32)
+    w, m = _unnorm_weights(t, p, weighting)
     if weighting == "relative":
-        w = m * jnp.power(jnp.maximum(t, 1.0), -p)
         denom = jnp.sum(w, dtype=jnp.float32) / jnp.maximum(
             jnp.sum(m, dtype=jnp.float32), 1.0
         )
         return w / jnp.maximum(denom, 1e-30)
-    if weighting == "absolute":
-        return m
-    raise ValueError(f"unknown weighting {weighting!r}")
+    return w
 
 
 @functools.lru_cache(maxsize=16)
@@ -147,31 +157,27 @@ def exact_tiles_from_target_device(
     )
 
 
-def _tiles_from_if_body(if_padded, n_true, alpha, kscaling, p,
-                        separation: int, weighting: str,
-                        out_dtype: str = "float32") -> ExactRestraints:
-    """One chromosome's L3 prep as a traceable body (shared by the single
-    and the vmapped-batch programs)."""
-    L_pad = if_padded.shape[0]
-    # IF2dist_new (chromosome3D.pl:110-162): d = K * mean(IF^a) / IF^a.
-    # The mean is over ALL n_true^2 cells of the true matrix; padding
-    # cells are 0 and 0^a == 0, so the padded sum equals the true sum.
-    x = jnp.power(if_padded, alpha)
-    mean = jnp.sum(x, dtype=jnp.float32) / (n_true * n_true)
+def _strip_target(strip, r0, n_true, alpha, kscaling, mean, separation: int):
+    """The per-element half of the L3 prep for a ROW STRIP [r0, r0+S) of
+    the padded matrix: quantized exact targets, zero where masked. The
+    one-shot body calls this with the whole matrix and r0 = 0, the streamed
+    route per strip — identical math by construction.
+
+    d = K * mean / IF^a (IF2dist_new, chromosome3D.pl:110-162), then the
+    %.1f .dist-file quantization (restraints.quantize_dist): round-half-even
+    like np.round, in f32. The final /10 must be the CORRECTLY-ROUNDED f32
+    quotient to match the host's f32(round(d*10)/10 in f64) bit-for-bit,
+    but XLA strength-reduces x/10 to x*(1/10) (one ulp off for e.g.
+    149/10). A compensated two-term product k*hi + k*lo with hi = f32(0.1),
+    lo = f32(0.1 - f64(f32(0.1))) recovers the correctly-rounded quotient —
+    verified exhaustively for k in [0, 2e6] (tests/test_device_prep.py)."""
+    S, L_pad = strip.shape
+    x = jnp.power(strip, alpha)
     d = jnp.where(x > 0.0, kscaling * mean / jnp.maximum(x, 1e-30), 0.0)
-    # the %.1f .dist-file quantization (restraints.quantize_dist);
-    # round-half-even like np.round, in f32. The final /10 must be the
-    # CORRECTLY-ROUNDED f32 quotient to match the host's
-    # f32(round(d*10)/10 in f64) bit-for-bit, but XLA strength-reduces
-    # x/10 to x*(1/10) (one ulp off for e.g. 149/10). A compensated
-    # two-term product k*hi + k*lo with hi = f32(0.1),
-    # lo = f32(0.1 - f64(f32(0.1))) recovers the correctly-rounded
-    # quotient — verified exhaustively for k in [0, 2e6]
-    # (tests/test_device_prep.py).
     k = jnp.round(d * 10.0)
     q = k * jnp.float32(0.1) + k * jnp.float32(0.1 - float(np.float32(0.1)))
-    i = jax.lax.broadcasted_iota(jnp.int32, (L_pad, L_pad), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (L_pad, L_pad), 1)
+    i = jax.lax.broadcasted_iota(jnp.int32, (S, L_pad), 0) + r0
+    j = jax.lax.broadcasted_iota(jnp.int32, (S, L_pad), 1)
     n = n_true.astype(jnp.int32)
     mask = (
         (jnp.abs(i - j) >= separation)
@@ -182,7 +188,23 @@ def _tiles_from_if_body(if_padded, n_true, alpha, kscaling, p,
         & (i < n)
         & (j < n)
     )
-    t = jnp.where(mask, q, 0.0)
+    return jnp.where(mask, q, 0.0)
+
+
+def _tiles_from_if_body(if_padded, n_true, alpha, kscaling, p,
+                        separation: int, weighting: str,
+                        out_dtype: str = "float32") -> ExactRestraints:
+    """One chromosome's L3 prep as a traceable body (shared by the single
+    and the vmapped-batch programs)."""
+    # The mean of IF^a is over ALL n_true^2 cells of the true matrix;
+    # padding cells are 0 and 0^a == 0, so the padded sum equals the
+    # true sum.
+    mean = jnp.sum(
+        jnp.power(if_padded, alpha), dtype=jnp.float32
+    ) / (n_true * n_true)
+    t = _strip_target(
+        if_padded, jnp.int32(0), n_true, alpha, kscaling, mean, separation
+    )
     w = _weights_from_target(t, p, weighting)
     if out_dtype != "float32":
         # bf16-STORED tiles (AnnealConfig.pair_bf16 at scale): all prep math
@@ -316,6 +338,14 @@ def exact_tiles_from_if_device(
     invoke this several times on one matrix (solve prep + alpha ensemble +
     the f32 assessment view) pad once and thread the copy; each pad is an
     O(L^2) host pass (~25 s at L = 24576 on this ~0.1 GB/s host)."""
+    if sharding is None and should_stream_prep(L_pad, out_dtype):
+        # past the one-shot prep ceiling (the f32 IF upload and the output
+        # tiles cannot coexist in HBM) the strip-STREAMED route takes over
+        # transparently: same semantics, peak = the tiles + one strip
+        return exact_tiles_from_if_streamed(
+            if_matrix, L_pad, rc, weighting, weight_exponent,
+            out_dtype=out_dtype, n_true=n_true,
+        )
     prog = _tiles_from_if_prog(int(rc.separation), weighting, str(out_dtype))
     m = pad_f32(if_matrix, L_pad)
     return _run_prog(
@@ -330,3 +360,287 @@ def exact_tiles_from_if_device(
         "prep_if",
         f"sep={int(rc.separation)};w={weighting};dt={out_dtype}",
     )
+
+
+# ---------------------------------------------------------------------------
+# Strip-STREAMED prep: past the one-shot ceiling
+# ---------------------------------------------------------------------------
+# The one-shot prep program's HBM peak is the f32 IF upload PLUS the output
+# tiles (~8*L^2 bytes either out_dtype: with bf16 outputs the donated f32
+# buffer cannot alias them; with f32 outputs the target aliases the donated
+# input but the weight plane is extra). Measured on one v5e: L = 40960 fits
+# (13.4 GB), L = 49152 OOMs (19.3 GB) — while the SOLVE at 49152 runs fine
+# on bf16 tiles (9.7 GB + working set; scripts/bench_scaling.py
+# --tiles-only). The streamed route closes that gap: the host IF crosses in
+# row strips, each strip's targets/weights are written into pre-allocated
+# accumulator tiles with dynamic_update_slice (donated, so XLA updates in
+# place), and the two global reductions the prep needs — the IF^alpha mean
+# (chromosome3D.pl:110-162 is a GLOBAL mean) and the relative-weighting
+# normalizer — accumulate as per-strip scalar partials on the host. Peak
+# device memory = the output tiles + ONE (S, L_pad) strip.
+#
+# Numerics vs the one-shot route: the target quantization math is shared
+# code (_strip_target) — bit-equal given the same mean; the mean itself and
+# the weight normalizer sum per strip then across strips (vs one whole-array
+# f32 sum), an order-of-summation difference of ~1e-7 relative. With
+# weighting="absolute" the weights are exact indicators and the routes are
+# bit-equal end to end (tests/test_device_prep.py pins both statements).
+
+_PREP_BUDGET_ENV = "CHROM3D_PREP_HBM_BUDGET"
+_PREP_HBM_BUDGET = 13.6e9  # bytes; L=40960 one-shot (13.42 GB) measured OK
+#                            on a 16 GB v5e, L=49152 (19.3 GB) measured OOM
+
+
+def prep_peak_bytes(L_pad: int, out_dtype: str = "float32") -> int:
+    """Estimated HBM peak of the ONE-SHOT prep program: the f32 input plane
+    plus both output planes, minus the donated-buffer alias XLA gets when
+    the target dtype matches the input (f32 out only)."""
+    out_b = np.dtype(out_dtype).itemsize
+    alias = 4 if out_b == 4 else 0
+    return L_pad * L_pad * (4 + 2 * out_b - alias)
+
+
+def should_stream_prep(L_pad: int, out_dtype: str = "float32") -> bool:
+    """Whether the one-shot prep at this padded size would exceed the HBM
+    budget (CHROM3D_PREP_HBM_BUDGET overrides the measured v5e default) —
+    the gate exact_tiles_from_if_device and the assessment view use to
+    dispatch onto the streamed route."""
+    import os
+
+    budget = float(os.environ.get(_PREP_BUDGET_ENV, _PREP_HBM_BUDGET))
+    return prep_peak_bytes(L_pad, out_dtype) > budget
+
+
+def _pick_strip_rows(L_pad: int, cap: int = 4096) -> int:
+    """Largest divisor of L_pad <= cap: uniform strips mean ONE compiled
+    program per sweep (compile-count discipline), and ~4096 rows keeps the
+    strip under a GB while amortizing per-call dispatch."""
+    for s in range(min(cap, L_pad), 0, -1):
+        if L_pad % s == 0:
+            return s
+    return L_pad
+
+
+@functools.lru_cache(maxsize=4)
+def _strip_sum_prog():
+    # sweep 1: the IF^alpha partial sum of one strip (padding rows/cols are
+    # zero and 0^a == 0, so plain sums equal true-cell sums). The strip is
+    # NOT donated: a scalar output gives XLA nothing to alias it with (the
+    # buffer frees by refcount right after the call anyway)
+    @functools.partial(jax.jit)
+    def prog(strip, alpha):
+        return jnp.sum(jnp.power(strip, alpha), dtype=jnp.float32)
+
+    return prog
+
+
+@functools.lru_cache(maxsize=16)
+def _strip_tiles_prog(separation: int, weighting: str, out_dtype: str):
+    # sweep 2: one strip's targets + UNNORMALIZED weights written into the
+    # donated accumulator tiles (in-place dynamic_update_slice), plus the
+    # [sum(w_unnorm), sum(mask)] partials the normalizer needs
+    # t_acc/w_acc donate (same-shape outputs alias -> true in-place update);
+    # the strip cannot alias anything here and frees by refcount
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def prog(t_acc, w_acc, strip, r0, n_true, alpha, kscaling, mean, p):
+        t = _strip_target(strip, r0, n_true, alpha, kscaling, mean,
+                          separation)
+        w, m = _unnorm_weights(t, p, weighting)
+        part = jnp.stack([
+            jnp.sum(w, dtype=jnp.float32), jnp.sum(m, dtype=jnp.float32)
+        ])
+        dt = t_acc.dtype
+        t_acc = jax.lax.dynamic_update_slice(t_acc, t.astype(dt), (r0, 0))
+        w_acc = jax.lax.dynamic_update_slice(w_acc, w.astype(dt), (r0, 0))
+        return t_acc, w_acc, part
+
+    return prog
+
+
+@functools.lru_cache(maxsize=4)
+def _scale_prog():
+    # sweep 3 (relative weighting only): fold the global normalizer into the
+    # accumulated weights in place (donated; f32 math, emitted dtype kept)
+    @functools.partial(jax.jit, donate_argnums=0)
+    def prog(w_acc, scale):
+        return (w_acc.astype(jnp.float32) * scale).astype(w_acc.dtype)
+
+    return prog
+
+
+@functools.lru_cache(maxsize=16)
+def _strip_scalars_prog(separation: int, weighting: str):
+    # assessment view sweep 2: the normalizer partials alone (the strip's
+    # target is recomputed and discarded — elementwise VPU work is free next
+    # to the transfer; holding full f32 tiles on device is what is NOT free).
+    # Scalar outputs: nothing to alias the strip with, so no donation
+    @functools.partial(jax.jit)
+    def prog(strip, r0, n_true, alpha, kscaling, mean, p):
+        t = _strip_target(strip, r0, n_true, alpha, kscaling, mean,
+                          separation)
+        w, m = _unnorm_weights(t, p, weighting)
+        return jnp.stack([
+            jnp.sum(w, dtype=jnp.float32), jnp.sum(m, dtype=jnp.float32)
+        ])
+
+    return prog
+
+
+@functools.lru_cache(maxsize=16)
+def _strip_view_prog(separation: int, weighting: str):
+    # assessment view sweep 3: one strip's FINAL f32 targets + weights, for
+    # immediate download (the same final division as the one-shot program).
+    # The donated f32 strip aliases one of the equal-shaped f32 outputs
+    @functools.partial(jax.jit, donate_argnums=0)
+    def prog(strip, r0, n_true, alpha, kscaling, mean, p, denom):
+        t = _strip_target(strip, r0, n_true, alpha, kscaling, mean,
+                          separation)
+        w, _ = _unnorm_weights(t, p, weighting)
+        return t, w / jnp.maximum(denom, 1e-30)
+
+    return prog
+
+
+def _host_padded(if_matrix, L_pad: int) -> np.ndarray:
+    """The streamed route's input must live on the HOST (strips cross one at
+    a time — that is the point); a device-resident input is downloaded once
+    and freed."""
+    m = pad_f32(if_matrix, L_pad)
+    if isinstance(m, jnp.ndarray):
+        m = np.asarray(m)
+    return m
+
+
+def _streamed_mean(m: np.ndarray, n: int, S: int, alpha, aot) -> jnp.ndarray:
+    """Sweep 1: the global mean of IF^alpha from per-strip partials (f64
+    host accumulation; strips at/below the true length only — rows beyond n
+    are zero padding and contribute 0)."""
+    sum_prog = None
+    total = 0.0
+    for r0 in range(0, n, S):
+        strip = jnp.asarray(m[r0:r0 + S])
+        if sum_prog is None:
+            sum_prog = aot(_strip_sum_prog(), (strip, alpha),
+                           "prep_strip_sum", f"S={S}")
+        total += float(sum_prog(strip, alpha))
+    # mirror the one-shot program's f32 arithmetic (f32 sum / f32(n*n)):
+    # one host f32 division (IEEE correctly rounded, like XLA:CPU's) of the
+    # f32-rounded total — routes agree bit-for-bit whenever the sum is
+    # exactly representable, and to ~1e-7 relative otherwise
+    return jnp.float32(
+        np.float32(np.float64(total)) / (np.float32(n) * np.float32(n))
+    )
+
+
+def exact_tiles_from_if_streamed(
+    if_matrix,
+    L_pad: int,
+    rc,
+    weighting: str,
+    weight_exponent: float,
+    out_dtype: str = "float32",
+    n_true: int | None = None,
+    strip_rows: int | None = None,
+) -> ExactRestraints:
+    """exact_tiles_from_if_device semantics with the IF matrix STREAMED in
+    row strips: device peak = the output tiles + one (S, L_pad) strip, so
+    the prep reaches every L the solve itself can hold (measured: the
+    one-shot route OOMs at L = 49152 on one v5e while the 49152 SOLVE runs
+    at 8.8 steps/s — see DESIGN.md round-4 results). Single-device only
+    (the sharded path splits rows across devices and keeps the one-shot
+    program per shard)."""
+    from chromosome3d_tpu.utils.aot import load_or_compile as aot
+
+    m = _host_padded(if_matrix, L_pad)
+    n = int(if_matrix.shape[0] if n_true is None else n_true)
+    S = int(strip_rows or _pick_strip_rows(L_pad))
+    if L_pad % S:
+        raise ValueError(f"strip_rows {S} must divide L_pad {L_pad}")
+    sep = int(rc.separation)
+    alpha = jnp.float32(rc.alpha)
+    K = jnp.float32(rc.kscaling)
+    p = jnp.float32(weight_exponent)
+    nt = jnp.float32(n)
+    mean = _streamed_mean(m, n, S, alpha, aot)
+
+    dt = jnp.dtype(out_dtype)
+    t_acc = jnp.zeros((L_pad, L_pad), dt)
+    w_acc = jnp.zeros((L_pad, L_pad), dt)
+    tiles_prog = None
+    sums = np.zeros(2, np.float64)
+    statics = f"sep={sep};w={weighting};dt={out_dtype};S={S}"
+    for r0 in range(0, n, S):
+        args = (t_acc, w_acc, jnp.asarray(m[r0:r0 + S]), jnp.int32(r0),
+                nt, alpha, K, mean, p)
+        if tiles_prog is None:
+            tiles_prog = aot(_strip_tiles_prog(sep, weighting, str(out_dtype)),
+                             args, "prep_strip_tiles", statics)
+        t_acc, w_acc, part = tiles_prog(*args)
+        sums += np.asarray(part, np.float64)
+    if weighting == "relative":
+        denom = sums[0] / max(sums[1], 1.0)
+        scale = jnp.float32(np.float32(1.0) / np.float32(max(denom, 1e-30)))
+        w_acc = aot(_scale_prog(), (w_acc, scale), "prep_strip_scale",
+                    f"dt={out_dtype}")(w_acc, scale)
+    return ExactRestraints(target=t_acc, w=w_acc)
+
+
+def assessment_view_from_if_streamed(
+    if_matrix,
+    L_pad: int,
+    rc,
+    weighting: str,
+    weight_exponent: float,
+    n_true: int | None = None,
+    strip_rows: int | None = None,
+):
+    """The HOST f32 assessment view (target, weights) at TRUE length (L, L),
+    streamed: past the one-shot ceiling the f32 view tiles cannot even
+    exist on device (t + w = 8*L^2 bytes), so each strip's final values are
+    computed and DOWNLOADED immediately. Three sweeps: IF^alpha mean,
+    normalizer partials, final strips (the extra scalar sweep keeps the
+    weight division on device, identical to the one-shot program's final
+    op, instead of a multi-minute in-place host pass over w)."""
+    from chromosome3d_tpu.utils.aot import load_or_compile as aot
+
+    m = _host_padded(if_matrix, L_pad)
+    n = int(if_matrix.shape[0] if n_true is None else n_true)
+    S = int(strip_rows or _pick_strip_rows(L_pad))
+    if L_pad % S:
+        raise ValueError(f"strip_rows {S} must divide L_pad {L_pad}")
+    sep = int(rc.separation)
+    alpha = jnp.float32(rc.alpha)
+    K = jnp.float32(rc.kscaling)
+    p = jnp.float32(weight_exponent)
+    nt = jnp.float32(n)
+    mean = _streamed_mean(m, n, S, alpha, aot)
+
+    statics = f"sep={sep};w={weighting};S={S}"
+    if weighting == "relative":
+        scal_prog = None
+        sums = np.zeros(2, np.float64)
+        for r0 in range(0, n, S):
+            args = (jnp.asarray(m[r0:r0 + S]), jnp.int32(r0), nt, alpha, K,
+                    mean, p)
+            if scal_prog is None:
+                scal_prog = aot(_strip_scalars_prog(sep, weighting), args,
+                                "prep_strip_scalars", statics)
+            sums += np.asarray(scal_prog(*args), np.float64)
+        denom = jnp.float32(max(sums[0] / max(sums[1], 1.0), 0.0))
+    else:
+        denom = jnp.float32(1.0)  # x / max(1, eps) == x exactly
+
+    t_np = np.empty((n, n), np.float32)
+    w_np = np.empty((n, n), np.float32)
+    view_prog = None
+    for r0 in range(0, n, S):
+        args = (jnp.asarray(m[r0:r0 + S]), jnp.int32(r0), nt, alpha, K,
+                mean, p, denom)
+        if view_prog is None:
+            view_prog = aot(_strip_view_prog(sep, weighting), args,
+                            "prep_strip_view", statics)
+        t_s, w_s = view_prog(*args)
+        rows = min(S, n - r0)
+        t_np[r0:r0 + rows] = np.asarray(t_s)[:rows, :n]
+        w_np[r0:r0 + rows] = np.asarray(w_s)[:rows, :n]
+    return t_np, w_np

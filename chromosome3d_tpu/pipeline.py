@@ -320,7 +320,11 @@ def _assessment_view_from_if(if_matrix, rc, L_pad: int, sharded: bool,
     distinct compile regardless — one extra prep compile per bucket, the
     price of correct f32 report values (see run_pipeline's at-scale
     branch)."""
-    from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_device
+    from chromosome3d_tpu.ops.device_prep import (
+        assessment_view_from_if_streamed,
+        exact_tiles_from_if_device,
+        should_stream_prep,
+    )
     from chromosome3d_tpu.ops.energy import ExactRestraints, auto_weight_exponent
     from chromosome3d_tpu.restraints import restraints_from_exact_target
 
@@ -328,13 +332,21 @@ def _assessment_view_from_if(if_matrix, rc, L_pad: int, sharded: bool,
     p = rc.weight_exponent
     if p is None:
         p = auto_weight_exponent(L)
-    tiles = exact_tiles_from_if_device(
-        if_matrix, L_pad, rc, rc.weighting, p,
-        sharding=_beads_row_sharding() if sharded else None,
-        n_true=L,
-    )
-    target_np = np.asarray(tiles.target)[:L, :L]
-    w_np = np.asarray(tiles.w)[:L, :L]
+    if not sharded and should_stream_prep(L_pad, "float32"):
+        # past the one-shot ceiling the f32 view tiles cannot coexist on
+        # one device at all — stream each strip's final values straight to
+        # the host (peak = one strip; the solve tiles are already freed)
+        target_np, w_np = assessment_view_from_if_streamed(
+            if_matrix, L_pad, rc, rc.weighting, p, n_true=L,
+        )
+    else:
+        tiles = exact_tiles_from_if_device(
+            if_matrix, L_pad, rc, rc.weighting, p,
+            sharding=_beads_row_sharding() if sharded else None,
+            n_true=L,
+        )
+        target_np = np.asarray(tiles.target)[:L, :L]
+        w_np = np.asarray(tiles.w)[:L, :L]
     return (
         restraints_from_exact_target(target_np),
         ExactRestraints(target=target_np, w=w_np),

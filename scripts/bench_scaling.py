@@ -232,16 +232,26 @@ def main():
 
             import jax.numpy as jnp
 
+            from chromosome3d_tpu.ops.device_prep import should_stream_prep
+
+            dtname = "bfloat16" if args.bf16 else "float32"
             mat_dev = (
                 synthetic_matrix_device(L) if m_host is None
                 else jnp.asarray(m_host, jnp.float32)
             )
+            if should_stream_prep(L, dtname):
+                # the streamed route wants the matrix on the HOST (that is
+                # the point: IF + tiles cannot coexist on device past the
+                # one-shot ceiling) — download the synthetic once and free
+                # the device copy; prep_s then includes the strip sweeps,
+                # exactly what a product run from a file pays
+                mat_dev = np.asarray(mat_dev)
             dense = exact_tiles_from_if_device(
                 mat_dev, L, rc, rc.weighting,
                 auto_weight_exponent(L)
                 if rc.weight_exponent is None
                 else rc.weight_exponent,
-                out_dtype="bfloat16" if args.bf16 else "float32",
+                out_dtype=dtname,
             )
             np.asarray(dense.w[:1, :1])  # fence: include prep execution
         prep_s = time.time() - t_prep

@@ -306,3 +306,167 @@ def test_tiles_from_if_separation_zero_excludes_diagonal():
         np.asarray(dev.w)[~diff], np.asarray(host.w)[~diff],
         rtol=1e-4, atol=1e-8,
     )
+
+
+# ---------------------------------------------------------------------------
+# Strip-STREAMED prep (past the one-shot ceiling)
+# ---------------------------------------------------------------------------
+
+def _integer_matrix(L, seed=11):
+    """Small-integer IF values: with alpha=1.0 every IF^alpha sum is exactly
+    f32-representable, so the one-shot and streamed means are BIT-equal and
+    the routes can be compared exactly (no quantization-boundary escape
+    hatch needed)."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(1, 9, size=(L, L)).astype(np.float64)
+    m = np.maximum(base, base.T)
+    np.fill_diagonal(m, 64.0)
+    m[2, 30] = m[30, 2] = 0.0  # IF == 0 -> no restraint, both routes
+    return m
+
+
+def test_pick_strip_rows_divides():
+    from chromosome3d_tpu.ops.device_prep import _pick_strip_rows
+
+    assert _pick_strip_rows(49152) == 4096
+    assert _pick_strip_rows(512) == 512
+    assert _pick_strip_rows(96, cap=32) == 32
+    assert _pick_strip_rows(100, cap=32) == 25
+    for L_pad in (512, 40960, 49152, 100):
+        assert L_pad % _pick_strip_rows(L_pad) == 0
+
+
+def test_should_stream_prep_measured_boundary():
+    """The gate must reproduce the measured v5e boundary: L = 40960
+    one-shot bf16 prep fits, L = 49152 OOMs (DESIGN.md round-4)."""
+    from chromosome3d_tpu.ops.device_prep import should_stream_prep
+
+    assert not should_stream_prep(40960, "bfloat16")
+    assert should_stream_prep(49152, "bfloat16")
+    assert should_stream_prep(49152, "float32")
+    assert not should_stream_prep(512, "float32")
+
+
+def test_streamed_tiles_bit_equal_absolute():
+    """Integer matrix + alpha=1 + absolute weighting: the streamed route is
+    BIT-equal to the one-shot device program (shared _strip_target body,
+    exactly representable mean, indicator weights — no normalizer pass)."""
+    from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_streamed
+
+    rc = RestraintConfig(alpha=1.0)
+    m = _integer_matrix(100)
+    p = auto_weight_exponent(100)
+    one = exact_tiles_from_if_device(m, 128, rc, "absolute", p)
+    st = exact_tiles_from_if_streamed(m, 128, rc, "absolute", p,
+                                      strip_rows=32)
+    np.testing.assert_array_equal(np.asarray(st.target), np.asarray(one.target))
+    np.testing.assert_array_equal(np.asarray(st.w), np.asarray(one.w))
+    # padding stays zero even though the strip loop stops at the true L
+    assert not np.asarray(st.target)[100:, :].any()
+    assert not np.asarray(st.w)[:, 100:].any()
+
+
+def test_streamed_tiles_match_relative():
+    """Relative weighting: targets stay bit-equal (same mean); the weights
+    differ only by the normalizer's summation order (strip partials vs one
+    whole-array sum) and the scale multiply vs the elementwise divide."""
+    from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_streamed
+
+    rc = RestraintConfig(alpha=1.0)
+    m = _integer_matrix(96, seed=13)
+    p = auto_weight_exponent(96)
+    one = exact_tiles_from_if_device(m, 96, rc, "relative", p)
+    st = exact_tiles_from_if_streamed(m, 96, rc, "relative", p,
+                                      strip_rows=16)
+    np.testing.assert_array_equal(np.asarray(st.target), np.asarray(one.target))
+    np.testing.assert_allclose(
+        np.asarray(st.w), np.asarray(one.w), rtol=3e-6, atol=1e-8
+    )
+
+
+def test_streamed_tiles_bf16_stored():
+    """bf16-STORED streamed tiles: targets bit-equal to the one-shot bf16
+    program; weights within the double-rounding bound (bf16(w_unnorm) *
+    scale vs bf16(w/denom) — one extra bf16 rounding, <= ~0.8% relative)."""
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_streamed
+
+    rc = RestraintConfig(alpha=1.0)
+    m = _integer_matrix(96, seed=17)
+    p = auto_weight_exponent(96)
+    one = exact_tiles_from_if_device(m, 96, rc, "relative", p,
+                                     out_dtype="bfloat16")
+    st = exact_tiles_from_if_streamed(m, 96, rc, "relative", p,
+                                      out_dtype="bfloat16", strip_rows=32)
+    assert st.target.dtype == jnp.bfloat16 and st.w.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(st.target, np.float32), np.asarray(one.target, np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.w, np.float32), np.asarray(one.w, np.float32),
+        rtol=1e-2, atol=1e-8,
+    )
+
+
+@pytest.mark.parametrize("weighting", ["relative", "absolute"])
+def test_streamed_view_matches_download(weighting):
+    """The streamed assessment view (strip downloads, host assembly) must
+    match downloading the one-shot f32 tiles: bit-equal targets; weights
+    exact for absolute (denom == 1 -> the division is exact), to f32-sum
+    resolution for relative."""
+    from chromosome3d_tpu.ops.device_prep import (
+        assessment_view_from_if_streamed,
+    )
+
+    rc = RestraintConfig(alpha=1.0)
+    L, L_pad = 100, 128
+    m = _integer_matrix(L, seed=23)
+    p = auto_weight_exponent(L)
+    one = exact_tiles_from_if_device(m, L_pad, rc, weighting, p)
+    t_one = np.asarray(one.target)[:L, :L]
+    w_one = np.asarray(one.w)[:L, :L]
+    t_st, w_st = assessment_view_from_if_streamed(
+        m, L_pad, rc, weighting, p, strip_rows=32
+    )
+    assert t_st.shape == (L, L) and w_st.shape == (L, L)
+    np.testing.assert_array_equal(t_st, t_one)
+    if weighting == "absolute":
+        np.testing.assert_array_equal(w_st, w_one)
+    else:
+        np.testing.assert_allclose(w_st, w_one, rtol=3e-6, atol=1e-8)
+
+
+def test_stream_gate_routes_transparently(monkeypatch):
+    """With the HBM budget forced tiny, exact_tiles_from_if_device must
+    dispatch onto the streamed route by itself and produce the same tiles
+    (the product surfaces need no code awareness of the ceiling)."""
+    import chromosome3d_tpu.ops.device_prep as dp
+
+    rc = RestraintConfig(alpha=1.0)
+    m = _integer_matrix(96, seed=29)
+    p = auto_weight_exponent(96)
+    one = exact_tiles_from_if_device(m, 96, rc, "absolute", p)
+    monkeypatch.setenv("CHROM3D_PREP_HBM_BUDGET", "1000")
+    calls = []
+    real = dp.exact_tiles_from_if_streamed
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(dp, "exact_tiles_from_if_streamed", spy)
+    st = dp.exact_tiles_from_if_device(m, 96, rc, "absolute", p)
+    assert calls, "tiny budget must route onto the streamed path"
+    np.testing.assert_array_equal(np.asarray(st.target), np.asarray(one.target))
+    np.testing.assert_array_equal(np.asarray(st.w), np.asarray(one.w))
+
+
+def test_streamed_strip_rows_must_divide():
+    from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_streamed
+
+    rc = RestraintConfig()
+    with pytest.raises(ValueError, match="divide"):
+        exact_tiles_from_if_streamed(
+            _integer_matrix(64), 64, rc, "relative", 1.0, strip_rows=24
+        )

@@ -598,3 +598,39 @@ def test_run_genome_at_scale_single_device(tmp_path, monkeypatch):
     assert 96 not in build_lengths, "single-device at-scale bucket host-built"
     assert s["chr5_1mb"]["L"] == 96
     assert s["chr5_1mb"]["best_spearman_if_inv_d"] > 0.7
+
+
+def test_run_pipeline_at_scale_streamed_prep(tmp_path, monkeypatch):
+    """With the prep HBM budget forced tiny, the at-scale single-device
+    matrix run must stream BOTH the solve tiles and the f32 assessment view
+    (strip programs, no one-shot (L, L) prep) and still reconstruct — the
+    product surface needs no awareness of the one-shot ceiling."""
+    import chromosome3d_tpu.ops.device_prep as dp
+    import chromosome3d_tpu.pipeline as pl
+
+    monkeypatch.setenv("CHROM3D_PREP_HBM_BUDGET", "1000")
+    monkeypatch.setattr(pl, "_use_sharded", lambda L, c: False)
+    tile_calls, view_calls = [], []
+    real_t = dp.exact_tiles_from_if_streamed
+    real_v = dp.assessment_view_from_if_streamed
+
+    def spy_t(*a, **k):
+        tile_calls.append(a)
+        return real_t(*a, **k)
+
+    def spy_v(*a, **k):
+        view_calls.append(a)
+        return real_v(*a, **k)
+
+    monkeypatch.setattr(dp, "exact_tiles_from_if_streamed", spy_t)
+    monkeypatch.setattr(dp, "assessment_view_from_if_streamed", spy_v)
+
+    m = structured_matrix(72, seed=31)
+    src = tmp_path / "big_matrix.txt"
+    np.savetxt(src, m, fmt="%.3f")
+    out = str(tmp_path / "out")
+    summary = pl.run_pipeline(str(src), out, scale_cfg())
+    assert tile_calls, "solve tiles must come from the streamed route"
+    assert view_calls, "assessment view must come from the streamed route"
+    assert summary["L"] == 72
+    assert summary["best_spearman_if_inv_d"] > 0.7
