@@ -435,10 +435,14 @@ def _strip_sum_prog():
 
 
 @functools.lru_cache(maxsize=16)
-def _strip_tiles_prog(separation: int, weighting: str, out_dtype: str):
+def _strip_tiles_prog(separation: int, weighting: str, out_dtype: str,
+                      lead_batch: bool = False):
     # sweep 2: one strip's targets + UNNORMALIZED weights written into the
     # donated accumulator tiles (in-place dynamic_update_slice), plus the
-    # [sum(w_unnorm), sum(mask)] partials the normalizer needs
+    # [sum(w_unnorm), sum(mask)] partials the normalizer needs.
+    # lead_batch: accumulators carry a leading length-1 batch axis — the
+    # genome bucket's (B, L, L) layout, built without any (L, L) -> (1, L, L)
+    # whole-tile reshape at the HBM ceiling.
     # t_acc/w_acc donate (same-shape outputs alias -> true in-place update);
     # the strip cannot alias anything here and frees by refcount
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -450,8 +454,12 @@ def _strip_tiles_prog(separation: int, weighting: str, out_dtype: str):
             jnp.sum(w, dtype=jnp.float32), jnp.sum(m, dtype=jnp.float32)
         ])
         dt = t_acc.dtype
-        t_acc = jax.lax.dynamic_update_slice(t_acc, t.astype(dt), (r0, 0))
-        w_acc = jax.lax.dynamic_update_slice(w_acc, w.astype(dt), (r0, 0))
+        t_s, w_s = t.astype(dt), w.astype(dt)
+        at = (0, r0, 0) if lead_batch else (r0, 0)
+        if lead_batch:
+            t_s, w_s = t_s[None], w_s[None]
+        t_acc = jax.lax.dynamic_update_slice(t_acc, t_s, at)
+        w_acc = jax.lax.dynamic_update_slice(w_acc, w_s, at)
         return t_acc, w_acc, part
 
     return prog
@@ -541,6 +549,7 @@ def exact_tiles_from_if_streamed(
     out_dtype: str = "float32",
     n_true: int | None = None,
     strip_rows: int | None = None,
+    lead_batch: bool = False,
 ) -> ExactRestraints:
     """exact_tiles_from_if_device semantics with the IF matrix STREAMED in
     row strips: device peak = the output tiles + one (S, L_pad) strip, so
@@ -548,7 +557,11 @@ def exact_tiles_from_if_streamed(
     one-shot route OOMs at L = 49152 on one v5e while the 49152 SOLVE runs
     at 8.8 steps/s — see DESIGN.md round-4 results). Single-device only
     (the sharded path splits rows across devices and keeps the one-shot
-    program per shard)."""
+    program per shard).
+
+    lead_batch: emit (1, L_pad, L_pad) tiles — the genome bucket's batched
+    layout for its B_pad == 1 single-device at-scale case, born with the
+    batch axis so no whole-tile reshape is ever scheduled at the ceiling."""
     from chromosome3d_tpu.utils.aot import load_or_compile as aot
 
     m = _host_padded(if_matrix, L_pad)
@@ -564,16 +577,18 @@ def exact_tiles_from_if_streamed(
     mean = _streamed_mean(m, n, S, alpha, aot)
 
     dt = jnp.dtype(out_dtype)
-    t_acc = jnp.zeros((L_pad, L_pad), dt)
-    w_acc = jnp.zeros((L_pad, L_pad), dt)
+    acc_shape = (1, L_pad, L_pad) if lead_batch else (L_pad, L_pad)
+    t_acc = jnp.zeros(acc_shape, dt)
+    w_acc = jnp.zeros(acc_shape, dt)
     tiles_prog = None
     sums = np.zeros(2, np.float64)
-    statics = f"sep={sep};w={weighting};dt={out_dtype};S={S}"
+    statics = f"sep={sep};w={weighting};dt={out_dtype};S={S};lb={lead_batch}"
     for r0 in range(0, n, S):
         args = (t_acc, w_acc, jnp.asarray(m[r0:r0 + S]), jnp.int32(r0),
                 nt, alpha, K, mean, p)
         if tiles_prog is None:
-            tiles_prog = aot(_strip_tiles_prog(sep, weighting, str(out_dtype)),
+            tiles_prog = aot(_strip_tiles_prog(sep, weighting, str(out_dtype),
+                                               lead_batch),
                              args, "prep_strip_tiles", statics)
         t_acc, w_acc, part = tiles_prog(*args)
         sums += np.asarray(part, np.float64)

@@ -472,6 +472,24 @@ def bucket_tiles_from_if(
     mats = list(matrices) + [matrices[0]] * (B_pad - B)
     p = rc.weight_exponent
     ps = [auto_weight_exponent(m.shape[0]) if p is None else p for m in mats]
+    if B_pad == 1 and len(devices) == 1:
+        from chromosome3d_tpu.ops.device_prep import (
+            exact_tiles_from_if_streamed,
+            should_stream_prep,
+        )
+
+        if should_stream_prep(L_pad, out_dtype):
+            # one huge chromosome on one device: past the one-shot prep
+            # ceiling the batched program would OOM exactly like the single
+            # one (pipeline's gate) — stream it, tiles born WITH the batch
+            # axis (lead_batch) so no (L, L) -> (1, L, L) reshape is ever
+            # scheduled at the HBM ceiling
+            tiles = exact_tiles_from_if_streamed(
+                mats[0], L_pad, rc, rc.weighting, ps[0],
+                out_dtype=out_dtype, n_true=mats[0].shape[0],
+                lead_batch=True,
+            )
+            return tiles, mesh2, sh_row, B_pad, L_pad
     tiles = exact_tiles_from_if_batched_device(
         mats, L_pad, rc, rc.weighting, ps, sharding=sh_mat,
         out_dtype=out_dtype, stack=stack,
@@ -590,46 +608,81 @@ def run_genome(
                     history=result.history,
                 )
                 del tiles
-                tiles = bucket_tiles_from_if(
-                    matrices, L_pad, cfg_b.restraints, devs, "float32",
-                    stack=stack,
-                )[0]
-            # truncate ON DEVICE before downloading when the padding is
-            # material: the live tiles are (B_pad, L', L') with batch-
-            # padding chromosomes and padded rows the assessment never
-            # reads — at L'=16384 that is gigabytes of extra transfer onto
-            # a ~0.1 GB/s host. One static-shape slice program covers both
-            # tensors. On a SINGLE device (B_pad == B, L' = the quantum
-            # bucket) the waste is a few %, not worth a fresh compiled
-            # program on a remote-compile environment (minutes/program) —
-            # download the tiles as-is there.
-            L_max = max(j.length for j in bucket)
-            B_real = len(bucket)
-            t_dev, w_dev = tiles.target, tiles.w
-            # batch-padding chromosomes (B_pad > B_real on multi-device
-            # meshes) are WHOLE duplicated (L', L') tensors the assessment
-            # never reads — always slice them off before the download; row
-            # padding is only worth a fresh compiled slice program (minutes
-            # on a remote-compile backend) when it is material
-            waste = t_dev.shape[1] ** 2 / L_max**2
-            if t_dev.shape[0] > B_real or waste > 1.15:
-                t_dev = t_dev[:B_real, :L_max, :L_max]
-                w_dev = w_dev[:B_real, :L_max, :L_max]
-            t_all = np.asarray(t_dev)
-            w_all = np.asarray(w_dev)
-            del t_dev, w_dev
-            raw = [
-                restraints_from_exact_target(t_all[b, : j.length, : j.length])
-                for b, j in enumerate(bucket)
-            ]
-            dense_views = [
-                ExactRestraints(
-                    target=t_all[b, : j.length, : j.length],
-                    w=w_all[b, : j.length, : j.length],
-                )
-                for b, j in enumerate(bucket)
-            ]
-            del tiles, t_all, w_all
+                from chromosome3d_tpu.ops.device_prep import should_stream_prep
+
+                if (
+                    len(devs) == 1
+                    and len(bucket) == 1
+                    and should_stream_prep(L_pad, "float32")
+                ):
+                    # past the one-shot ceiling the f32 view tiles cannot
+                    # exist on one device at all (8*L'^2 bytes) — stream
+                    # each strip's final values straight to the host, the
+                    # same route as pipeline._assessment_view_from_if
+                    from chromosome3d_tpu.ops.device_prep import (
+                        assessment_view_from_if_streamed,
+                    )
+                    from chromosome3d_tpu.ops.energy import (
+                        auto_weight_exponent,
+                    )
+
+                    rc_b = cfg_b.restraints
+                    n1 = bucket[0].length
+                    p1 = rc_b.weight_exponent
+                    if p1 is None:
+                        p1 = auto_weight_exponent(n1)
+                    t_np, w_np = assessment_view_from_if_streamed(
+                        matrices[0], L_pad, rc_b, rc_b.weighting, p1,
+                        n_true=n1,
+                    )
+                    raw = [restraints_from_exact_target(t_np)]
+                    dense_views = [ExactRestraints(target=t_np, w=w_np)]
+                    tiles = None
+                else:
+                    tiles = bucket_tiles_from_if(
+                        matrices, L_pad, cfg_b.restraints, devs, "float32",
+                        stack=stack,
+                    )[0]
+            if dense_views is None:
+                # truncate ON DEVICE before downloading when the padding is
+                # material: the live tiles are (B_pad, L', L') with batch-
+                # padding chromosomes and padded rows the assessment never
+                # reads — at L'=16384 that is gigabytes of extra transfer
+                # onto a ~0.1 GB/s host. One static-shape slice program
+                # covers both tensors. On a SINGLE device (B_pad == B,
+                # L' = the quantum bucket) the waste is a few %, not worth
+                # a fresh compiled program on a remote-compile environment
+                # (minutes/program) — download the tiles as-is there.
+                L_max = max(j.length for j in bucket)
+                B_real = len(bucket)
+                t_dev, w_dev = tiles.target, tiles.w
+                # batch-padding chromosomes (B_pad > B_real on multi-device
+                # meshes) are WHOLE duplicated (L', L') tensors the
+                # assessment never reads — always slice them off before the
+                # download; row padding is only worth a fresh compiled slice
+                # program (minutes on a remote-compile backend) when it is
+                # material
+                waste = t_dev.shape[1] ** 2 / L_max**2
+                if t_dev.shape[0] > B_real or waste > 1.15:
+                    t_dev = t_dev[:B_real, :L_max, :L_max]
+                    w_dev = w_dev[:B_real, :L_max, :L_max]
+                t_all = np.asarray(t_dev)
+                w_all = np.asarray(w_dev)
+                del t_dev, w_dev
+                raw = [
+                    restraints_from_exact_target(
+                        t_all[b, : j.length, : j.length]
+                    )
+                    for b, j in enumerate(bucket)
+                ]
+                dense_views = [
+                    ExactRestraints(
+                        target=t_all[b, : j.length, : j.length],
+                        w=w_all[b, : j.length, : j.length],
+                    )
+                    for b, j in enumerate(bucket)
+                ]
+                del tiles, t_all, w_all
         else:
             batched, bead_masks, matrices, raw = _stack_bucket(
                 bucket, L_pad, cfg, as_numpy=large

@@ -84,6 +84,46 @@ def synthetic_matrix_device(L, seed=0):
     return gen(jax.random.PRNGKey(seed))
 
 
+def synthetic_matrix_host_strips(L, strip=4096):
+    """Host (L, L) f32 synthetic assembled from DEVICE-generated row strips:
+    past ~41k the whole-matrix device generator OOMs on its own
+    symmetrization (base + base.T needs two (L, L) planes) and the host
+    gamma sampler takes minutes — this keeps the device peak at one strip
+    and the host work at transfer speed. Values are symmetric by
+    construction (a counter hash of the SORTED pair), gamma(2, 50)-shaped
+    via the Erlang identity — distribution fidelity is irrelevant here,
+    these sizes are prep/solve THROUGHPUT probes (--quality is impractical
+    far below them)."""
+    import jax
+    import jax.numpy as jnp
+
+    from chromosome3d_tpu.ops.device_prep import _pick_strip_rows
+
+    S = _pick_strip_rows(L, cap=strip)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def gen_strip(Ls, Lcols, r0):
+        i = jax.lax.broadcasted_iota(jnp.int32, (Ls, Lcols), 0) + r0
+        j = jax.lax.broadcasted_iota(jnp.int32, (Ls, Lcols), 1)
+        a = jnp.minimum(i, j).astype(jnp.uint32)
+        b = jnp.maximum(i, j).astype(jnp.uint32)
+        # two decorrelated 31-bit Knuth/LCG hashes of the unordered pair
+        # (uint32 wraparound arithmetic)
+        c1, c2 = np.uint32(2654435761), np.uint32(40503)
+        h1 = (a * c1 + b * c2 + np.uint32(12345)) & np.uint32(0x7FFFFFFF)
+        h2 = (a * c2 + b * c1 + np.uint32(67891)) & np.uint32(0x7FFFFFFF)
+        tiny = jnp.float32(1.0 / 2147483648.0)
+        u1 = jnp.maximum(h1.astype(jnp.float32) * tiny, tiny)
+        u2 = jnp.maximum(h2.astype(jnp.float32) * tiny, tiny)
+        base = -50.0 * (jnp.log(u1) + jnp.log(u2))  # Erlang(2, 50)
+        return jnp.where(i == j, 5000.0, base)
+
+    out = np.empty((L, L), np.float32)
+    for r0 in range(0, L, S):
+        out[r0:r0 + S] = np.asarray(gen_strip(S, L, jnp.int32(r0)))
+    return out
+
+
 def synthetic_tiles_device(L, rc, weighting, p, out_dtype="float32"):
     """ExactRestraints synthesized DIRECTLY on device — no (L, L) IF matrix
     is ever resident. This is the SOLVE-feasibility probe past the one-shot
@@ -235,17 +275,19 @@ def main():
             from chromosome3d_tpu.ops.device_prep import should_stream_prep
 
             dtname = "bfloat16" if args.bf16 else "float32"
-            mat_dev = (
-                synthetic_matrix_device(L) if m_host is None
-                else jnp.asarray(m_host, jnp.float32)
-            )
-            if should_stream_prep(L, dtname):
+            if should_stream_prep(L, dtname) and m_host is None:
                 # the streamed route wants the matrix on the HOST (that is
                 # the point: IF + tiles cannot coexist on device past the
-                # one-shot ceiling) — download the synthetic once and free
-                # the device copy; prep_s then includes the strip sweeps,
-                # exactly what a product run from a file pays
-                mat_dev = np.asarray(mat_dev)
+                # one-shot ceiling; the whole-matrix device generator OOMs
+                # there too) — strip-generate it host-side; prep_s then
+                # includes the strip sweeps, exactly what a product run
+                # from a file pays
+                mat_dev = synthetic_matrix_host_strips(L)
+            else:
+                mat_dev = (
+                    synthetic_matrix_device(L) if m_host is None
+                    else jnp.asarray(m_host, jnp.float32)
+                )
             dense = exact_tiles_from_if_device(
                 mat_dev, L, rc, rc.weighting,
                 auto_weight_exponent(L)

@@ -470,3 +470,21 @@ def test_streamed_strip_rows_must_divide():
         exact_tiles_from_if_streamed(
             _integer_matrix(64), 64, rc, "relative", 1.0, strip_rows=24
         )
+
+
+def test_streamed_tiles_lead_batch():
+    """lead_batch=True emits (1, L_pad, L_pad) tiles — the genome bucket's
+    batched layout — identical to the 2-D route with a batch axis on."""
+    from chromosome3d_tpu.ops.device_prep import exact_tiles_from_if_streamed
+
+    rc = RestraintConfig(alpha=1.0)
+    m = _integer_matrix(100, seed=37)
+    p = auto_weight_exponent(100)
+    st2 = exact_tiles_from_if_streamed(m, 128, rc, "relative", p,
+                                       strip_rows=32)
+    st3 = exact_tiles_from_if_streamed(m, 128, rc, "relative", p,
+                                       strip_rows=32, lead_batch=True)
+    assert st3.target.shape == (1, 128, 128) and st3.w.shape == (1, 128, 128)
+    np.testing.assert_array_equal(np.asarray(st3.target)[0],
+                                  np.asarray(st2.target))
+    np.testing.assert_array_equal(np.asarray(st3.w)[0], np.asarray(st2.w))

@@ -634,3 +634,49 @@ def test_run_pipeline_at_scale_streamed_prep(tmp_path, monkeypatch):
     assert view_calls, "assessment view must come from the streamed route"
     assert summary["L"] == 72
     assert summary["best_spearman_if_inv_d"] > 0.7
+
+
+def test_run_genome_at_scale_streamed_single_device(tmp_path, monkeypatch):
+    """One huge chromosome, one device, pair_bf16, prep budget forced tiny:
+    the genome bucket's solve tiles must come from the streamed route
+    (lead_batch, no one-shot (B, L, L) program) and the f32 assessment
+    view from the streamed downloads — run_genome end to end."""
+    import dataclasses
+
+    import jax
+
+    import chromosome3d_tpu.ops.device_prep as dp
+    import chromosome3d_tpu.parallel.genome as gn
+
+    monkeypatch.setenv("CHROM3D_PREP_HBM_BUDGET", "1000")
+    tile_calls, view_calls = [], []
+    real_t = dp.exact_tiles_from_if_streamed
+    real_v = dp.assessment_view_from_if_streamed
+
+    def spy_t(*a, **k):
+        tile_calls.append(k)
+        return real_t(*a, **k)
+
+    def spy_v(*a, **k):
+        view_calls.append(a)
+        return real_v(*a, **k)
+
+    monkeypatch.setattr(dp, "exact_tiles_from_if_streamed", spy_t)
+    monkeypatch.setattr(dp, "assessment_view_from_if_streamed", spy_v)
+
+    indir = tmp_path / "input"
+    indir.mkdir()
+    np.savetxt(indir / "chr9_1mb_matrix.txt", structured_matrix(72, seed=41),
+               fmt="%.3f")
+    cfg = scale_cfg()
+    cfg = dataclasses.replace(
+        cfg, anneal=dataclasses.replace(cfg.anneal, pair_bf16=True)
+    )
+    out = str(tmp_path / "out")
+    summaries = gn.run_genome(
+        str(indir), out, cfg, mesh=gn.make_mesh(jax.devices()[:1])
+    )
+    assert tile_calls and tile_calls[0].get("lead_batch") is True
+    assert view_calls, "f32 assessment must use the streamed view"
+    assert summaries["chr9_1mb"]["L"] == 72
+    assert summaries["chr9_1mb"]["best_spearman_if_inv_d"] > 0.7
