@@ -110,6 +110,9 @@ def main() -> int:
         coords = np.asarray(res.coords)
         return res, coords
 
+    from chromosome3d_tpu.utils import aot as aot_mod
+
+    aot_mark = len(aot_mod.EVENTS)
     try:
         solve = make_solve(cfg)  # compile (or AOT-cache load)
         run(0)  # warm + prove the executable
@@ -122,14 +125,18 @@ def main() -> int:
         cfg = AnnealConfig(use_pallas=False, exact_restraints=True)
         solve = make_solve(cfg)
         run(0)
-    # min over 3 timed runs: the remote execute/transfer path varies ±5-8%
-    # run to run, and the metric should reflect the device, not the tunnel's
-    # worst draw (same discipline as the A/B measurements in DESIGN.md)
-    wall = float("inf")
-    for _ in range(3):
+    # min over N timed runs, ALL runs recorded: the remote execute/transfer
+    # path varies run to run (round 4's 12.0k-vs-14.5k headline split was
+    # unattributable because only the min survived), and the metric should
+    # reflect the device, not the tunnel's worst draw — while the recorded
+    # distribution shows exactly how much the tunnel moved this session
+    n_timed = 5
+    runs = []
+    for _ in range(n_timed):
         t0 = time.time()
         result, coords_np = run(82364)
-        wall = min(wall, time.time() - t0)
+        runs.append(time.time() - t0)
+    wall = min(runs)
 
     n_structs = n_models * (2 if cfg.enantiomer else 1)
     steps_per_sec = cfg.total_steps / wall
@@ -139,6 +146,24 @@ def main() -> int:
         os.path.join(REF, "output_models", "chr1_500kb_rank03_a11.pdb")
     )
     ref_score = spearman_if_inv_d(matrix, ref_model)
+
+    # ---- provenance: which kernel route/dispatch state/cache produced the
+    # number (round-4 VERDICT item 1: a headline that moves between
+    # identical-code runs must carry enough state to attribute the move) --
+    from chromosome3d_tpu.ops.pallas_energy import describe_dispatch
+
+    L = matrix.shape[0]
+    dispatch = describe_dispatch(
+        L, batch=n_structs, exact=cfg.exact_restraints,
+        fusable=cfg.fuse_update and cfg.angle_weight == 0.0,
+    )
+    if not use_pallas:
+        dispatch["route"] = "jnp_dense"     # the non-Pallas fallback ran
+    aot_events = [
+        {"tag": e["tag"], "hit": e.get("hit"),
+         "seconds": round(e["seconds"], 2)}
+        for e in aot_mod.EVENTS[aot_mark:]
+    ]
 
     print(
         json.dumps(
@@ -151,11 +176,15 @@ def main() -> int:
                     "platform": platform,
                     "pallas": use_pallas,
                     "wall_seconds": round(wall, 3),
+                    "run_seconds": [round(r, 3) for r in runs],
+                    "run_median_seconds": round(sorted(runs)[len(runs) // 2], 3),
                     "schedule_steps": cfg.total_steps,
                     "structures": n_structs,
                     "structure_steps_per_sec": round(steps_per_sec * n_structs, 1),
                     "best_spearman_if_inv_d": round(float(ours), 4),
                     "reference_spearman_if_inv_d": round(float(ref_score), 4),
+                    "dispatch": dispatch,
+                    "aot": aot_events,
                 },
             }
         )

@@ -192,7 +192,21 @@ def main(argv=None) -> int:
     cal.add_argument("--repeats", type=int, default=5)
     cal.add_argument("--out", default=None,
                      help="table path (default CHROM3D_DISPATCH_TABLE or "
-                          "~/.cache/chromosome3d/dispatch.json)")
+                          "~/.cache/chromosome3d/dispatch.json; the table "
+                          "SHIPPED with the package takes precedence for "
+                          "device kinds it covers unless "
+                          "CHROM3D_DISPATCH_TABLE is set)")
+    cal.add_argument("--spread-gate", type=float, default=None,
+                     help="reject cases whose repeat spread exceeds this "
+                          "(default 0.5) — poisoning defense; the previous "
+                          "entry stays in force")
+    cal.add_argument("--force", action="store_true",
+                     help="measure even on a loaded host (normally refused: "
+                          "a concurrent load once poisoned the table and "
+                          "cost 22%% of headline perf)")
+    cal.add_argument("--verify", action="store_true",
+                     help="re-time the ACTIVE table's routes and report "
+                          "drift; writes nothing")
 
     sim = sub.add_parser(
         "similarity",
@@ -379,7 +393,17 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "calibrate":
-        from chromosome3d_tpu.ops.calibrate import calibrate_dispatch
+        from chromosome3d_tpu.ops.calibrate import (
+            DEFAULT_SPREAD_GATE,
+            calibrate_dispatch,
+            verify_dispatch,
+        )
+
+        if args.verify:
+            report = verify_dispatch(repeats=min(args.repeats, 3),
+                                     force=args.force)
+            print(json.dumps(report, indent=1))
+            return 0
 
         cases = None
         if args.lengths:
@@ -394,9 +418,34 @@ def main(argv=None) -> int:
                 else:
                     cases.append((int(tok), args.batch))
         table = calibrate_dispatch(
-            cases=cases, repeats=args.repeats, out_path=args.out
+            cases=cases, repeats=args.repeats, out_path=args.out,
+            spread_gate=(DEFAULT_SPREAD_GATE if args.spread_gate is None
+                         else args.spread_gate),
+            force=args.force,
         )
         print(json.dumps(table, indent=1))
+        # the reader consults the PACKAGED table first for device kinds it
+        # covers — warn when this write is shadowed so a recalibration is
+        # never silently ignored
+        import os as _os
+
+        from chromosome3d_tpu.ops.pallas_energy import (
+            _device_kind,
+            _load_dispatch_file,
+            packaged_dispatch_path,
+        )
+
+        if not _os.environ.get("CHROM3D_DISPATCH_TABLE", "").strip():
+            pkg = _load_dispatch_file(packaged_dispatch_path()) or {}
+            kind = _device_kind()
+            if (pkg.get(kind) or {}).get("entries"):
+                print(
+                    f"NOTE: the packaged table covers '{kind}' and takes "
+                    "precedence; to route from this calibration set "
+                    "CHROM3D_DISPATCH_TABLE to the written file (or --out "
+                    "to the packaged path in a source checkout)",
+                    file=sys.stderr,
+                )
         return 0
 
     if args.command == "similarity":

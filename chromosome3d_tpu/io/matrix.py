@@ -17,7 +17,10 @@ import numpy as np
 
 def matrix_length(path: str | os.PathLike) -> int:
     """L = number of whitespace-separated fields of the first row
-    (ref: calc_len_IF, chromosome3D.pl:164-179)."""
+    (ref: calc_len_IF, chromosome3D.pl:164-179). For binary .npy inputs
+    (the at-scale format): the stored shape."""
+    if os.fspath(path).endswith(".npy"):
+        return int(np.load(os.fspath(path), mmap_mode="r").shape[1])
     with open(path, "r") as f:
         for line in f:
             line = line.strip()
@@ -35,7 +38,23 @@ def load_if_matrix(path: str | os.PathLike, dtype=np.float64) -> np.ndarray:
 
     Handles the reference input quirks: CRLF endings, leading/trailing
     whitespace, rows as whitespace-separated floats. Returns shape (L, L).
+
+    `.npy` files load as a read-only MEMMAP in their STORED dtype (the
+    `dtype` argument does not apply): this is the at-scale input format —
+    a text matrix at L = 49152 would be ~20 GB that this ~0.1 GB/s host
+    cannot even parse, while the streamed device prep slices row strips
+    straight off the mapped file. Validation runs strip-chunked for the
+    same reason.
     """
+    if os.fspath(path).endswith(".npy"):
+        mat = np.load(os.fspath(path), mmap_mode="r")
+        if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
+            raise ValueError(f"{path}: matrix is {mat.shape}, expected square")
+        if not np.issubdtype(mat.dtype, np.floating):
+            raise ValueError(f"{path}: dtype {mat.dtype}, expected float")
+        for r0 in range(0, mat.shape[0], 4096):
+            _validate(mat[r0:r0 + 4096], path)
+        return mat
     try:
         from chromosome3d_tpu.native import parse_matrix as _native_parse
     except Exception:  # native lib not built — pure-python fallback

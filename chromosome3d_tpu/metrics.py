@@ -77,7 +77,6 @@ def spearman_if_model(
     L = coords.shape[0]
     if rng >= L:
         raise ValueError("range >= model length (ref prints '-' and exits)")
-    ifm = np.asarray(if_matrix, dtype=np.float64)
     # ordered pairs with |i-j| >= rng
     n_pairs = L * L - (L + sum(2 * (L - k) for k in range(1, rng)))
     if n_pairs > SPEARMAN_MAX_PAIRS:
@@ -89,10 +88,14 @@ def spearman_if_model(
         i, j = i[keep][:m], j[keep][:m]
         dv = np.sqrt(((coords[i] - coords[j]) ** 2).sum(-1))
         dv = np.round(dv, 3)
-        iv = ifm[i, j]
+        # index BEFORE converting: a whole-matrix float64 copy of an
+        # at-scale input (possibly a read-only f32 .npy memmap) is tens of
+        # GB on exactly the path this sampled branch exists for
+        iv = np.asarray(if_matrix[i, j], dtype=np.float64)
         ra = sps.rankdata(iv)
         rb = sps.rankdata(dv)
     else:
+        ifm = np.asarray(if_matrix, dtype=np.float64)
         idx = np.arange(L)
         mask = np.abs(idx[:, None] - idx[None, :]) >= rng
         d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)

@@ -41,16 +41,50 @@ so repeated runs refine coverage. Tests inject a fake `timer`.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 from typing import Callable, Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
+log = logging.getLogger("chromosome3d")
+
 # production-shape default cases: (L, B)
 DEFAULT_CASES: Tuple[Tuple[int, int], ...] = (
     (512, 10), (512, 20), (1024, 4), (2048, 4), (4096, 4),
 )
+
+# A case whose repeat timings spread more than this (max/min - 1) is
+# SUSPECT — a concurrent host load (the recorded incident: a pytest run
+# alongside calibrate inflated the (512, 20) fused timing 2x and the
+# poisoned table silently routed the headline bench onto a 22%-slower
+# path) or a tunnel hiccup contaminated it. Suspect cases are NOT written:
+# the previous entry (or the frozen defaults) stays in force. The largest
+# quiet-host spread ever recorded on this backend is 0.33 (round-3
+# tri_unfused at L=768), so 0.5 keeps legitimate tunnel-variance
+# measurements while catching contention.
+DEFAULT_SPREAD_GATE = 0.5
+
+# Real-timer calibrations refuse to start when the 1-minute load average
+# exceeds this (force=True overrides): timing on a loaded single-vCPU host
+# is how the recorded poisoning happened, and uniform contention inflates
+# every repeat equally — a pattern the spread gate cannot see.
+DEFAULT_MAX_LOAD = 1.5
+
+
+def _check_quiet_host(max_load: float) -> None:
+    try:
+        load1 = os.getloadavg()[0]
+    except (AttributeError, OSError):
+        return
+    if load1 > max_load:
+        raise RuntimeError(
+            f"host is not quiet (1-min load {load1:.2f} > {max_load}): "
+            "a concurrent load poisons calibration timings (a recorded "
+            "incident inflated one entry 2x and silently cost 22% of "
+            "headline perf). Stop other work or pass force=True/--force."
+        )
 
 
 def _real_timer(steps: int):
@@ -204,6 +238,9 @@ def calibrate_dispatch(
     out_path: Optional[str] = None,
     timer: Optional[Callable[[str, int, int], Optional[float]]] = None,
     device_kind: Optional[str] = None,
+    spread_gate: float = DEFAULT_SPREAD_GATE,
+    max_load: float = DEFAULT_MAX_LOAD,
+    force: bool = False,
 ) -> Dict:
     """Measure every variant at every (L, B) case (min over `repeats`,
     relative spread recorded) and write/merge the dispatch table. Returns
@@ -213,7 +250,14 @@ def calibrate_dispatch(
     lengths: legacy spelling — lengths all measured at `batch`.
     timer(variant, L, B) -> seconds (or None = variant infeasible);
     injectable for tests. The default timer runs real kernels on the
-    current backend."""
+    current backend.
+
+    Poisoning defenses (round-4 VERDICT item 4 — one contaminated table
+    already cost 22% of headline perf): real-timer runs refuse to start on
+    a loaded host (max_load; force=True overrides), and any case whose
+    repeat spread exceeds spread_gate is REJECTED — the previous entry (or
+    the frozen defaults) stays in force, and the rejection is recorded in
+    the table's per-device "rejected" list for the operator to see."""
     from chromosome3d_tpu.ops.pallas_energy import (
         _DISPATCH_CACHE,
         _device_kind,
@@ -226,11 +270,14 @@ def calibrate_dispatch(
             if lengths is not None
             else DEFAULT_CASES
         )
+    if timer is None and not force:
+        _check_quiet_host(max_load)   # fake timers (tests) skip the check
     timer = timer or _real_timer(steps)
     kind = device_kind or _device_kind()
     out_path = out_path or _dispatch_table_path()
 
     entries = []
+    rejected = []
     for L, B in cases:
         row: Dict = {"L": int(L), "B": int(B), "rel_spread": {}}
         for variant in VARIANTS:
@@ -249,6 +296,19 @@ def calibrate_dispatch(
                 row["rel_spread"][variant] = (
                     (max(ts) - best) / best if best > 0 else 0.0
                 )
+        worst = max(row["rel_spread"].values(), default=0.0)
+        if worst > spread_gate:
+            # suspect measurement: do NOT let it steer dispatch
+            rejected.append({
+                "L": row["L"], "B": row["B"],
+                "rel_spread": row["rel_spread"], "gate": spread_gate,
+            })
+            log.warning(
+                f"calibrate: case (L={L}, B={B}) REJECTED — repeat spread "
+                f"{worst:.2f} exceeds the {spread_gate} gate (concurrent "
+                "load or tunnel hiccup?); previous entry kept"
+            )
+            continue
         entries.append(row)
 
     table: Dict = {}
@@ -280,6 +340,10 @@ def calibrate_dispatch(
         old[(e["L"], e["B"])] = e
     dev["entries"] = sorted(old.values(), key=lambda e: (e["L"], e.get("B", 4)))
     dev.update({"repeats": repeats, "steps": steps})
+    if rejected:
+        dev["rejected"] = rejected               # visible audit trail
+    else:
+        dev.pop("rejected", None)
     dev.pop("batch", None)                       # superseded by per-entry B
 
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
@@ -297,3 +361,78 @@ def calibrate_dispatch(
 
     jax.clear_caches()
     return table
+
+
+def verify_dispatch(
+    repeats: int = 3,
+    steps: int = 24,
+    timer: Optional[Callable[[str, int, int], Optional[float]]] = None,
+    device_kind: Optional[str] = None,
+    max_load: float = DEFAULT_MAX_LOAD,
+    force: bool = False,
+) -> Dict:
+    """Re-time the ACTIVE dispatch table's routes and report drift
+    (`chromosomed calibrate --verify`): for every (L, B) entry the reader
+    would consult on this device kind, measure each feasible variant again
+    and compare against the stored seconds. Writes nothing — this is the
+    audit tool for "is the committed/cached table still right on this
+    machine?" (round-4 VERDICT item 4).
+
+    Returns {"device_kind", "source", "entries": [{L, B, variant:
+    {stored_s, measured_s, drift_pct}, choice, choice_stored,
+    choice_changed}]}. A changed choice means a recalibration (on a quiet
+    host) would re-route that shape."""
+    from chromosome3d_tpu.ops.pallas_energy import (
+        _active_dispatch,
+        _device_kind,
+        _entry_seconds,
+    )
+
+    if timer is None and not force:
+        _check_quiet_host(max_load)
+    timer = timer or _real_timer(steps)
+    kind = device_kind or _device_kind()
+    entries, source = _active_dispatch(kind)
+    report: Dict = {"device_kind": kind, "source": source, "entries": []}
+
+    def choice(fused_s: float, semi_s: float) -> str:
+        # the reader's exact-path decision incl. its 3% hysteresis
+        if semi_s < 0.97 * fused_s:
+            return "semi"
+        return "fused" if np.isfinite(fused_s) else "semi"
+
+    for e in entries:
+        L, B = int(e["L"]), int(e.get("B", 4))
+        row: Dict = {"L": L, "B": B}
+        measured: Dict[str, float] = {}
+        for variant in VARIANTS:
+            stored = e.get(f"{variant}_s")
+            ts = []
+            for _ in range(repeats):
+                t = timer(variant, L, B)
+                if t is None:
+                    break
+                ts.append(t)
+            m = min(ts) if ts else None
+            if m is not None:
+                measured[variant] = m
+            drift = (
+                None
+                if stored is None or m is None or stored <= 0
+                else round(100.0 * (m - stored) / stored, 1)
+            )
+            row[variant] = {
+                "stored_s": stored,
+                "measured_s": m,
+                "drift_pct": drift,
+            }
+        row["choice_stored"] = choice(
+            _entry_seconds(e, "fused_s"), _entry_seconds(e, "semi_s")
+        )
+        row["choice"] = choice(
+            measured.get("fused", float("inf")),
+            measured.get("semi", float("inf")),
+        )
+        row["choice_changed"] = row["choice"] != row["choice_stored"]
+        report["entries"].append(row)
+    return report

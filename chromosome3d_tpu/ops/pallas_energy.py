@@ -1061,6 +1061,8 @@ def _pick_tile_tri(L: int) -> int:
 
 
 def _dispatch_table_path() -> str:
+    """Where `chromosome3d calibrate` WRITES its table: the explicit env
+    override when set, else the per-user cache."""
     import os
 
     p = os.environ.get("CHROM3D_DISPATCH_TABLE", "").strip()
@@ -1069,44 +1071,104 @@ def _dispatch_table_path() -> str:
     return os.path.expanduser("~/.cache/chromosome3d/dispatch.json")
 
 
+def packaged_dispatch_path() -> str:
+    """The dispatch table SHIPPED with the package (quiet-host chip
+    calibration committed to the repo, keyed by device kind) — so kernel
+    routing is deterministic on a fresh machine instead of depending on
+    uncommitted ~/.cache state (which has been poisoned by a concurrent
+    load once; see ops/calibrate.py's spread gate)."""
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "data", "dispatch_v5e.json")
+
+
+def _dispatch_sources():
+    """Dispatch-table sources in precedence order, as (name, path) pairs.
+
+    CHROM3D_DISPATCH_TABLE set -> that file ALONE (explicit override, also
+    what a fresh `calibrate` run writes under the override). Otherwise the
+    PACKAGED table is consulted before the user cache: a fresh checkout
+    must route deterministically from committed, quiet-host-measured data;
+    a machine-local table only applies for device kinds the shipped table
+    does not cover (re-routing a covered kind = set the env var)."""
+    import os
+
+    p = os.environ.get("CHROM3D_DISPATCH_TABLE", "").strip()
+    if p:
+        return [("env", p)]
+    return [
+        ("packaged", packaged_dispatch_path()),
+        ("user", os.path.expanduser("~/.cache/chromosome3d/dispatch.json")),
+    ]
+
+
 _DISPATCH_CACHE: dict = {}
 
 
-def _dispatch_table():
-    """Load the measured kernel-dispatch table (calibrate_dispatch output),
-    memoized per (path, mtime). None when absent/invalid — the frozen
-    measured defaults then apply."""
+def _load_dispatch_file(path: str):
+    """One table file, memoized per (path, mtime). None when
+    absent/invalid."""
     import json
     import os
 
-    path = _dispatch_table_path()
     try:
         mtime = os.path.getmtime(path)
     except OSError:
         return None
     key = (path, mtime)
     if key not in _DISPATCH_CACHE:
+        # drop stale mtimes for this path (keep other paths' entries live)
+        for k in [k for k in _DISPATCH_CACHE if k[0] == path]:
+            del _DISPATCH_CACHE[k]
         try:
             with open(path) as f:
-                _DISPATCH_CACHE.clear()       # keep exactly one entry live
                 _DISPATCH_CACHE[key] = json.load(f)
         except (OSError, ValueError):
             return None
-    return _DISPATCH_CACHE[key]
+    return _DISPATCH_CACHE.get(key)
+
+
+def _dispatch_table():
+    """Back-compat single-table view: the first source file that loads
+    (calibrate's merge logic reads its WRITE path directly instead)."""
+    for _, path in _dispatch_sources():
+        table = _load_dispatch_file(path)
+        if table is not None:
+            return table
+    return None
+
+
+def _active_dispatch(kind: str):
+    """(entries, source_name) for this device kind: the first source in
+    precedence order with entries for the kind wins; ([], 'none') when no
+    source covers it (the frozen defaults then apply)."""
+    for name, path in _dispatch_sources():
+        table = _load_dispatch_file(path)
+        if table is None:
+            continue
+        entries = (table.get(kind) or {}).get("entries", [])
+        if entries:
+            return entries, name
+    return [], "none"
 
 
 def dispatch_table_fingerprint() -> str:
-    """Short content hash of the active dispatch table (or 'none') — the
-    table changes TRACED programs, so the AOT executable cache keys on it
-    (utils.aot.cache_key)."""
+    """Short content hash of the active dispatch-table SOURCES (or 'none')
+    — the tables change TRACED programs, so the AOT executable cache keys
+    on them (utils.aot.cache_key). Every existing source file contributes
+    (tagged by its precedence name): a packaged-table edit and a user-cache
+    edit must both invalidate serialized executables."""
     import hashlib
     import os
 
-    path = _dispatch_table_path()
-    if not os.path.exists(path):
-        return "none"
-    with open(path, "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()[:12]
+    parts = []
+    for name, path in _dispatch_sources():
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                digest = hashlib.sha256(f.read()).hexdigest()[:12]
+            parts.append(f"{name}:{digest}")
+    return "+".join(parts) if parts else "none"
 
 
 def _device_kind() -> str:
@@ -1182,8 +1244,7 @@ def use_triangular(L: int, for_unfused: bool = False,
     if _round_up(max(L, 8), TM) // TM < 3:
         return False                  # < 3 blocks: no symmetry to exploit
 
-    table = _dispatch_table()
-    entries = (table or {}).get(_device_kind(), {}).get("entries", [])
+    entries, _src = _active_dispatch(_device_kind())
     best = _select_dispatch_entry(entries, L, batch) if entries else None
     if best is not None:
         # 3% hysteresis: a within-noise "win" (measured rel_spread is a
@@ -1206,6 +1267,59 @@ def use_triangular(L: int, for_unfused: bool = False,
     if for_unfused:
         return L >= 1024
     return not fused_step_feasible(L)
+
+
+def describe_dispatch(L: int, batch: int | None = None, exact: bool = True,
+                      fusable: bool = True, or_groups: bool = False) -> dict:
+    """Which step variant a solve at (L, batch) will actually run, plus the
+    dispatch provenance behind the choice — the fields bench.py records so
+    a headline number can never again move between runs without the
+    artifact saying which kernel route carried it (round-4 VERDICT weak
+    #1). Mirrors solver.anneal.solve_ensemble_impl's fused/semi/unfused
+    selection exactly (same use_triangular/fused_step_feasible calls);
+    changing that selection without updating this helper fails
+    tests/test_dispatch_calibration.py::test_describe_dispatch_matches_anneal.
+    """
+    import os
+
+    ff = fused_step_feasible(L)
+    kind = _device_kind()
+    entries, source = _active_dispatch(kind)
+    entry = _select_dispatch_entry(entries, L, batch) if entries else None
+    if not fusable:
+        route = ("unfused_tri"
+                 if use_triangular(L, for_unfused=True, batch=batch)
+                 else "unfused_row")
+    elif exact:
+        fused = (
+            not or_groups and not use_triangular(L, batch=batch) and ff
+        )
+        if fused:
+            route = "fused"
+        elif os.environ.get("CHROM3D_NO_TRI"):
+            route = "unfused_row"
+        else:
+            # the triangular (or, for or-group solves, still triangular)
+            # pair kernel + the fused update companion
+            route = "semi"
+    else:
+        route = "semi_general"          # whole-matrix kernel + companion
+    return {
+        "route": route,
+        "L": int(L),
+        "batch": None if batch is None else int(batch),
+        "fused_feasible": bool(ff),
+        "tile_tri": int(_pick_tile_tri(L)),
+        "tile_fused": _pick_tile_fused(_round_up(max(L, 8), TILE_M)),
+        "device_kind": kind,
+        "table_source": source,
+        "table_entry": None if entry is None else {
+            k: entry.get(k)
+            for k in ("L", "B", "fused_s", "semi_s", "tri_unfused_s",
+                      "row_unfused_s")
+        },
+        "table_fingerprint": dispatch_table_fingerprint(),
+    }
 
 
 def pallas_energy_grad_tri_batched(

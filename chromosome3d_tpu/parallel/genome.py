@@ -510,16 +510,42 @@ def run_genome(
     chromosome artifacts land in output_dir/<name>/.
 
     resume=True skips chromosomes already present in <output_dir>/checkpoint
-    (the checkpoint/resume capability the reference lacks, SURVEY.md 5)."""
+    (the checkpoint/resume capability the reference lacks, SURVEY.md 5).
+
+    Writes <output_dir>/summary.json: per-chromosome summaries plus a
+    per-bucket PHASE wall breakdown (load / solve+transfer / aot
+    compile-or-load / assessment prep / extra alphas / emit) — this
+    environment's tunnel latency makes end-to-end genome wall swing 3x
+    between identical cached-executable runs (DESIGN.md), and without the
+    breakdown that spread cannot be attributed (round-4 VERDICT item 7)."""
+    import json as _json
+    import time as _time
+
     from chromosome3d_tpu.pipeline import emit_artifacts
+    from chromosome3d_tpu.utils import aot as _aot
     from chromosome3d_tpu.utils.checkpoint import GenomeCheckpoint
 
     cfg = cfg or PipelineConfig()
+    t_genome0 = _time.time()
     jobs = jobs if jobs is not None else discover_jobs(input_dir)
     if not jobs:
         raise FileNotFoundError(f"no chr*_matrix.txt inputs under {input_dir}")
     ckpt = GenomeCheckpoint(output_dir)
     summaries: Dict[str, Dict] = {}
+    phases: Dict[str, Dict] = {}
+
+    def _write_summary():
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "summary.json"), "w") as f:
+            _json.dump(
+                {
+                    "chromosomes": summaries,
+                    "phases": phases,
+                    "wall_seconds": round(_time.time() - t_genome0, 2),
+                },
+                f, indent=1,
+            )
+
     if resume:
         done = [j for j in jobs if ckpt.has(j.name)]
         if done:
@@ -529,6 +555,7 @@ def run_genome(
         # contribute their checkpointed summaries even on a partial resume
         summaries.update({d.name: ckpt.load(d.name)[2] for d in done})
         if not jobs:
+            _write_summary()
             return summaries
     buckets = bucket_jobs(
         jobs, cfg.length_buckets, cfg.shard_quantum if cfg.shard_large else None
@@ -536,6 +563,17 @@ def run_genome(
     mesh = mesh or make_mesh()
     max_bucket = max(cfg.length_buckets)
     for L_pad, bucket in sorted(buckets.items()):
+        ph = phases[f"L{L_pad}"] = {"chromosomes": [j.name for j in bucket]}
+        t_ph = _time.time()
+        aot_mark = len(_aot.EVENTS)
+
+        def _phase(name):
+            # close the running phase segment and start the next
+            nonlocal t_ph
+            now = _time.time()
+            ph[name] = round(ph.get(name, 0.0) + (now - t_ph), 2)
+            t_ph = now
+
         # at-scale buckets (beyond every length bucket) go to the 2-D
         # chrom x beads sharded solver when devices allow; on one device the
         # plain chrom-batched program covers them (dynamic quantum bucket)
@@ -587,6 +625,7 @@ def run_genome(
                 if (cfg_b.anneal.pair_bf16 or cfg.alpha_ensemble)
                 else None
             )
+            _phase("load_s")
             result, tiles, _ = solve_bucket_sharded_from_if(
                 matrices, L_pad, cfg_b, devices=devs, stack=stack
             )
@@ -690,9 +729,15 @@ def run_genome(
             cfg_b = cfg
             if all(not r.negdev.any() and not r.posdev.any() for r in raw):
                 cfg_b = auto_exact(cfg, raw[0])
+            _phase("load_s")
             result = bucket_solve(batched, bead_masks, cfg_b)
         coords = np.asarray(result.coords)
         energies_all = {k: np.asarray(v) for k, v in result.energies.items()}
+        # solve wall includes the on-device prep, execution, the host
+        # transfer fence above and (at-scale f32/bf16 routes) the
+        # assessment-view downloads — the aot record below splits out the
+        # compile-or-cache-load share
+        _phase("solve_and_views_s")
         alphas = [cfg.restraints.alpha] * coords.shape[1]
         # hyperparameter-ensemble quality mode, same as run_pipeline: extra
         # alpha variants pool into the Spearman ranking (bucket shapes are
@@ -734,6 +779,7 @@ def run_genome(
                 for k, v in energies_all.items()
             }
             alphas += [extra_alpha] * res_x.coords.shape[1]
+        _phase("alpha_s")
         if large_device:
             stack = None  # last prep done: release the (B_pad, L', L') pad
 
@@ -780,4 +826,14 @@ def run_genome(
             for b, job in enumerate(bucket):
                 name, summary = emit_one(b, job)
                 summaries[name] = summary
+        _phase("emit_s")
+        # compile-vs-cache-load attribution for this bucket's programs
+        evs = _aot.EVENTS[aot_mark:]
+        ph["aot"] = {
+            "compile_or_load_s": round(sum(e["seconds"] for e in evs), 2),
+            "hits": sum(1 for e in evs if e.get("hit")),
+            "misses": sum(1 for e in evs if e.get("hit") is False),
+            "uncached": sum(1 for e in evs if e.get("hit") is None),
+        }
+    _write_summary()
     return summaries

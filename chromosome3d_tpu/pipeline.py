@@ -423,6 +423,20 @@ def run_pipeline(
     """
     cfg = cfg or PipelineConfig()
     t_start = time.time()
+    # per-phase wall breakdown (summary["phases"]): the remote tunnel makes
+    # end-to-end wall swing between identical runs; the breakdown says
+    # whether load/prep/solve/assessment moved (round-4 VERDICT item 7)
+    phases: Dict = {}
+    _t_ph = [t_start]
+
+    def _mark(name: str) -> None:
+        now = time.time()
+        phases[name] = round(phases.get(name, 0.0) + (now - _t_ph[0]), 2)
+        _t_ph[0] = now
+
+    from chromosome3d_tpu.utils import aot as _aot_mod
+
+    _aot_mark = len(_aot_mod.EVENTS)
     if not os.path.isfile(file_if):
         raise FileNotFoundError(f"Input IF file {file_if} does not exist!")
     os.makedirs(dir_out, exist_ok=True)
@@ -433,10 +447,17 @@ def run_pipeline(
                 os.remove(p)
     base = os.path.basename(file_if)
     ident, ext = os.path.splitext(base)
-    if ext not in (".txt",) + _ALT_FORMATS:
+    if ext not in (".txt", ".npy") + _ALT_FORMATS:
         ident = base  # unknown extension: keep the full name as the id
     local_if = os.path.join(dir_out, f"{ident}.txt")
-    if ext in _ALT_FORMATS or ice:
+    if ext == ".npy":
+        # binary at-scale input (io.matrix loads it as a read-only memmap):
+        # no text materialization and no copy — a matrix this format exists
+        # for is gigabytes, and artifact byte-parity only has a contract at
+        # reference scale (PARITY deviation #9 already suppresses the
+        # O(L^2) text artifacts beyond every bucket)
+        local_if = os.fspath(file_if)
+    elif ext in _ALT_FORMATS or ice:
         from chromosome3d_tpu.io.hic import ice_balance, load_any
         from chromosome3d_tpu.io.matrix import write_if_matrix
 
@@ -462,6 +483,7 @@ def run_pipeline(
 
     # ---- L3: restraint generation + text artifacts ----
     if_matrix = load_if_matrix(local_if)
+    _mark("load_s")
     L = if_matrix.shape[0]
     banner(log, f"L          : {L}")
     # Beyond every length bucket there are no published artifacts for the
@@ -546,6 +568,9 @@ def run_pipeline(
             if sharded
             else L_pad,
         )
+    # host-side restraint prep (text artifacts + tensors on the reference-
+    # scale route; the padded f32 matrix copy on the device route)
+    _mark("host_prep_s")
 
     def do_solve(restr_np, rc_x, k):
         if device_route and sharded:
@@ -574,6 +599,12 @@ def run_pipeline(
                 out_dtype="bfloat16" if cfg_solve.anneal.pair_bf16
                 else "float32",
             )
+            # phase split: best-effort fence (block_until_ready can return
+            # early through the remote tunnel — the streamed route's
+            # host-side strip loop is the bulk of prep wall either way, so
+            # the approximation is small; CLAUDE.md documents the caveat)
+            jax.block_until_ready(tiles)
+            _mark("device_prep_s")
             return _aot_solve(tiles, cfg_solve.anneal, k, cfg_solve.model_count, bm)
         if sharded:
             res, _ = _sharded_solve(restr_np, rc_x, cfg_solve, k,
@@ -607,6 +638,7 @@ def run_pipeline(
             result = do_solve(restraints, rc, key)
             coords = np.asarray(result.coords)[:, :L, :]
         energies = {k: np.asarray(v) for k, v in result.energies.items()}
+        _mark("solve_s")
         # energy-trajectory observability (the reference discards dgsa.log)
         np.savez_compressed(
             os.path.join(dir_out, "trajectory.npz"),
@@ -640,6 +672,7 @@ def run_pipeline(
     os.remove(running)
 
     # ---- L0: assess, rank, emit ----
+    _mark("alpha_ensemble_s")
     banner(log, "(C) Assess models..")
     if device_route:
         # host assessment view: one f32 download of the device-built tiles
@@ -654,12 +687,25 @@ def run_pipeline(
             if_dev, rc, L_pad_assess, sharded, n_true=L
         )
         n_tbl = restraints.count
+        _mark("assess_view_s")
     summary = emit_artifacts(
         dir_out, ident, coords, energies, if_matrix, restraints, dense, cfg,
         alphas=alphas,
     )
+    _mark("assess_emit_s")
+    evs = _aot_mod.EVENTS[_aot_mark:]
+    phases["aot"] = {
+        "compile_or_load_s": round(sum(e["seconds"] for e in evs), 2),
+        "hits": sum(1 for e in evs if e.get("hit")),
+        "misses": sum(1 for e in evs if e.get("hit") is False),
+        "uncached": sum(1 for e in evs if e.get("hit") is None),
+    }
     summary.update(
-        {"restraints": int(n_tbl), "wall_seconds": time.time() - t_start}
+        {
+            "restraints": int(n_tbl),
+            "wall_seconds": time.time() - t_start,
+            "phases": phases,
+        }
     )
     with open(os.path.join(dir_out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -39,6 +39,20 @@ log = logging.getLogger("chromosome3d")
 
 _ENV_VAR = "CHROM3D_AOT_CACHE"
 
+# Per-call provenance trail: every load_or_compile appends one dict
+# ({"tag", "hit", "seconds", ...}) so callers (bench.py's provenance
+# fields, run_genome's phase breakdown) can attribute wall-clock to
+# compile-vs-cache-load without plumbing through every solve signature.
+# Bounded (drop-oldest) so a long-lived serve process cannot grow it.
+EVENTS: list = []
+_EVENTS_MAX = 256
+
+
+def _record_event(ev: dict) -> dict:
+    EVENTS.append(ev)
+    del EVENTS[:-_EVENTS_MAX]
+    return ev
+
 
 def cache_dir_from_env() -> Optional[str]:
     d = os.environ.get(_ENV_VAR, "").strip()
@@ -133,11 +147,12 @@ class _GuardedExec:
     load it, fail, and pay the full compile forever) — the cache can slow
     a run down but never break it."""
 
-    def __init__(self, loaded, compile_fn, tag, path=None):
+    def __init__(self, loaded, compile_fn, tag, path=None, event=None):
         self._exec = loaded
         self._compile_fn = compile_fn
         self._tag = tag
         self._path = path
+        self._event = event
         self._proven = False
 
     def __call__(self, *args):
@@ -172,6 +187,12 @@ class _GuardedExec:
                     "after consuming a donated input buffer; the cache entry "
                     "was evicted — rerun to recompile cleanly"
                 ) from e
+            if self._event is not None:
+                # the "hit" was poisoned: record that the call actually paid
+                # a fresh compile (bench provenance must not claim a cache
+                # win it recompiled its way out of)
+                self._event["hit"] = False
+                self._event["recompiled_at_dispatch"] = True
             self._exec = self._compile_fn()
             out = self._exec(*args)
         self._proven = True
@@ -196,12 +217,17 @@ def load_or_compile(
     plain jitted callable is returned and jax's in-process jit cache
     applies as usual. Otherwise the return value is an AOT-compiled
     executable — call it with arguments of exactly the traced shapes."""
+    import time as _time
+
     cache_dir = cache_dir or cache_dir_from_env()
     if cache_dir is None:
+        _record_event({"tag": tag, "enabled": False, "hit": None,
+                       "seconds": 0.0})
         return jitted
 
     from jax.experimental import serialize_executable as se
 
+    t0 = _time.perf_counter()
     key = cache_key(tag, args, statics)
     # the code fingerprint rides the FILENAME (as well as the key) so
     # pruning can distinguish "same program, older source" from sibling
@@ -215,16 +241,23 @@ def load_or_compile(
                 blob = pickle.load(f)
             loaded = se.deserialize_and_load(*blob)
             log.info(f"AOT: loaded {tag} executable from {path}")
+            event = _record_event({
+                "tag": tag, "enabled": True, "hit": True,
+                "seconds": _time.perf_counter() - t0, "path": path,
+            })
             # some backends accept the blob but reject it at dispatch (e.g.
             # XLA:CPU is strict about host machine features); guard the
             # first invocation and recompile in place if it throws
             return _GuardedExec(
-                loaded, lambda: jitted.lower(*args).compile(), tag, path
+                loaded, lambda: jitted.lower(*args).compile(), tag, path,
+                event=event,
             )
         except Exception as e:  # stale/corrupt/foreign blob -> recompile
             log.info(f"AOT: cache entry {path} unusable ({e!r}); recompiling")
 
     compiled = jitted.lower(*args).compile()
+    _record_event({"tag": tag, "enabled": True, "hit": False,
+                   "seconds": _time.perf_counter() - t0, "path": path})
     try:
         blob = se.serialize(compiled)
         os.makedirs(cache_dir, exist_ok=True)

@@ -38,6 +38,9 @@ REFERENCE = "/root/reference"
 # each of which has a faster sibling left in the default tier.
 # ---------------------------------------------------------------------------
 SLOW_TESTS = {
+    # ground-truth reconstruction through the product path (~20 s / ~100 s)
+    "test_ground_truth_reconstruction_reference_scale",
+    "test_ground_truth_reconstruction_at_scale",
     # kernel equivalence at large L / full schedules (interpret mode)
     "test_triangular_kernel_matches_full",
     "test_triangular_kernel_grad_matches_autodiff",

@@ -242,3 +242,220 @@ def test_legacy_table_with_infinity_loads_and_merges(table_path):
         assert use_triangular(4096)          # and still decides the same
     finally:
         pe._device_kind = orig_kind
+
+
+# ---------------------------------------------------------------------------
+# round-5: packaged-table precedence, poisoning defenses, provenance
+# ---------------------------------------------------------------------------
+
+def _write_table(path, kind, L, fused_s, semi_s, tri_s=0.5, row_s=0.5, B=4):
+    entry = {"L": L, "B": B, "fused_s": fused_s, "semi_s": semi_s,
+             "tri_unfused_s": tri_s, "row_unfused_s": row_s,
+             "rel_spread": {}}
+    with open(path, "w") as f:
+        json.dump({kind: {"entries": [entry], "repeats": 2, "steps": 24}}, f)
+
+
+@pytest.fixture()
+def dispatch_sources(tmp_path, monkeypatch):
+    """No env override; packaged + user table paths both point into tmp."""
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    monkeypatch.delenv("CHROM3D_DISPATCH_TABLE", raising=False)
+    pkg = tmp_path / "packaged.json"
+    # the user-cache path is ~/.cache/... — point HOME into tmp so the real
+    # _dispatch_sources (incl. its env-var precedence) is what gets tested
+    monkeypatch.setenv("HOME", str(tmp_path))
+    usr = tmp_path / ".cache" / "chromosome3d" / "dispatch.json"
+    usr.parent.mkdir(parents=True)
+    monkeypatch.setattr(pe, "packaged_dispatch_path", lambda: str(pkg))
+    _DISPATCH_CACHE.clear()
+    yield str(pkg), str(usr)
+    _DISPATCH_CACHE.clear()
+
+
+def test_packaged_table_precedes_user_cache(dispatch_sources):
+    """A fresh machine routes from the COMMITTED table even when a (possibly
+    poisoned) ~/.cache table exists for the same device kind (round-4
+    VERDICT item 1: routing must be deterministic and reproducible)."""
+    pkg, usr = dispatch_sources
+    # packaged: fused wins at 1024; user cache claims semi wins (poisoned)
+    _write_table(pkg, "fakeTPU", 1024, fused_s=0.10, semi_s=0.50)
+    _write_table(usr, "fakeTPU", 1024, fused_s=0.50, semi_s=0.10)
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    orig = pe._device_kind
+    pe._device_kind = lambda: "fakeTPU"
+    try:
+        assert not use_triangular(1024)          # packaged verdict: fused
+        entries, src = pe._active_dispatch("fakeTPU")
+        assert src == "packaged"
+        # an uncovered device kind falls through to the user cache
+        _write_table(usr, "otherTPU", 1024, fused_s=0.50, semi_s=0.10)
+        _DISPATCH_CACHE.clear()
+        entries, src = pe._active_dispatch("otherTPU")
+        assert src == "user" and entries
+        # both sources fingerprint (either edit must invalidate AOT blobs)
+        fp = dispatch_table_fingerprint()
+        assert "packaged:" in fp and "user:" in fp
+    finally:
+        pe._device_kind = orig
+
+
+def test_env_override_wins_over_packaged(dispatch_sources, monkeypatch,
+                                         tmp_path):
+    pkg, _usr = dispatch_sources
+    _write_table(pkg, "fakeTPU", 1024, fused_s=0.10, semi_s=0.50)
+    override = tmp_path / "override.json"
+    _write_table(str(override), "fakeTPU", 1024, fused_s=0.50, semi_s=0.10)
+    monkeypatch.setenv("CHROM3D_DISPATCH_TABLE", str(override))
+    _DISPATCH_CACHE.clear()
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    orig = pe._device_kind
+    pe._device_kind = lambda: "fakeTPU"
+    try:
+        assert use_triangular(1024)              # env verdict: semi
+        fp = dispatch_table_fingerprint()
+        assert fp.startswith("env:") and "packaged" not in fp
+    finally:
+        pe._device_kind = orig
+        _DISPATCH_CACHE.clear()
+
+
+def test_spread_gate_rejects_poisoned_case(table_path):
+    """The recorded poisoning incident, simulated: one case's repeats spread
+    2x (concurrent load). The write must be refused for that case — the
+    previous entry stays in force — and recorded in the audit trail."""
+    # first, a clean calibration: fused wins at 1024
+    clean = {("fused", 1024): 0.10, ("semi", 1024): 0.20,
+             ("tri_unfused", 1024): 0.20, ("row_unfused", 1024): 0.20}
+    calibrate_dispatch(lengths=(1024,), repeats=3,
+                       timer=fake_timer(clean), device_kind="fakeTPU")
+
+    # poisoned re-run: fused timings alternate 2x (load contention);
+    # min would say semi wins — but the spread gate rejects the case
+    calls = {"n": 0}
+
+    def poisoned(variant, L, B):
+        if variant == "fused":
+            calls["n"] += 1
+            return 0.30 if calls["n"] % 2 else 0.60      # spread 1.0
+        return 0.25
+
+    table = calibrate_dispatch(lengths=(1024,), repeats=4,
+                               timer=poisoned, device_kind="fakeTPU")
+    entries = {e["L"]: e for e in table["fakeTPU"]["entries"]}
+    assert entries[1024]["fused_s"] == 0.10              # previous entry kept
+    assert table["fakeTPU"]["rejected"][0]["L"] == 1024  # audit trail
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    orig = pe._device_kind
+    pe._device_kind = lambda: "fakeTPU"
+    try:
+        assert not use_triangular(1024)                  # still fused
+    finally:
+        pe._device_kind = orig
+
+
+def test_quiet_host_check():
+    from chromosome3d_tpu.ops.calibrate import _check_quiet_host
+
+    _check_quiet_host(1e9)                               # always quiet
+    try:
+        import os
+
+        os.getloadavg()
+    except (AttributeError, OSError):
+        pytest.skip("no getloadavg on this platform")
+    with pytest.raises(RuntimeError, match="not quiet"):
+        _check_quiet_host(-1.0)                          # never quiet
+
+
+def test_verify_dispatch_reports_drift(table_path):
+    from chromosome3d_tpu.ops.calibrate import verify_dispatch
+
+    clean = {("fused", 1024): 0.10, ("semi", 1024): 0.20,
+             ("tri_unfused", 1024): 0.20, ("row_unfused", 1024): 0.20}
+    calibrate_dispatch(lengths=(1024,), repeats=2,
+                       timer=fake_timer(clean), device_kind="fakeTPU")
+    # the machine drifted: semi now wins at 1024
+    drifted = {("fused", 1024): 0.30, ("semi", 1024): 0.05,
+               ("tri_unfused", 1024): 0.20, ("row_unfused", 1024): 0.20}
+    report = verify_dispatch(repeats=2, timer=fake_timer(drifted),
+                             device_kind="fakeTPU")
+    assert report["source"] == "env"
+    (row,) = report["entries"]
+    assert row["fused"]["drift_pct"] == 200.0
+    assert row["choice_stored"] == "fused"
+    assert row["choice"] == "semi"
+    assert row["choice_changed"]
+
+
+def test_describe_dispatch_matches_anneal(table_path):
+    """describe_dispatch (bench provenance) must mirror solver.anneal's
+    fused/semi selection: same use_triangular + fused_step_feasible calls,
+    so a table that flips the solver's route flips the description too."""
+    from chromosome3d_tpu.ops.pallas_energy import (
+        describe_dispatch,
+        fused_step_feasible,
+    )
+
+    times = {}
+    for L in (1024, 2048):
+        times[("fused", L)] = 0.50
+        times[("semi", L)] = 0.10
+        times[("tri_unfused", L)] = 0.10
+        times[("row_unfused", L)] = 0.50
+    calibrate_dispatch(lengths=(1024, 2048), repeats=2,
+                       timer=fake_timer(times), device_kind="fakeTPU")
+
+    import chromosome3d_tpu.ops.pallas_energy as pe
+
+    orig = pe._device_kind
+    pe._device_kind = lambda: "fakeTPU"
+    try:
+        d = describe_dispatch(1024, batch=20, exact=True)
+        # semi won the measurement -> anneal's `fused` gate
+        # (not use_triangular and fused_step_feasible) is False
+        assert d["route"] == "semi"
+        assert d["route"] == (
+            "fused"
+            if (not use_triangular(1024, batch=20)
+                and fused_step_feasible(1024))
+            else "semi"
+        )
+        assert d["table_source"] == "env"
+        assert d["table_entry"]["L"] == 1024
+        # beyond the fused VMEM cap the route is semi no matter the table
+        assert describe_dispatch(8192, batch=4)["route"] == "semi"
+        assert not describe_dispatch(8192, batch=4)["fused_feasible"]
+        # general (windowed) restraints: whole-matrix kernel + companion
+        assert describe_dispatch(512, batch=20, exact=False)["route"] == (
+            "semi_general"
+        )
+        # unfusable configs ride the unfused scan
+        assert describe_dispatch(512, batch=20, fusable=False)["route"] in (
+            "unfused_tri", "unfused_row"
+        )
+    finally:
+        pe._device_kind = orig
+
+
+def test_frozen_defaults_describe(monkeypatch, tmp_path):
+    """Without any table: the headline shape (L=456 pads to 512) must route
+    FUSED — the measured-fastest route for the shipped bucket — and the
+    description must say the frozen defaults decided."""
+    monkeypatch.setenv("CHROM3D_DISPATCH_TABLE",
+                       str(tmp_path / "missing.json"))
+    _DISPATCH_CACHE.clear()
+    from chromosome3d_tpu.ops.pallas_energy import describe_dispatch
+
+    d = describe_dispatch(456, batch=20, exact=True)
+    assert d["route"] == "fused"
+    assert d["table_source"] == "none"
+    assert d["table_fingerprint"] == "none"
+    _DISPATCH_CACHE.clear()
