@@ -190,6 +190,10 @@ def main(argv=None) -> int:
     cal.add_argument("--batch", type=int, default=4,
                      help="structure count for bare -L lengths (default 4)")
     cal.add_argument("--repeats", type=int, default=5)
+    cal.add_argument("--steps", type=int, default=None,
+                     help="scan length per timed call (default 960: long "
+                          "enough that execution dominates the remote "
+                          "round trip at every case)")
     cal.add_argument("--out", default=None,
                      help="table path (default CHROM3D_DISPATCH_TABLE or "
                           "~/.cache/chromosome3d/dispatch.json; the table "
@@ -417,8 +421,11 @@ def main(argv=None) -> int:
                     cases.append((int(L), int(B)))
                 else:
                     cases.append((int(tok), args.batch))
+        from chromosome3d_tpu.ops.calibrate import DEFAULT_STEPS
+
         table = calibrate_dispatch(
             cases=cases, repeats=args.repeats, out_path=args.out,
+            steps=(DEFAULT_STEPS if args.steps is None else args.steps),
             spread_gate=(DEFAULT_SPREAD_GATE if args.spread_gate is None
                          else args.spread_gate),
             force=args.force,

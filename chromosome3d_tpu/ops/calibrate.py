@@ -72,6 +72,16 @@ DEFAULT_SPREAD_GATE = 0.5
 # every repeat equally — a pattern the spread gate cannot see.
 DEFAULT_MAX_LOAD = 1.5
 
+# Scan length per timed call. Round 3/4 used 24 — which, on a remote-execute
+# backend with a ~29 ms fixed round trip, made the small-L measurements
+# ~95% round-trip: the per-step cost difference between variants (the
+# entire signal) was ~2% of the measured wall, and the round-5 spread gate
+# correctly rejected most such cases as jitter. 960 steps puts scan
+# execution at or above the round trip everywhere from L=512 up (70-180 ms
+# at the production shapes), so the min-of-repeats measures the DEVICE.
+# Compile cost is unchanged (lax.scan compiles once regardless of length).
+DEFAULT_STEPS = 960
+
 
 def _check_quiet_host(max_load: float) -> None:
     try:
@@ -233,7 +243,7 @@ def calibrate_dispatch(
     cases: Optional[Sequence[Tuple[int, int]]] = None,
     lengths: Optional[Sequence[int]] = None,
     repeats: int = 5,
-    steps: int = 24,
+    steps: int = DEFAULT_STEPS,
     batch: int = 4,
     out_path: Optional[str] = None,
     timer: Optional[Callable[[str, int, int], Optional[float]]] = None,
@@ -279,7 +289,10 @@ def calibrate_dispatch(
     entries = []
     rejected = []
     for L, B in cases:
-        row: Dict = {"L": int(L), "B": int(B), "rel_spread": {}}
+        # per-entry steps: entries measured under different protocols can
+        # coexist in one table (only intra-entry ratios decide dispatch)
+        row: Dict = {"L": int(L), "B": int(B), "steps": int(steps),
+                     "rel_spread": {}}
         for variant in VARIANTS:
             ts = []
             for _ in range(repeats):
@@ -365,7 +378,7 @@ def calibrate_dispatch(
 
 def verify_dispatch(
     repeats: int = 3,
-    steps: int = 24,
+    steps: int = DEFAULT_STEPS,
     timer: Optional[Callable[[str, int, int], Optional[float]]] = None,
     device_kind: Optional[str] = None,
     max_load: float = DEFAULT_MAX_LOAD,
