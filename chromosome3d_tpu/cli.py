@@ -38,6 +38,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "largest length bucket then exact-L compile (run) "
                         "or raise (genome) instead of row-sharding over "
                         "the device mesh")
+    p.add_argument("--no-violation-reports", action="store_true",
+                   help="skip the per-model violation report files (each an "
+                        "O(L^2)-distance host pass; stats/rankings still "
+                        "computed) — for very large at-scale runs")
     p.add_argument("--shard-quantum", type=int, default=512,
                    help="padding unit for beyond-the-bucket lengths "
                         "(default 512); distinct big inputs rounded to the "
@@ -69,6 +73,7 @@ def _make_config(args) -> "PipelineConfig":
         alpha_ensemble=alpha_ensemble,
         shard_large=not getattr(args, "no_shard_large", False),
         shard_quantum=getattr(args, "shard_quantum", 512),
+        emit_violation_reports=not getattr(args, "no_violation_reports", False),
     )
 
 

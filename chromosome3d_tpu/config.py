@@ -228,6 +228,14 @@ class PipelineConfig:
     # inputs still share compiled programs (same discipline as
     # length_buckets, at the large end).
     shard_quantum: int = 512
+    # per-model violation REPORTS (contact_violation.txt, ref :447-485):
+    # each is an O(L^2)-distance host pass per model — at L = 24576 x 2
+    # models that measured 1862 s on this single-vCPU host (vs a 12 s
+    # solve). False skips the report files only; the assessment STATS
+    # (satisfied/total/sum_dev, NOE + Spearman rankings, spearman.txt)
+    # are always computed. Reference-scale runs keep the default True —
+    # the reports are part of the artifact parity set.
+    emit_violation_reports: bool = True
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

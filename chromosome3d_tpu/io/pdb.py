@@ -35,10 +35,14 @@ def write_ca_pdb(
         f"REMARK {term} = {value:.4f}\n" for term, value in (remarks or {}).items()
     )
     # native single-pass emitter when the C library is built (byte-identical;
-    # genome emission writes hundreds of models, so the per-file win adds up)
+    # genome emission writes hundreds of models, so the per-file win adds up).
+    # Beyond 9999 beads the fixed resSeq column needs hybrid-36 (below) —
+    # the native emitter's plain %4d would overflow and shift every later
+    # column (round-5 ground-truth read-back caught exactly that), so
+    # at-scale models take the python path.
     from chromosome3d_tpu import native
 
-    if native.write_ca_pdb(path, coords, header, resname, connect):
+    if L <= 9999 and native.write_ca_pdb(path, coords, header, resname, connect):
         return
     lines = []
     if remarks:
@@ -46,15 +50,62 @@ def write_ca_pdb(
             lines.append(f"REMARK {term} = {value:.4f}")
     for i, (x, y, z) in enumerate(coords, start=1):
         lines.append(
-            f"ATOM  {i:5d}  CA  {resname:<3s}  {i:4d}    "
+            f"ATOM  {hy36_encode(5, i):>5s}  CA  {resname:<3s}  "
+            f"{hy36_encode(4, i):>4s}    "
             f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C  "
         )
     if connect:
         for i in range(1, L):
-            lines.append(f"CONECT{i:5d}{i + 1:5d}")
+            lines.append(
+                f"CONECT{hy36_encode(5, i):>5s}{hy36_encode(5, i + 1):>5s}"
+            )
     lines.append("END")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+_HY36_DIGITS = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def hy36_encode(width: int, value: int) -> str:
+    """Hybrid-36 encoding (the PDB convention for serial/resSeq fields that
+    exceed their fixed column width, used by every large-structure tool):
+    plain decimal while it fits, then uppercase base-36 starting at
+    A000.. (=10^width), then lowercase. At-scale bead chains exceed the
+    4-char resSeq at L >= 10000 (round-5 ground-truth read-back at
+    L=24576 caught the plain %4d overflow shifting every later column)."""
+    if value < 10 ** width:
+        return str(value)
+    value -= 10 ** width
+    span = 26 * 36 ** (width - 1)          # each block: A000.. / a000..
+    lead = 10 * 36 ** (width - 1)          # both blocks start at '*000'
+    for digits in (_HY36_DIGITS, _HY36_DIGITS.lower()):
+        if value < span:
+            out = []
+            v = value + lead
+            for _ in range(width):
+                out.append(digits[v % 36])
+                v //= 36
+            return "".join(reversed(out))
+        value -= span
+    raise ValueError(f"value out of hybrid-36 range for width {width}")
+
+
+def hy36_decode(width: int, s: str) -> int:
+    s = s.strip()
+    if not s or len(s) > width:
+        raise ValueError(f"bad hybrid-36 token {s!r} for width {width}")
+    if s.lstrip("-").isdigit():
+        return int(s)
+    digits = _HY36_DIGITS if s[0].isupper() else _HY36_DIGITS.lower()
+    v = 0
+    for c in s:
+        v = v * 36 + digits.index(c)
+    base = 10 ** width
+    lead = 10 * 36 ** (width - 1)
+    if s[0].isupper():
+        return v - lead + base
+    return v - lead + base + 26 * 36 ** (width - 1)
 
 
 def _parse_row(row: str, field: str) -> str:
@@ -72,6 +123,25 @@ def _parse_row(row: str, field: str) -> str:
     }
     lo, hi = spans[field]
     return row[lo:hi].strip()
+
+
+def _parse_resseq(raw: str) -> int:
+    """Residue number from the resSeq column, handling all three layouts:
+    plain decimal (reference scale), the published reduced files' glued
+    chain id ('B131' = chain B residue 131), and hybrid-36 (our at-scale
+    models, resSeq >= 10000). Precedence note: a 'B'+digits token reads as
+    the reduced-file glue — which shadows hybrid-36 values >= 57952
+    ('B000'+); at-scale models stay below that per chromosome today, and
+    the published reduced format is a frozen external artifact we must
+    keep parsing."""
+    tok = raw.strip()
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    if tok[:1] == "B" and tok[1:].isdigit():
+        return int(tok[1:])
+    return hy36_decode(4, tok)
 
 
 def read_ca_pdb(path: str | os.PathLike) -> np.ndarray:
@@ -93,8 +163,7 @@ def read_ca_pdb(path: str | os.PathLike) -> np.ndarray:
                 if "CA" not in line[11:18]:
                     continue
             rnum_raw = _parse_row(line, "rnum")
-            # reduced files glue the chain id onto the residue column ("B1")
-            rnum = int("".join(c for c in rnum_raw if c.isdigit() or c == "-"))
+            rnum = _parse_resseq(rnum_raw)
             entries.append(
                 (
                     rnum,

@@ -930,6 +930,19 @@ def emit_artifacts(
     idx_to_rank = {int(idx): rank for rank, idx in enumerate(sp_order, start=1)}
     best = int(e_order[0])
     satisfied = total = 0
+    if not cfg.emit_violation_reports:
+        # stats above still cover satisfaction; the per-model report FILES
+        # are each an O(L^2) host pass (PipelineConfig.emit_violation_reports)
+        return {
+            "id": ident,
+            "L": int(L),
+            "models": int(len(coords)),
+            "best_noe_energy": float(energies["noe"][best]),
+            "best_spearman_if_inv_d": float(sp_scores[sp_order[0]]),
+            "satisfied": int(stats["satisfied"][best]),
+            "total": int(stats["total"][best]),
+            "clashes_under_3A": clash_count(coords[best], 3.0),
+        }
     # the spec column is model-independent: format it once per chromosome —
     # but ONLY at reference scale. Beyond FULL_REPORT_MAX the writer keeps
     # violated rows only and formats specs for just those; precomputing all

@@ -45,6 +45,9 @@ def main():
                     help="full DGSA schedule (default: turbo)")
     ap.add_argument("--bf16", action="store_true",
                     help="pair_bf16 (bf16-STORED tiles) for at-scale sizes")
+    ap.add_argument("--no-reports", action="store_true",
+                    help="skip per-model violation report files (each an "
+                         "O(L^2) host pass at scale)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--work-dir", default="/root/gt_bench")
     args = ap.parse_args()
@@ -107,7 +110,8 @@ def main():
         )
         if not args.full:
             anneal = turbo_anneal(anneal)
-        cfg = PipelineConfig(model_count=args.models, anneal=anneal)
+        cfg = PipelineConfig(model_count=args.models, anneal=anneal,
+                             emit_violation_reports=not args.no_reports)
 
         t0 = time.time()
         out_dir = os.path.join(args.work_dir, f"out_{L}")
@@ -124,7 +128,12 @@ def main():
             "truth_s": round(t_truth, 1),
             "if_gen_s": round(t_if, 1),
             "run_s": round(t_run, 1),
-            "steps_per_sec": round(steps / max(t_run, 1e-9), 1),
+            "solve_s": summary.get("phases", {}).get("solve_s"),
+            "steps_per_sec": round(
+                steps / max(
+                    summary.get("phases", {}).get("solve_s") or t_run, 1e-9
+                ), 1,
+            ),
             "best_spearman_if_inv_d": summary["best_spearman_if_inv_d"],
             "bf16": bool(anneal.pair_bf16),
             "phases": summary.get("phases"),

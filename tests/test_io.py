@@ -238,3 +238,55 @@ def test_native_tbl_declines_malformed_rr(tmp_path):
     assert native.rr_to_tbl(rr, tmp_path / "n.tbl", 3.6, 0.1) is None
     write_contact_tbl(tmp_path / "p.tbl", rr, rc)   # Python path succeeds
     assert "resid   9" in (tmp_path / "p.tbl").read_text()
+
+
+def test_hy36_roundtrip_and_pdb_at_scale(tmp_path):
+    """At-scale PDB emission: resSeq overflows its 4-char column at
+    L >= 10000 — hybrid-36 (the PDB large-structure convention) keeps the
+    fixed columns fixed. Round-5 ground-truth read-back at L=24576 caught
+    the plain %4d overflow shifting every later column."""
+    import numpy as np
+
+    from chromosome3d_tpu.io.pdb import (
+        hy36_decode,
+        hy36_encode,
+        read_ca_pdb,
+        write_ca_pdb,
+    )
+
+    # known anchor points of the hybrid-36 spec
+    assert hy36_encode(4, 9999) == "9999"
+    assert hy36_encode(4, 10000) == "A000"
+    assert hy36_encode(4, 10001) == "A001"
+    assert hy36_encode(5, 99999) == "99999"
+    assert hy36_encode(5, 100000) == "A0000"
+    # uppercase block ends, lowercase begins
+    top_upper = 10000 + 26 * 36 ** 3 - 1
+    assert hy36_encode(4, top_upper) == "ZZZZ"
+    assert hy36_encode(4, top_upper + 1) == "a000"
+    for v in (0, 7, 9999, 10000, 24576, 56655, 56656, 250000):
+        assert hy36_decode(4, hy36_encode(4, v)) == v
+    for v in (99999, 100000, 123456, 2 * 10 ** 6):
+        assert hy36_decode(5, hy36_encode(5, v)) == v
+
+    # write/read round-trip past the decimal resSeq range
+    L = 12000
+    rs = np.random.RandomState(3)
+    coords = np.round(rs.randn(L, 3) * 50, 3)
+    p = str(tmp_path / "big.pdb")
+    write_ca_pdb(p, coords, remarks={"noe": 1.0})
+    back = read_ca_pdb(p)
+    assert back.shape == (L, 3)
+    assert np.allclose(back, coords, atol=5e-4)
+    # every fixed column still parses on the overflow rows
+    with open(p) as f:
+        rows = [l for l in f if l.startswith("ATOM")]
+    assert rows[9999][22:26] == "A000"      # resSeq 10000 in hybrid-36
+    assert float(rows[11999][30:38]) == coords[11999, 0]
+
+    # reference-scale bytes unchanged: decimal fields for L <= 9999
+    small = str(tmp_path / "small.pdb")
+    write_ca_pdb(small, coords[:50])
+    with open(small) as f:
+        first = [l for l in f if l.startswith("ATOM")][0]
+    assert first[:26] == "ATOM      1  CA  MET     1"

@@ -426,3 +426,25 @@ def test_assess_failed_sentinel(tmp_path, tiny_matrix, monkeypatch):
     with pytest.raises(AssertionError, match="restraint-count mismatch"):
         pl.run_pipeline(str(src), out, fast_cfg())
     assert os.path.exists(os.path.join(out, "assess.failed"))
+
+
+def test_no_violation_reports_knob(tmp_path, tiny_matrix):
+    """PipelineConfig.emit_violation_reports=False skips the per-model
+    O(L^2) report files (1862 s at L=24576 x 2 models on this host) while
+    keeping the stats, rankings, and model artifacts — the at-scale run
+    knob (--no-violation-reports)."""
+    from chromosome3d_tpu.pipeline import run_pipeline
+
+    src = tmp_path / "tiny_matrix.txt"
+    np.savetxt(src, tiny_matrix, fmt="%.3f")
+    out = tmp_path / "out"
+    summary = run_pipeline(
+        str(src), str(out), fast_cfg(emit_violation_reports=False)
+    )
+    assert not os.path.exists(out / "contact_violation.txt")
+    assert os.path.exists(out / "tiny_matrix_model1.pdb")
+    assert os.path.exists(out / "spearman.txt")
+    for key in ("satisfied", "total", "best_spearman_if_inv_d",
+                "clashes_under_3A"):
+        assert key in summary
+    assert summary["total"] > 0
