@@ -109,6 +109,18 @@ def crossres_section(args, jax):
     return "".join(lines), wins, len(rows)
 
 
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", type=int, default=4)
