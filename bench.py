@@ -112,7 +112,7 @@ def main() -> int:
 
     from chromosome3d_tpu.utils import aot as aot_mod
 
-    aot_mark = len(aot_mod.EVENTS)
+    aot_mark = aot_mod.event_mark()
     try:
         solve = make_solve(cfg)  # compile (or AOT-cache load)
         run(0)  # warm + prove the executable
@@ -162,7 +162,7 @@ def main() -> int:
     aot_events = [
         {"tag": e["tag"], "hit": e.get("hit"),
          "seconds": round(e["seconds"], 2)}
-        for e in aot_mod.EVENTS[aot_mark:]
+        for e in aot_mod.events_since(aot_mark)
     ]
 
     print(

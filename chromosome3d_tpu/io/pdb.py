@@ -129,11 +129,16 @@ def _parse_resseq(raw: str) -> int:
     """Residue number from the resSeq column, handling all three layouts:
     plain decimal (reference scale), the published reduced files' glued
     chain id ('B131' = chain B residue 131), and hybrid-36 (our at-scale
-    models, resSeq >= 10000). Precedence note: a 'B'+digits token reads as
-    the reduced-file glue — which shadows hybrid-36 values >= 57952
-    ('B000'+); at-scale models stay below that per chromosome today, and
-    the published reduced format is a frozen external artifact we must
-    keep parsing."""
+    models, resSeq >= 10000). Precedence notes: (a) a 'B'+digits token
+    reads as the reduced-file glue — which shadows hybrid-36 values
+    >= 56656 ('B000'+); our writer only reaches 'B###' tokens past 56655
+    residues, beyond the measured single-chip ceiling, and the published
+    reduced format is a frozen external artifact we must keep parsing;
+    (b) conversely, other chain letters decode as hybrid-36 (our own
+    at-scale files emit 'A###' from residue 10000), so a hypothetical
+    reduced-style file glued with a chain OTHER than the published 'B'
+    would mis-parse — the two formats are genuinely ambiguous and the
+    published one defines the tie-break."""
     tok = raw.strip()
     try:
         return int(tok)

@@ -378,7 +378,6 @@ def calibrate_dispatch(
 
 def verify_dispatch(
     repeats: int = 3,
-    steps: int = DEFAULT_STEPS,
     timer: Optional[Callable[[str, int, int], Optional[float]]] = None,
     device_kind: Optional[str] = None,
     max_load: float = DEFAULT_MAX_LOAD,
@@ -391,38 +390,60 @@ def verify_dispatch(
     audit tool for "is the committed/cached table still right on this
     machine?" (round-4 VERDICT item 4).
 
-    Returns {"device_kind", "source", "entries": [{L, B, variant:
+    Returns {"device_kind", "source", "entries": [{L, B, steps, variant:
     {stored_s, measured_s, drift_pct}, choice, choice_stored,
     choice_changed}]}. A changed choice means a recalibration (on a quiet
-    host) would re-route that shape."""
+    host) would re-route that shape.
+
+    Protocol fidelity: each entry is re-timed at ITS OWN recorded scan
+    length (the per-entry "steps" field; pre-round-5 entries without one
+    were measured at 24) — comparing a 24-step measurement against a
+    960-step one would report ~40x phantom drift. An injected `timer` is
+    used as-is (tests)."""
     from chromosome3d_tpu.ops.pallas_energy import (
         _active_dispatch,
         _device_kind,
         _entry_seconds,
+        fused_step_feasible,
     )
 
     if timer is None and not force:
         _check_quiet_host(max_load)
-    timer = timer or _real_timer(steps)
     kind = device_kind or _device_kind()
     entries, source = _active_dispatch(kind)
     report: Dict = {"device_kind": kind, "source": source, "entries": []}
+    timers: Dict[int, Callable] = {}
 
-    def choice(fused_s: float, semi_s: float) -> str:
-        # the reader's exact-path decision incl. its 3% hysteresis
-        if semi_s < 0.97 * fused_s:
+    def timer_for(entry_steps: int):
+        if timer is not None:
+            return timer
+        if entry_steps not in timers:
+            timers[entry_steps] = _real_timer(entry_steps)
+        return timers[entry_steps]
+
+    def choice(L: int, fused_s: float, semi_s: float) -> str:
+        # mirror use_triangular's exact-path decision: structural
+        # feasibility first, then the measured comparison with its 3%
+        # hysteresis; an entry silent on fused (inf) at a fused-feasible L
+        # falls back to the frozen default (fused), exactly as the reader
+        # does
+        if not fused_step_feasible(L):
             return "semi"
-        return "fused" if np.isfinite(fused_s) else "semi"
+        if not np.isfinite(fused_s):
+            return "fused"
+        return "semi" if semi_s < 0.97 * fused_s else "fused"
 
     for e in entries:
         L, B = int(e["L"]), int(e.get("B", 4))
-        row: Dict = {"L": L, "B": B}
+        e_steps = int(e.get("steps", 24))
+        t_fn = timer_for(e_steps)
+        row: Dict = {"L": L, "B": B, "steps": e_steps}
         measured: Dict[str, float] = {}
         for variant in VARIANTS:
             stored = e.get(f"{variant}_s")
             ts = []
             for _ in range(repeats):
-                t = timer(variant, L, B)
+                t = t_fn(variant, L, B)
                 if t is None:
                     break
                 ts.append(t)
@@ -440,9 +461,10 @@ def verify_dispatch(
                 "drift_pct": drift,
             }
         row["choice_stored"] = choice(
-            _entry_seconds(e, "fused_s"), _entry_seconds(e, "semi_s")
+            L, _entry_seconds(e, "fused_s"), _entry_seconds(e, "semi_s")
         )
         row["choice"] = choice(
+            L,
             measured.get("fused", float("inf")),
             measured.get("semi", float("inf")),
         )

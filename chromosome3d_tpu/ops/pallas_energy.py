@@ -1154,20 +1154,43 @@ def _active_dispatch(kind: str):
 
 
 def dispatch_table_fingerprint() -> str:
-    """Short content hash of the active dispatch-table SOURCES (or 'none')
-    — the tables change TRACED programs, so the AOT executable cache keys
-    on them (utils.aot.cache_key). Every existing source file contributes
-    (tagged by its precedence name): a packaged-table edit and a user-cache
-    edit must both invalidate serialized executables."""
+    """Short content hash of the dispatch-table sources that can actually
+    STEER routing on this device (or 'none') — the tables change TRACED
+    programs, so the AOT executable cache keys on this
+    (utils.aot.cache_key). Precedence-aware: when the packaged table
+    covers the current device kind, the user-cache file is SHADOWED
+    (never consulted, see _active_dispatch) and must not contribute — a
+    routing-inert `calibrate` run writing ~/.cache would otherwise
+    invalidate every serialized executable and cost minutes of remote
+    recompiles for a byte-identical program."""
     import hashlib
     import os
 
+    def digest(path):
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:12]
+
+    sources = _dispatch_sources()
     parts = []
-    for name, path in _dispatch_sources():
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                digest = hashlib.sha256(f.read()).hexdigest()[:12]
-            parts.append(f"{name}:{digest}")
+    shadowed = False
+    for name, path in sources:
+        if shadowed:
+            break
+        if not os.path.exists(path):
+            continue
+        parts.append(f"{name}:{digest(path)}")
+        if name == "packaged":
+            table = _load_dispatch_file(path)
+            try:
+                kind = _device_kind()
+            except Exception:
+                kind = None
+            if (
+                table is not None
+                and kind is not None
+                and (table.get(kind) or {}).get("entries")
+            ):
+                shadowed = True      # later sources can never apply
     return "+".join(parts) if parts else "none"
 
 

@@ -565,7 +565,7 @@ def run_genome(
     for L_pad, bucket in sorted(buckets.items()):
         ph = phases[f"L{L_pad}"] = {"chromosomes": [j.name for j in bucket]}
         t_ph = _time.time()
-        aot_mark = len(_aot.EVENTS)
+        aot_mark = _aot.event_mark()
 
         def _phase(name):
             # close the running phase segment and start the next
@@ -828,7 +828,7 @@ def run_genome(
                 summaries[name] = summary
         _phase("emit_s")
         # compile-vs-cache-load attribution for this bucket's programs
-        evs = _aot.EVENTS[aot_mark:]
+        evs = _aot.events_since(aot_mark)
         ph["aot"] = {
             "compile_or_load_s": round(sum(e["seconds"] for e in evs), 2),
             "hits": sum(1 for e in evs if e.get("hit")),

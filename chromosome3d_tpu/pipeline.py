@@ -436,7 +436,7 @@ def run_pipeline(
 
     from chromosome3d_tpu.utils import aot as _aot_mod
 
-    _aot_mark = len(_aot_mod.EVENTS)
+    _aot_mark = _aot_mod.event_mark()
     if not os.path.isfile(file_if):
         raise FileNotFoundError(f"Input IF file {file_if} does not exist!")
     os.makedirs(dir_out, exist_ok=True)
@@ -456,6 +456,15 @@ def run_pipeline(
         # for is gigabytes, and artifact byte-parity only has a contract at
         # reference scale (PARITY deviation #9 already suppresses the
         # O(L^2) text artifacts beyond every bucket)
+        if ice or chrom or resolution or bed_path or norm != "NONE":
+            # these selectors belong to the .cool/.hic/.matrix loaders (and
+            # ICE is an O(L^2) iterative host balance) — silently ignoring
+            # them would hand back results from the RAW matrix
+            raise ValueError(
+                ".npy input does not support --ice/--chrom/--resolution/"
+                "--bed/--norm: pre-process the matrix and save the final "
+                "values (np.save) instead"
+            )
         local_if = os.fspath(file_if)
     elif ext in _ALT_FORMATS or ice:
         from chromosome3d_tpu.io.hic import ice_balance, load_any
@@ -693,7 +702,7 @@ def run_pipeline(
         alphas=alphas,
     )
     _mark("assess_emit_s")
-    evs = _aot_mod.EVENTS[_aot_mark:]
+    evs = _aot_mod.events_since(_aot_mark)
     phases["aot"] = {
         "compile_or_load_s": round(sum(e["seconds"] for e in evs), 2),
         "hits": sum(1 for e in evs if e.get("hit")),

@@ -40,18 +40,42 @@ log = logging.getLogger("chromosome3d")
 _ENV_VAR = "CHROM3D_AOT_CACHE"
 
 # Per-call provenance trail: every load_or_compile appends one dict
-# ({"tag", "hit", "seconds", ...}) so callers (bench.py's provenance
-# fields, run_genome's phase breakdown) can attribute wall-clock to
-# compile-vs-cache-load without plumbing through every solve signature.
-# Bounded (drop-oldest) so a long-lived serve process cannot grow it.
+# ({"tag", "hit", "seconds", "seq", ...}) so callers (bench.py's
+# provenance fields, run_genome's phase breakdown) can attribute
+# wall-clock to compile-vs-cache-load without plumbing through every
+# solve signature. Bounded (drop-oldest) so a long-lived serve process
+# cannot grow it — consumers therefore mark positions with the monotonic
+# "seq" counter (event_mark/events_since), never a list index, which the
+# truncation would silently shift.
 EVENTS: list = []
 _EVENTS_MAX = 256
+_SEQ = 0
 
 
 def _record_event(ev: dict) -> dict:
+    global _SEQ
+    _SEQ += 1
+    ev["seq"] = _SEQ
     EVENTS.append(ev)
     del EVENTS[:-_EVENTS_MAX]
     return ev
+
+
+def event_mark() -> int:
+    """Opaque mark for events_since — truncation-safe (unlike len())."""
+    return _SEQ
+
+
+def events_since(mark: int) -> list:
+    """Events recorded after `mark`. If truncation has dropped some of
+    them, a sentinel entry flags the loss instead of silently
+    mis-attributing other work's events."""
+    out = [e for e in EVENTS if e["seq"] > mark]
+    expected = _SEQ - mark
+    if len(out) < expected:
+        out = [{"tag": "<truncated>", "hit": None, "seconds": 0.0,
+                "seq": mark, "lost": expected - len(out)}] + out
+    return out
 
 
 def cache_dir_from_env() -> Optional[str]:

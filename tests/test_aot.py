@@ -250,3 +250,34 @@ def test_prune_keeps_siblings_drops_stale(tmp_path, monkeypatch):
                     cache_dir=str(tmp_path))
     names = sorted(p.name for p in tmp_path.glob("t-*.aotx"))
     assert len(names) == 3 and stale.name not in names
+
+
+def test_event_marks_survive_truncation():
+    """Provenance consumers mark positions with the monotonic seq counter;
+    list indices would silently shift once the drop-oldest cap truncates
+    (round-5 review): a long-lived serve process crossing 256 events must
+    not mis-attribute other work's compile time."""
+    from chromosome3d_tpu.utils import aot
+
+    saved = list(aot.EVENTS)
+    try:
+        aot.EVENTS.clear()
+        for i in range(10):
+            aot._record_event({"tag": f"warm{i}", "hit": True, "seconds": 0.1})
+        mark = aot.event_mark()
+        for i in range(aot._EVENTS_MAX + 5):  # overflow the cap
+            aot._record_event({"tag": f"work{i}", "hit": False, "seconds": 1.0})
+        evs = aot.events_since(mark)
+        # everything after the mark is accounted for: the cap kept the
+        # newest 256, and the sentinel flags the 5 lost ones
+        assert evs[0]["tag"] == "<truncated>" and evs[0]["lost"] == 5
+        assert len(evs) == aot._EVENTS_MAX + 1
+        assert all(e["tag"].startswith("work") for e in evs[1:])
+        # no truncation across the mark -> exact slice, no sentinel
+        mark2 = aot.event_mark()
+        aot._record_event({"tag": "tail", "hit": None, "seconds": 0.0})
+        evs2 = aot.events_since(mark2)
+        assert [e["tag"] for e in evs2] == ["tail"]
+    finally:
+        aot.EVENTS.clear()
+        aot.EVENTS.extend(saved)

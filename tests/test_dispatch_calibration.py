@@ -296,9 +296,21 @@ def test_packaged_table_precedes_user_cache(dispatch_sources):
         _DISPATCH_CACHE.clear()
         entries, src = pe._active_dispatch("otherTPU")
         assert src == "user" and entries
-        # both sources fingerprint (either edit must invalidate AOT blobs)
+        # fingerprint is precedence-aware: for a kind the packaged table
+        # covers, the SHADOWED user file must NOT contribute (a
+        # routing-inert calibrate write would otherwise invalidate every
+        # AOT blob) ...
         fp = dispatch_table_fingerprint()
-        assert "packaged:" in fp and "user:" in fp
+        assert "packaged:" in fp and "user:" not in fp
+        before = fp
+        _write_table(usr, "fakeTPU", 1024, fused_s=0.99, semi_s=0.99)
+        _DISPATCH_CACHE.clear()
+        assert dispatch_table_fingerprint() == before
+        # ... but for an UNCOVERED kind the user file steers routing and
+        # must fingerprint
+        pe._device_kind = lambda: "otherTPU"
+        fp2 = dispatch_table_fingerprint()
+        assert "packaged:" in fp2 and "user:" in fp2
     finally:
         pe._device_kind = orig
 
@@ -459,3 +471,73 @@ def test_frozen_defaults_describe(monkeypatch, tmp_path):
     assert d["table_source"] == "none"
     assert d["table_fingerprint"] == "none"
     _DISPATCH_CACHE.clear()
+
+
+def test_verify_uses_each_entrys_protocol(table_path):
+    """A table mixing 24-step (legacy) and 960-step entries must be
+    re-timed per entry at ITS OWN scan length — otherwise drift_pct
+    reports ~40x phantom drift for the legacy rows (round-5 review)."""
+    import json as _json
+    import os as _os
+
+    from chromosome3d_tpu.ops.calibrate import verify_dispatch
+
+    table = {"fakeTPU": {"entries": [
+        {"L": 1024, "B": 4, "steps": 24, "fused_s": 0.10, "semi_s": 0.20,
+         "tri_unfused_s": 0.20, "row_unfused_s": 0.20, "rel_spread": {}},
+        {"L": 2048, "B": 4, "steps": 960, "fused_s": 4.00, "semi_s": 8.00,
+         "tri_unfused_s": 8.00, "row_unfused_s": 8.00, "rel_spread": {}},
+    ], "repeats": 2, "steps": 960}}
+    with open(_os.environ["CHROM3D_DISPATCH_TABLE"], "w") as f:
+        _json.dump(table, f)
+    _DISPATCH_CACHE.clear()
+
+    seen = []
+
+    # the injected timer records which (L, B) was probed; in the real
+    # path timer_for builds one _real_timer per distinct entry steps —
+    # assert the per-entry steps ride through to the report rows
+    def timer(variant, L, B):
+        seen.append((variant, L, B))
+        return {1024: 0.1, 2048: 4.0}[L] * (2.0 if variant != "fused" else 1.0)
+
+    report = verify_dispatch(repeats=1, timer=timer, device_kind="fakeTPU")
+    rows = {r["L"]: r for r in report["entries"]}
+    assert rows[1024]["steps"] == 24
+    assert rows[2048]["steps"] == 960
+    # measured == stored -> zero drift for both protocols
+    assert rows[1024]["fused"]["drift_pct"] == 0.0
+    assert rows[2048]["fused"]["drift_pct"] == 0.0
+    assert not rows[1024]["choice_changed"]
+
+
+def test_verify_choice_mirrors_reader(table_path):
+    """choice_stored must model the reader: fused-infeasible L -> semi
+    regardless of the entry; a null fused_s at a fused-feasible L -> the
+    frozen default (fused), not a trivial 'semi' (round-5 review)."""
+    import json as _json
+    import os as _os
+
+    from chromosome3d_tpu.ops.calibrate import verify_dispatch
+
+    table = {"fakeTPU": {"entries": [
+        # fused-feasible L, entry silent on fused: reader routes FUSED
+        {"L": 2048, "B": 4, "steps": 960, "fused_s": None, "semi_s": 1.0,
+         "tri_unfused_s": 1.0, "row_unfused_s": 1.0, "rel_spread": {}},
+        # fused-INfeasible L: semi is structural, whatever the numbers say
+        {"L": 4096, "B": 4, "steps": 960, "fused_s": None, "semi_s": 1.0,
+         "tri_unfused_s": 1.0, "row_unfused_s": 2.0, "rel_spread": {}},
+    ], "repeats": 2, "steps": 960}}
+    with open(_os.environ["CHROM3D_DISPATCH_TABLE"], "w") as f:
+        _json.dump(table, f)
+    _DISPATCH_CACHE.clear()
+
+    def timer(variant, L, B):
+        return None if variant == "fused" else 1.0
+
+    report = verify_dispatch(repeats=1, timer=timer, device_kind="fakeTPU")
+    rows = {r["L"]: r for r in report["entries"]}
+    assert rows[2048]["choice_stored"] == "fused"
+    assert rows[4096]["choice_stored"] == "semi"
+    assert not rows[2048]["choice_changed"]
+    assert not rows[4096]["choice_changed"]

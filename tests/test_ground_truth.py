@@ -145,3 +145,17 @@ def test_npy_input_loader(tmp_path):
     np.save(str(tmp_path / "bad.npy"), bad)
     with pytest.raises(ValueError, match="negative"):
         load_if_matrix(str(tmp_path / "bad.npy"))
+
+
+def test_npy_rejects_format_selectors(tmp_path):
+    """--ice/--chrom/... silently ignored on a .npy input would hand back
+    results from the RAW matrix (round-5 review): must fail loudly."""
+    from chromosome3d_tpu.pipeline import run_pipeline
+
+    m = np.abs(np.random.RandomState(0).randn(32, 32)).astype(np.float32)
+    p = str(tmp_path / "m.npy")
+    np.save(p, m + m.T)
+    with pytest.raises(ValueError, match="does not support"):
+        run_pipeline(p, str(tmp_path / "out"), ice=True)
+    with pytest.raises(ValueError, match="does not support"):
+        run_pipeline(p, str(tmp_path / "out"), chrom="chr1")

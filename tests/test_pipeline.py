@@ -172,6 +172,16 @@ def test_genome_runner_multi_device(tmp_path):
         assert s["bucket"] == 64
         assert os.path.exists(os.path.join(out, name, f"{name}_model1.pdb"))
         assert -1.0 <= s["best_spearman_if_inv_d"] <= 1.0
+    # round-5: the run writes a top-level summary.json with per-bucket
+    # PHASE wall breakdowns (tunnel-spread attribution, VERDICT item 7)
+    with open(os.path.join(out, "summary.json")) as f:
+        top = json.load(f)
+    assert set(top["chromosomes"]) == {"chr22_1mb", "chr21_1mb"}
+    ph = top["phases"]["L64"]
+    for key in ("load_s", "solve_and_views_s", "emit_s", "aot"):
+        assert key in ph
+    assert ph["aot"]["hits"] + ph["aot"]["misses"] + ph["aot"]["uncached"] >= 1
+    assert top["wall_seconds"] > 0
 
 
 def test_bucket_padding_quality_equivalence(tmp_path):
